@@ -1,0 +1,52 @@
+"""SparkSession builder tuned for the kgforge pipeline.
+
+Defaults chosen for the 100 TB target (AQE on, skew-join on, Arrow on),
+scaled down for local[N] testing.  On a real cluster only
+``master``/``shuffle_partitions`` change; the plan shape is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kgforge",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    - AQE + skew-join handling on: runtime re-plan for skewed mega-repos.
+    - Arrow on with a bounded batch size: the pandas-UDF edge is the only
+      place rows cross into Python; batch size bounds UDF peak memory.
+    - ``maxPartitionBytes`` left at default 128m — at 100 TB that yields
+      ~800k scan tasks, the right granularity for 1000 executors.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    if shuffle_partitions is None:
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        shuffle_partitions = int(env) if env else 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
