@@ -1,0 +1,134 @@
+"""Graph materialization — nodes/edges tables from triples + canonical ids.
+
+Output schemas (FIXTURES.md §6):
+  nodes(canonical_id, ent_type, surface_forms, mention_count)
+  edges(src, dst, pred, weight, provenance)
+
+Scale notes (north rule: explicit salting for skewed mega-repos, repaired
+partitioning at 10^12-file scale):
+
+* The canonical-id join of triples to entities is a potential skew point —
+  a hub entity ("spark") may appear in a large fraction of triples.  The
+  entity side is small (distinct surfaces), so BOTH joins are broadcast:
+  no shuffle of the big triples table at all, skew moot.
+* The edges aggregation groups by (src, dst, pred) — hub-hub edges create
+  hot keys.  ``salted_edge_counts`` demonstrates the two-phase pattern:
+  partial agg on (key, salt) then final agg on key, bounding any single
+  reducer to 1/S of a hot key (with map-side combine this is usually free;
+  the explicit salt is the contract the north rule asks for).
+* Writers repartition on the output key before write ("repaired
+  partitioning"): files land clustered by canonical_id / (src, pred),
+  giving downstream scans pruning + avoiding the many-small-files failure
+  mode at 10^12 inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..link.canonical import entity_vertices, lsh_candidate_pairs, normalize_surface
+from ..link.cc import connected_components
+
+DEFAULT_SALT = 16
+
+
+def canonical_entities(triples: DataFrame) -> DataFrame:
+    """triples -> (surface, ent_type, entity_id, canonical_id)."""
+    verts = entity_vertices(triples)
+    verts = verts.localCheckpoint(eager=True)  # reused by LSH + CC + joins
+    cand = lsh_candidate_pairs(verts)
+    labels = connected_components(verts, cand)
+    return verts.join(labels, on="entity_id")
+
+
+def build_nodes(canonical: DataFrame) -> DataFrame:
+    """One row per canonical entity."""
+    return (
+        canonical.groupBy("canonical_id", "ent_type")
+        .agg(
+            F.sort_array(F.collect_set("surface")).alias("surface_forms"),
+            F.count("*").alias("n_surfaces"),
+        )
+    )
+
+
+def attach_canonical_ids(triples: DataFrame, canonical: DataFrame) -> DataFrame:
+    """Join triples to canonical ids on both endpoints (broadcast x2 —
+    the entity dimension is tiny relative to triples)."""
+    dim = canonical.select(
+        "surface", "ent_type", "canonical_id"
+    )
+    sub_dim = F.broadcast(
+        dim.withColumnRenamed("surface", "subj")
+        .withColumnRenamed("ent_type", "subj_type_x")
+        .withColumnRenamed("canonical_id", "src")
+    )
+    obj_dim = F.broadcast(
+        dim.withColumnRenamed("surface", "obj")
+        .withColumnRenamed("ent_type", "obj_type_x")
+        .withColumnRenamed("canonical_id", "dst")
+    )
+    t = triples.join(
+        sub_dim,
+        (triples.subj == sub_dim.subj) & (triples.subj_type == sub_dim.subj_type_x),
+    ).drop(sub_dim.subj).drop("subj_type_x")
+    t = t.join(
+        obj_dim,
+        (t.obj == obj_dim.obj) & (t.obj_type == obj_dim.obj_type_x),
+    ).drop(obj_dim.obj).drop("obj_type_x")
+    return t
+
+
+def build_edges(
+    linked_triples: DataFrame, n_provenance: int = 3, salt: int = DEFAULT_SALT
+) -> DataFrame:
+    """(src, dst, pred) edges with weight + bounded provenance sample.
+
+    Two-phase salted aggregation: partial agg keyed (key, salt) bounds hot
+    (hub, hub, pred) keys; provenance kept as a deterministic min-k sample
+    (sort_array + slice) so output is parallelism-invariant.
+    """
+    with_salt = linked_triples.withColumn(
+        "_salt", F.pmod(F.xxhash64("repo", "path", "unit_id"), F.lit(salt))
+    )
+    partial = with_salt.groupBy("src", "dst", "pred", "_salt").agg(
+        F.count("*").alias("w"),
+        F.sort_array(
+            F.collect_set(F.struct("repo", "path", "unit_id"))
+        ).alias("prov"),
+    )
+    final = partial.groupBy("src", "dst", "pred").agg(
+        F.sum("w").alias("weight"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("prov"))), 1, n_provenance
+        ).alias("provenance"),
+    )
+    return final
+
+
+def mention_counts(linked_triples: DataFrame) -> DataFrame:
+    """Per-canonical-entity mention count (subject or object occurrences)."""
+    m = linked_triples.select(F.col("src").alias("canonical_id")).unionByName(
+        linked_triples.select(F.col("dst").alias("canonical_id"))
+    )
+    return m.groupBy("canonical_id").agg(F.count("*").alias("mention_count"))
+
+
+def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """triples -> (nodes, edges)."""
+    canonical = canonical_entities(triples)
+    linked = attach_canonical_ids(triples, canonical)
+    linked = linked.localCheckpoint(eager=True)
+    nodes = build_nodes(canonical).join(
+        mention_counts(linked), on="canonical_id", how="left"
+    ).fillna(0, subset=["mention_count"])
+    edges = build_edges(linked)
+    return nodes, edges
+
+
+def write_repaired(df: DataFrame, path: str, keys: list[str], n_files: int | None = None):
+    """Repartition on the output key before write — clustered files, no
+    small-file explosion; idempotent overwrite."""
+    out = df.repartition(n_files, *keys) if n_files else df.repartition(*keys)
+    out.write.mode("overwrite").parquet(path)

@@ -1,0 +1,133 @@
+"""Per-stage checkpoint + lineage manifest (north rule: every stage
+checkpoints per-partition lineage + triple-count metrics to support
+resume-from-failure).
+
+Reference analog: the tensor-cache sink/source keyed by config tag
+(S6, data/data_module.py:55-67) — generalized to a manifest-gated
+per-stage parquet checkpoint.
+
+Contract (SURVEY.md §7.6): a stage writes its data partition, then appends
+``(run_id, stage, partition_id, rows_out, triple_count, content_sha_agg,
+wall_ms)`` rows plus a ``_COMPLETE`` marker.  On restart, a stage whose
+marker exists is read back, not recomputed.  The marker is written AFTER
+the data — a crash mid-write leaves no marker, so the stage reruns
+(idempotent overwrite).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_COLS = [
+    "run_id",
+    "stage",
+    "partition_id",
+    "rows_out",
+    "triple_count",
+    "content_sha_agg",
+    "wall_ms",
+]
+
+
+class StageRunner:
+    def __init__(self, spark: SparkSession, workdir: str, run_id: str = "run0"):
+        self.spark = spark
+        self.workdir = Path(workdir)
+        self.run_id = run_id
+        self.workdir.mkdir(parents=True, exist_ok=True)
+
+    def _stage_dir(self, stage: str) -> Path:
+        return self.workdir / stage
+
+    def is_complete(self, stage: str) -> bool:
+        return (self._stage_dir(stage) / "_COMPLETE").exists()
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(str(self._stage_dir(stage) / "data"))
+
+    def run(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
+        """Build-or-resume: skip ``build`` entirely when the stage is
+        already complete for this workdir."""
+        d = self._stage_dir(stage)
+        if self.is_complete(stage):
+            return self.read(stage)
+        t0 = time.monotonic()
+        df = build()
+        data_path = str(d / "data")
+        df.write.mode("overwrite").parquet(data_path)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        written = self.spark.read.parquet(data_path)
+        has_sha = "content_sha" in written.columns
+        per_part = (
+            written.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("rows_out"),
+                F.count("*").alias("triple_count"),
+                (
+                    F.sum(F.crc32(F.col("content_sha"))) if has_sha else F.lit(0)
+                ).alias("content_sha_agg"),
+            )
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("wall_ms", F.lit(wall_ms))
+            .select(*LINEAGE_COLS)
+        )
+        per_part.write.mode("overwrite").parquet(str(d / "lineage"))
+        (d / "_COMPLETE").write_text(
+            json.dumps({"run_id": self.run_id, "stage": stage, "wall_ms": wall_ms})
+        )
+        return self.read(stage)
+
+    def lineage(self) -> DataFrame:
+        """All recorded lineage rows across stages."""
+        parts = sorted(str(p) for p in self.workdir.glob("*/lineage"))
+        if not parts:
+            raise FileNotFoundError(f"no lineage under {self.workdir}")
+        return self.spark.read.parquet(*parts)
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    repos: DataFrame,
+    workdir: str,
+    run_id: str = "run0",
+    strategy: str = "fused",
+) -> dict[str, DataFrame]:
+    """The full checkpointed pipeline: repos -> triples -> canonical ->
+    nodes/edges, each stage resumable."""
+    from .extract.pipeline import extract_pipeline
+    from .graph.materialize import (
+        attach_canonical_ids,
+        build_edges,
+        build_nodes,
+        canonical_entities,
+        mention_counts,
+    )
+
+    runner = StageRunner(spark, workdir, run_id)
+    triples = runner.run("triples", lambda: extract_pipeline(repos, strategy))
+    canonical = runner.run("canonical", lambda: canonical_entities(triples))
+    linked = runner.run("linked", lambda: attach_canonical_ids(triples, canonical))
+    nodes = runner.run(
+        "nodes",
+        lambda: build_nodes(canonical)
+        .join(mention_counts(linked), on="canonical_id", how="left")
+        .fillna(0, subset=["mention_count"]),
+    )
+    edges = runner.run("edges", lambda: build_edges(linked))
+    return {
+        "triples": triples,
+        "canonical": canonical,
+        "linked": linked,
+        "nodes": nodes,
+        "edges": edges,
+        "runner": runner,
+    }

@@ -1,0 +1,77 @@
+"""Connected components by iterative DataFrame joins (entity linking).
+
+GraphFrames-style large-star/small-star is overkill for canonicalization
+components (surface-form variant clusters are tiny); we use hash-to-min
+label propagation: every vertex repeatedly adopts the minimum label in its
+closed neighborhood until fixpoint.  Converges in O(log d) rounds for
+diameter d; each round is one shuffle on vertex id.  ``localCheckpoint``
+per iteration truncates lineage so the plan doesn't grow exponentially
+(SURVEY.md §4.3); an iteration cap + convergence metric guard runaway
+inputs (never silent).
+
+Reference analog: ``RuntimeGraph`` over networkx.DiGraph
+(models/runtime_graph.py:44-146) — registered but disabled there; linking
+is required by the north rule, so it is first-class here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITERATIONS = 25
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "entity_id",
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """Return ``(entity_id, canonical_id)`` — canonical_id = min vertex id
+    reachable in the undirected graph ``edges(src, dst)``.
+
+    Isolated vertices map to themselves.
+    """
+    # Undirected closure: both directions + self loop.
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(vertex_col).alias("a"), F.col(vertex_col).alias("canonical_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        # min over closed neighborhood: own label ∧ min(neighbor labels)
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("a", "b"), on="b")
+            .groupBy("a")
+            .agg(F.min("canonical_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="a", how="left")
+            .select(
+                "a",
+                F.least(
+                    F.col("canonical_id"), F.coalesce("nbr_min", "canonical_id")
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="a")
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    return labels.withColumnRenamed("a", vertex_col)
