@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction query at sf0.001.
+``queries()``   — one callable per implemented operator (SURVEY.md §2),
+                  implemented in kgforge/queries.py.
+``oracle_sql()``— matching DuckDB SQL per query (omitted only for the
+                  iterative / UDF-plumbing ops: connected components,
+                  multimodal feature extraction).
 """
 
 from __future__ import annotations
@@ -15,24 +16,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7.5): full KG extraction cascade over the
+    sf0.001 documents corpus — scan -> unit -> tag (M1/M2) -> pair (M3) ->
+    classify (M4) -> dedup -> canonical node ids — returns the triples
+    DataFrame with canonical src/dst ids attached."""
+    from pyspark.sql import functions as F
+
+    from kgforge.queries import _kg_triples_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = _kg_triples_df(spark, sf_dir)
+    return t.withColumn(
+        "src", F.md5(F.concat_ws(":", "subj", "subj_type"))
+    ).withColumn("dst", F.md5(F.concat_ws(":", "obj", "obj_type")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgforge.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgforge.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,100 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full KG
+extraction pipeline over a synthetic repos corpus (throughput metric:
+triples/sec, BASELINE.md).
+
+Usage:
+  python bench.py                 # one JSON line
+  python bench.py --repos-files 20000   # scale the KG corpus leg
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_revenue_by_nation",
+    "q_topk_per_group",
+    "q_running_total",
+    "kg_mentions",
+    "kg_triples",
+    "kg_edges",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "token_counts",
+    "doc_fingerprint",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--repos-files", type=int, default=8000)
+    ap.add_argument("--skip-repos", action="store_true")
+    args = ap.parse_args()
+
+    from kgforge.fixtures import gen_repo_rows
+    from kgforge.lineage import LINEAGE_COLS  # noqa: F401 (import check)
+    from kgforge.queries import QUERIES
+    from kgforge.session import get_spark
+
+    spark = get_spark("kgforge-bench", master=f"local[{args.cores}]",
+                      shuffle_partitions=max(int(args.cores), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, args.sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    triples_per_sec = None
+    if not args.skip_repos:
+        # full KG extraction cascade over the synthetic repos corpus
+        rows = gen_repo_rows(args.repos_files)
+        from kgforge.extract.pipeline import extract_pipeline
+
+        repos = spark.createDataFrame(rows).repartition(int(args.cores))
+        repos = repos.localCheckpoint(eager=True)  # exclude gen+upload time
+        t0 = time.monotonic()
+        n_triples = extract_pipeline(repos, "fused").count()
+        dt = time.monotonic() - t0
+        timings["kg_pipeline_repos"] = round(dt, 3)
+        triples_per_sec = round(n_triples / dt, 1)
+        print(
+            f"# kg_pipeline_repos: {n_triples} triples from {args.repos_files} files "
+            f"in {dt:.1f}s ({triples_per_sec} triples/s)",
+            file=sys.stderr,
+        )
+
+    total = round(time.monotonic() - t_all, 3)
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": int(args.cores),
+        "triples_per_sec": triples_per_sec,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""SurrogateModel — the narrow encoder interface (SURVEY.md §7.0).
+
+The pipeline's operator DAG is fixed; the "weights" (gazetteer + relation
+patterns + thresholds) are swappable per corpus domain.  A real ONNX/torch
+PLM encoder implements the same three calls (detect mentions / score pair /
+classify relation) without touching any Spark code.
+
+Registered models:
+  * ``repos`` — the synthetic source-code corpus (FIXTURES.md grammar:
+    multi-token lexicon, multi-token gap patterns).
+  * ``docs``  — the driver's ``documents`` table domain (31-token
+    vocabulary, single-token lexicon and gap patterns) — deliberately
+    simple enough that every stage is exactly re-expressible in ANSI SQL
+    for the DuckDB oracle gate.
+
+Executor contract: UDFs capture only the model NAME (a string); the model
+is rebuilt from its seed on each executor and cached (``get_model`` is
+lru_cached) — the moral equivalent of broadcasting weights via SparkFiles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+from .vocab import GAP_PATTERNS, gazetteer
+
+# documents-table domain: token -> ent_type_id
+# (ENT_TYPES = [Task, Method, Metric, Material, OtherScientificTerm, Generic])
+DOC_ENT_LEX: dict[str, int] = {
+    # Material
+    "table": 3, "row": 3, "column": 3, "key": 3, "value": 3,
+    # Method
+    "join": 1, "scan": 1, "sort": 1, "merge": 1, "filter": 1, "agg": 1, "group": 1,
+    # OtherScientificTerm
+    "hash": 4, "vector": 4, "window": 4, "batch": 4, "stream": 4, "line": 4,
+    # Task
+    "spark": 0, "query": 0, "data": 0, "part": 0, "order": 0, "customer": 0,
+    # Generic
+    "dup": 5,
+}
+
+# documents-table domain: single-token gap -> rel_id
+# (REL_TYPES = [USED-FOR, FEATURE-OF, HYPONYM-OF, PART-OF, COMPARE,
+#               CONJUNCTION, EVALUATE-FOR])
+DOC_GAP_PATTERNS: dict[tuple[str, ...], int] = {
+    ("fast",): 0,   # USED-FOR
+    ("small",): 1,  # FEATURE-OF
+    ("the",): 2,    # HYPONYM-OF
+    ("big",): 3,    # PART-OF
+    ("slow",): 4,   # COMPARE
+    ("a",): 5,      # CONJUNCTION
+}
+
+
+@dataclass
+class SurrogateModel:
+    name: str
+    patterns: dict[tuple[str, ...], int]
+    gaz: dict[tuple[str, ...], int] = field(repr=False)
+    score_threshold: float = 0.05
+    top_k_pairs: int = 30
+    max_mentions: int = 64
+
+    @property
+    def max_gap(self) -> int:
+        return max(len(p) for p in self.patterns)
+
+    @property
+    def max_term_len(self) -> int:
+        return max(len(t) for t in self.gaz)
+
+
+@lru_cache(maxsize=4)
+def get_model(name: str) -> SurrogateModel:
+    if name == "repos":
+        return SurrogateModel(name="repos", patterns=dict(GAP_PATTERNS), gaz=gazetteer())
+    if name == "docs":
+        # No mention/pair caps: the docs domain is the exact-oracle gate,
+        # and its per-unit cardinality is bounded by document length anyway.
+        # (The caps on the repos model mirror the reference's train-time
+        # budget guards, data/utils.py:226-227 / re_model.py:364-368.)
+        return SurrogateModel(
+            name="docs",
+            patterns=dict(DOC_GAP_PATTERNS),
+            gaz={(tok,): t for tok, t in DOC_ENT_LEX.items()},
+            top_k_pairs=1_000_000,
+            max_mentions=1_000_000,
+        )
+    raise KeyError(f"unknown surrogate model: {name}")

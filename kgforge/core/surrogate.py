@@ -8,9 +8,10 @@ Mirrors the reference's three-stage dataflow (SURVEY.md §2.9):
   M4     relation classification per surviving pair, NA-drop, set-dedup
          (models/re_model.py:165-851; models/theta.py:523-556)
 
-Everything here is pure python/numpy over token lists — the Spark pipeline
-calls these inside Arrow-batched pandas UDFs; the oracle calls them in a
-plain loop.  No randomness: the reference's train-time shuffle/noise
+Everything here is pure python over token lists — the Spark pipeline calls
+these inside Arrow-batched pandas UDFs; the oracle calls them in a plain
+loop.  The "weights" are a ``SurrogateModel`` (core/model.py).  No
+randomness: the reference's train-time shuffle/noise
 (entity_pair_filter.py:366,401-412) is deliberately NOT reproduced —
 inference ordering is a total order (score desc, then span key) so results
 are parallelism-invariant (SURVEY.md §4.3).
@@ -19,20 +20,10 @@ are parallelism-invariant (SURVEY.md §4.3).
 from __future__ import annotations
 
 from .bio import decode_bio, encode_bio
-from .vocab import (
-    GAP_PATTERNS,
-    MAX_GAP,
-    NUM_ENT_TYPES,
-    stable_hash,
-    type_pair_allowed,
-)
+from .model import SurrogateModel
+from .vocab import NUM_ENT_TYPES, stable_hash, type_pair_allowed
 
-# Inference thresholds (reference: pair-score threshold config.yaml:83
-# default 1e-4; we use 0.05 with the surrogate scorer's scale.  Top-k cap
-# mirrors the 30-triple cap at data/utils.py:226-227).
-SCORE_THRESHOLD = 0.05
-TOP_K_PAIRS = 30
-MAX_MENTIONS_PER_UNIT = 64
+Mention = tuple[int, int, int]  # (start, end, ent_type), half-open
 
 
 def tokenize(text: str) -> list[str]:
@@ -40,18 +31,19 @@ def tokenize(text: str) -> list[str]:
     return text.split()
 
 
-def tag_tokens(tokens: list[str], gaz: dict[tuple[str, ...], int], max_term_len: int = 4) -> list[int]:
+def tag_tokens(tokens: list[str], model: SurrogateModel) -> list[int]:
     """Greedy longest-match gazetteer tagging -> BIO tag ids.
 
     Surrogate for the PLM encoder + EntDecoder head (M1+M2).  Emits the
     reference's tag encoding (O=0, B-t=t+1, I-t=t+1+T).
     """
     n = len(tokens)
-    mentions: list[tuple[int, int, int]] = []
+    gaz = model.gaz
+    mentions: list[Mention] = []
     i = 0
     while i < n:
         matched = False
-        for ln in range(min(max_term_len, n - i), 0, -1):
+        for ln in range(min(model.max_term_len, n - i), 0, -1):
             key = tuple(w.lower() for w in tokens[i : i + ln])
             t = gaz.get(key)
             if t is not None:
@@ -64,27 +56,22 @@ def tag_tokens(tokens: list[str], gaz: dict[tuple[str, ...], int], max_term_len:
     return encode_bio(n, mentions, NUM_ENT_TYPES)
 
 
-def detect_mentions(
-    tokens: list[str], gaz: dict[tuple[str, ...], int]
-) -> list[tuple[int, int, int]]:
-    """tag + decode, capped at MAX_MENTIONS_PER_UNIT (no silent caps — the
-    pipeline records drops in lineage metrics)."""
-    tags = tag_tokens(tokens, gaz)
+def detect_mentions(tokens: list[str], model: SurrogateModel) -> list[Mention]:
+    """tag + BIO decode, capped at model.max_mentions (drops are counted by
+    the pipeline's lineage metrics — never silent)."""
+    tags = tag_tokens(tokens, model)
     ments = decode_bio(tags, NUM_ENT_TYPES)
-    return ments[:MAX_MENTIONS_PER_UNIT]
+    return ments[: model.max_mentions]
 
 
-def match_gap_pattern(gap_tokens: list[str]) -> int:
+def match_gap_pattern(gap_tokens: list[str], model: SurrogateModel) -> int:
     """Return rel_id for an exact gap-pattern match, else -1."""
-    key = tuple(w.lower() for w in gap_tokens)
-    rel = GAP_PATTERNS.get(key)
+    rel = model.patterns.get(tuple(w.lower() for w in gap_tokens))
     return -1 if rel is None else rel
 
 
 def score_pair(
-    tokens: list[str],
-    sub: tuple[int, int, int],
-    obj: tuple[int, int, int],
+    tokens: list[str], sub: Mention, obj: Mention, model: SurrogateModel
 ) -> float:
     """M3 surrogate: cheap plausibility score in [0, 1).
 
@@ -96,26 +83,22 @@ def score_pair(
     sub_text = " ".join(tokens[sub[0] : sub[1]]).lower()
     obj_text = " ".join(tokens[obj[0] : obj[1]]).lower()
     noise = (stable_hash("pair", sub_text, obj_text) % 10_000) / 25_000.0  # [0, 0.4)
-    if sub[1] < obj[0] and obj[0] - sub[1] <= MAX_GAP:
-        if match_gap_pattern(tokens[sub[1] : obj[0]]) >= 0:
+    if sub[1] < obj[0] and obj[0] - sub[1] <= model.max_gap:
+        if match_gap_pattern(tokens[sub[1] : obj[0]], model) >= 0:
             return 0.6 + noise / 2.0
     return noise
 
 
 def rank_pairs(
-    tokens: list[str],
-    mentions: list[tuple[int, int, int]],
-    threshold: float = SCORE_THRESHOLD,
-    top_k: int = TOP_K_PAIRS,
-) -> list[tuple[tuple[int, int, int], tuple[int, int, int], float]]:
-    """Ordered-pair enumeration (J1) + hard type filter (J4) + threshold (P5)
-    + score-desc total-order ranking (W1) + top-k (W2).
+    tokens: list[str], mentions: list[Mention], model: SurrogateModel
+) -> list[tuple[Mention, Mention, float]]:
+    """Ordered-pair enumeration (J1) + hard type filter (J4) + threshold
+    (P5) + score-desc total-order ranking (W1) + top-k (W2).
 
     Tie-break on the full span key so ordering is parallelism-invariant
-    (reference sorts by score only, entity_pair_filter.py:421 — float ties
-    there are resolved by python's stable sort over enumeration order; our
-    total key yields the identical order for distinct scores and a
-    deterministic one always).
+    (the reference sorts by score only, entity_pair_filter.py:421 — float
+    ties there fall back to python's stable sort over enumeration order;
+    our total key is deterministic under any partitioning).
     """
     scored = []
     for i, sub in enumerate(mentions):
@@ -124,40 +107,38 @@ def rank_pairs(
                 continue
             if not type_pair_allowed(sub[2], obj[2]):
                 continue
-            s = score_pair(tokens, sub, obj)
-            if s > threshold:
+            s = score_pair(tokens, sub, obj, model)
+            if s > model.score_threshold:
                 scored.append((sub, obj, s))
     scored.sort(key=lambda g: (-g[2], g[0][0], g[0][1], g[1][0], g[1][1]))
-    return scored[:top_k]
+    return scored[: model.top_k_pairs]
 
 
 def classify_relation(
-    tokens: list[str],
-    sub: tuple[int, int, int],
-    obj: tuple[int, int, int],
+    tokens: list[str], sub: Mention, obj: Mention, model: SurrogateModel
 ) -> tuple[int, float]:
     """M4 surrogate: (rel_id + 1, score); 0 = NA (reference re_model.py:805,
     NA-drop at theta.py:528-536)."""
-    if sub[1] < obj[0] and obj[0] - sub[1] <= MAX_GAP:
-        rel = match_gap_pattern(tokens[sub[1] : obj[0]])
+    if sub[1] < obj[0] and obj[0] - sub[1] <= model.max_gap:
+        rel = match_gap_pattern(tokens[sub[1] : obj[0]], model)
         if rel >= 0:
             return rel + 1, 0.9
     return 0, 0.9
 
 
 def extract_triples(
-    tokens: list[str], gaz: dict[tuple[str, ...], int]
-) -> list[tuple[str, str, str, int, int, float]]:
+    tokens: list[str], model: SurrogateModel
+) -> list[tuple[str, str, int, int, int, float]]:
     """Full per-unit cascade -> deduped text triples.
 
     Returns ``[(sub_text, obj_text, rel_type_id, sub_type, obj_type, score)]``
     — the reference's emitted 5-tuple (models/theta.py:535) plus score,
     set-deduped per unit (theta.py:536).
     """
-    mentions = detect_mentions(tokens, gaz)
+    mentions = detect_mentions(tokens, model)
     out: dict[tuple[str, str, int, int, int], float] = {}
-    for sub, obj, _s in rank_pairs(tokens, mentions):
-        rel_plus1, score = classify_relation(tokens, sub, obj)
+    for sub, obj, _s in rank_pairs(tokens, mentions, model):
+        rel_plus1, score = classify_relation(tokens, sub, obj, model)
         if rel_plus1 == 0:
             continue
         sub_text = " ".join(tokens[sub[0] : sub[1]])

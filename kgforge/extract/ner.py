@@ -2,19 +2,17 @@
 
 The reference runs a PLM forward + EntDecoder head + argmax BIO decode
 (models/theta.py:297-331, models/ner_model.py:131-323).  Here the encoder
-is the deterministic surrogate (kgforge.core.surrogate.tag_tokens) behind
-the same interface; a real ONNX/torch encoder drops into ``Tagger`` without
+is the deterministic surrogate (kgforge.core.surrogate) behind the
+``SurrogateModel`` interface; a real ONNX/torch encoder drops in without
 touching the Spark plan (SURVEY.md §7.0).
 
 Spark shape: one Arrow-batched pandas UDF, units in -> mention arrays out.
-No shuffle: tagging is row-local.  The gazetteer ("model weights") is
-rebuilt once per executor from its seed and cached — on a real cluster it
-would ship via SparkFiles/broadcast.
+No shuffle: tagging is row-local.  UDFs capture only the model NAME; the
+model rebuilds from its seed per executor (core/model.get_model is
+lru_cached) — the local-mode equivalent of SparkFiles weight shipping.
 """
 
 from __future__ import annotations
-
-from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,26 +37,24 @@ MENTION_TYPE = ArrayType(
 )
 
 
-@lru_cache(maxsize=1)
-def _gaz():
-    from ..core.vocab import gazetteer
+def make_detect_mentions_udf(model_name: str):
+    @F.pandas_udf(MENTION_TYPE)
+    def detect_mentions_udf(texts: pd.Series) -> pd.Series:
+        from ..core.model import get_model
 
-    return gazetteer()
+        model = get_model(model_name)
+        out = []
+        for text in texts:
+            ments = detect_mentions(tokenize(text), model)
+            out.append([{"start": s, "end": e, "ent_type": t} for s, e, t in ments])
+        return pd.Series(out)
 
-
-@F.pandas_udf(MENTION_TYPE)
-def detect_mentions_udf(texts: pd.Series) -> pd.Series:
-    gaz = _gaz()
-    out = []
-    for text in texts:
-        ments = detect_mentions(tokenize(text), gaz)
-        out.append([{"start": s, "end": e, "ent_type": t} for s, e, t in ments])
-    return pd.Series(out)
+    return detect_mentions_udf
 
 
-def tag_mentions(units: DataFrame) -> DataFrame:
+def tag_mentions(units: DataFrame, model_name: str = "repos") -> DataFrame:
     """units(+text) -> + ``mentions: array<struct<start,end,ent_type>>``."""
-    return units.withColumn("mentions", detect_mentions_udf(F.col("text")))
+    return units.withColumn("mentions", make_detect_mentions_udf(model_name)(F.col("text")))
 
 
 def explode_mentions(tagged: DataFrame) -> DataFrame:

@@ -27,27 +27,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from ..core.surrogate import SCORE_THRESHOLD, TOP_K_PAIRS, score_pair, tokenize
+from ..core.surrogate import score_pair, tokenize
 from ..core.vocab import allowed_type_pairs
 
 
-@F.pandas_udf(DoubleType())
-def score_pair_udf(
-    text: pd.Series,
-    sub_start: pd.Series,
-    sub_end: pd.Series,
-    sub_type: pd.Series,
-    obj_start: pd.Series,
-    obj_end: pd.Series,
-    obj_type: pd.Series,
-) -> pd.Series:
-    out = []
-    for t, ss, se, st, os_, oe, ot in zip(
-        text, sub_start, sub_end, sub_type, obj_start, obj_end, obj_type
-    ):
-        toks = tokenize(t)
-        out.append(score_pair(toks, (ss, se, st), (os_, oe, ot)))
-    return pd.Series(out, dtype=float)
+def make_score_pair_udf(model_name: str):
+    @F.pandas_udf(DoubleType())
+    def score_pair_udf(
+        text: pd.Series,
+        sub_start: pd.Series,
+        sub_end: pd.Series,
+        sub_type: pd.Series,
+        obj_start: pd.Series,
+        obj_end: pd.Series,
+        obj_type: pd.Series,
+    ) -> pd.Series:
+        from ..core.model import get_model
+
+        model = get_model(model_name)
+        out = []
+        for t, ss, se, st, os_, oe, ot in zip(
+            text, sub_start, sub_end, sub_type, obj_start, obj_end, obj_type
+        ):
+            toks = tokenize(t)
+            out.append(score_pair(toks, (ss, se, st), (os_, oe, ot), model))
+        return pd.Series(out, dtype=float)
+
+    return score_pair_udf
 
 
 def type_allow_table(spark) -> DataFrame:
@@ -60,13 +66,19 @@ def type_allow_table(spark) -> DataFrame:
 
 def pair_relational(
     mentions: DataFrame,
-    threshold: float = SCORE_THRESHOLD,
-    top_k: int = TOP_K_PAIRS,
+    model_name: str = "repos",
+    threshold: float | None = None,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Exploded mentions -> scored, filtered, ranked candidate pairs.
 
     Output: one row per surviving ordered pair with sub_*/obj_* columns.
     """
+    from ..core.model import get_model
+
+    m = get_model(model_name)
+    threshold = m.score_threshold if threshold is None else threshold
+    top_k = m.top_k_pairs if top_k is None else top_k
     spark = mentions.sparkSession
     key = ["repo", "path", "unit_id"]
     sub = mentions.select(
@@ -93,7 +105,7 @@ def pair_relational(
     )
     scored = pairs.withColumn(
         "score",
-        score_pair_udf(
+        make_score_pair_udf(model_name)(
             "text", "sub_start", "sub_end", "sub_type",
             "obj_start", "obj_end", "obj_type",
         ),

@@ -14,7 +14,9 @@ from .rel import classify_pairs, extract_triples_fused
 from .units import extract_units
 
 
-def extract_pipeline(repos: DataFrame, strategy: str = "fused") -> DataFrame:
+def extract_pipeline(
+    repos: DataFrame, strategy: str = "fused", model_name: str = "repos"
+) -> DataFrame:
     """repos(repo, path, commit, lang, content) -> triples.
 
     strategy='fused'      — single Arrow pass, zero intermediate shuffle
@@ -26,10 +28,10 @@ def extract_pipeline(repos: DataFrame, strategy: str = "fused") -> DataFrame:
     """
     units = extract_units(repos)
     if strategy == "fused":
-        return extract_triples_fused(units)
+        return extract_triples_fused(units, model_name)
     if strategy == "relational":
-        tagged = tag_mentions(units)
+        tagged = tag_mentions(units, model_name)
         mentions = explode_mentions(tagged)
-        pairs = pair_relational(mentions)
-        return classify_pairs(pairs)
+        pairs = pair_relational(mentions, model_name)
+        return classify_pairs(pairs, model_name)
     raise ValueError(f"unknown strategy: {strategy}")

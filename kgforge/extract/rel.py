@@ -19,7 +19,6 @@ Spark realizations:
 from __future__ import annotations
 
 from collections.abc import Iterator
-from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -54,39 +53,40 @@ TRIPLES_SCHEMA = StructType(
 TRIPLE_KEY = ["repo", "path", "unit_id", "subj", "pred", "obj", "subj_type", "obj_type"]
 
 
-@lru_cache(maxsize=1)
-def _gaz():
-    from ..core.vocab import gazetteer
+def make_classify_relation_udf(model_name: str):
+    @F.pandas_udf(IntegerType())
+    def classify_relation_udf(
+        text: pd.Series,
+        sub_start: pd.Series,
+        sub_end: pd.Series,
+        sub_type: pd.Series,
+        obj_start: pd.Series,
+        obj_end: pd.Series,
+        obj_type: pd.Series,
+    ) -> pd.Series:
+        """Returns rel_id + 1 (0 = NA), reference encoding re_model.py:805."""
+        from ..core.model import get_model
 
-    return gazetteer()
+        model = get_model(model_name)
+        out = []
+        for t, ss, se, st, os_, oe, ot in zip(
+            text, sub_start, sub_end, sub_type, obj_start, obj_end, obj_type
+        ):
+            toks = tokenize(t)
+            rel_plus1, _score = classify_relation(
+                toks, (ss, se, st), (os_, oe, ot), model
+            )
+            out.append(rel_plus1)
+        return pd.Series(out, dtype="int32")
+
+    return classify_relation_udf
 
 
-@F.pandas_udf(IntegerType())
-def classify_relation_udf(
-    text: pd.Series,
-    sub_start: pd.Series,
-    sub_end: pd.Series,
-    sub_type: pd.Series,
-    obj_start: pd.Series,
-    obj_end: pd.Series,
-    obj_type: pd.Series,
-) -> pd.Series:
-    """Returns rel_id + 1 (0 = NA), reference encoding re_model.py:805."""
-    out = []
-    for t, ss, se, st, os_, oe, ot in zip(
-        text, sub_start, sub_end, sub_type, obj_start, obj_end, obj_type
-    ):
-        toks = tokenize(t)
-        rel_plus1, _score = classify_relation(toks, (ss, se, st), (os_, oe, ot))
-        out.append(rel_plus1)
-    return pd.Series(out, dtype="int32")
-
-
-def classify_pairs(pairs: DataFrame) -> DataFrame:
+def classify_pairs(pairs: DataFrame, model_name: str = "repos") -> DataFrame:
     """Relational path: ranked pairs -> deduped triples DataFrame."""
     rel = pairs.withColumn(
         "rel_plus1",
-        classify_relation_udf(
+        make_classify_relation_udf(model_name)(
             "text", "sub_start", "sub_end", "sub_type",
             "obj_start", "obj_end", "obj_type",
         ),
@@ -115,7 +115,7 @@ def classify_pairs(pairs: DataFrame) -> DataFrame:
     return triples.dropDuplicates(TRIPLE_KEY)
 
 
-def extract_triples_fused(units: DataFrame) -> DataFrame:
+def extract_triples_fused(units: DataFrame, model_name: str = "repos") -> DataFrame:
     """Scale path: units -> triples in one Arrow-batched pass (no shuffle
     until the final dedup).  Dedup inside the UDF is per-unit (reference
     set semantics); the global dropDuplicates is a safety net for units
@@ -123,13 +123,15 @@ def extract_triples_fused(units: DataFrame) -> DataFrame:
     de-dups nothing but keeps the contract explicit and cheap)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        gaz = _gaz()
+        from ..core.model import get_model
+
+        model = get_model(model_name)
         cols = [f.name for f in TRIPLES_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 toks = tokenize(r.text)
-                for sub, obj, rel, st, ot, score in extract_triples(toks, gaz):
+                for sub, obj, rel, st, ot, score in extract_triples(toks, model):
                     rows.append(
                         (
                             r.repo, r.path, r.commit, r.unit_id,

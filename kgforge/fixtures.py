@@ -31,7 +31,6 @@ from .core.vocab import (
     GENERIC_ID,
     REL_TYPES,
     build_lexicon,
-    gazetteer,
 )
 from .extract.units import extract_units_text
 
@@ -238,12 +237,14 @@ def golden_triples_for_rows(rows: list[dict]) -> list[dict]:
     """Reference-semantics oracle over the repos corpus: the plain-python
     path (extract_units_text -> extract_triples) whose output the Spark
     pipeline must match at P/R >= 0.95 (it matches exactly — shared core)."""
-    gaz = gazetteer()
+    from .core.model import get_model
+
+    model = get_model("repos")
     out = []
     for r in rows:
         sha = hashlib.sha256(r["content"].encode()).hexdigest()
         for uid, _kind, text in extract_units_text(r["content"], r["lang"]):
-            for sub, obj, rel, st, ot, score in extract_triples(tokenize(text), gaz):
+            for sub, obj, rel, st, ot, score in extract_triples(tokenize(text), model):
                 out.append(
                     {
                         "repo": r["repo"],

@@ -69,15 +69,18 @@ class StageRunner:
             written.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
             .agg(
-                F.count("*").alias("rows_out"),
-                F.count("*").alias("triple_count"),
+                F.count("*").cast("bigint").alias("rows_out"),
+                F.count("*").cast("bigint").alias("triple_count"),
                 (
                     F.sum(F.crc32(F.col("content_sha"))) if has_sha else F.lit(0)
-                ).alias("content_sha_agg"),
+                )
+                .cast("bigint")
+                .alias("content_sha_agg"),
             )
             .withColumn("run_id", F.lit(self.run_id))
             .withColumn("stage", F.lit(stage))
-            .withColumn("wall_ms", F.lit(wall_ms))
+            .withColumn("wall_ms", F.lit(wall_ms).cast("bigint"))
+            .withColumn("partition_id", F.col("partition_id").cast("int"))
             .select(*LINEAGE_COLS)
         )
         per_part.write.mode("overwrite").parquet(str(d / "lineage"))
@@ -100,6 +103,7 @@ def run_kg_pipeline(
     workdir: str,
     run_id: str = "run0",
     strategy: str = "fused",
+    model_name: str = "repos",
 ) -> dict[str, DataFrame]:
     """The full checkpointed pipeline: repos -> triples -> canonical ->
     nodes/edges, each stage resumable."""
@@ -113,7 +117,9 @@ def run_kg_pipeline(
     )
 
     runner = StageRunner(spark, workdir, run_id)
-    triples = runner.run("triples", lambda: extract_pipeline(repos, strategy))
+    triples = runner.run(
+        "triples", lambda: extract_pipeline(repos, strategy, model_name)
+    )
     canonical = runner.run("canonical", lambda: canonical_entities(triples))
     linked = runner.run("linked", lambda: attach_canonical_ids(triples, canonical))
     nodes = runner.run(

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 # arithmetic is exactly reproducible in DuckDB SQL oracles).
 MINHASH_P = (1 << 31) - 1
 N_HASHES = 12
-N_BANDS = 6  # rows per band = 2
+# 1-row bands: candidate recall at jaccard j is 1-(1-j)^12 (≈0.9998 at
+# j=0.5) — near-exhaustive recall; precision comes from the exact-Jaccard
+# verification step, and MAX_BUCKET bounds bucket blowup.
+N_BANDS = 12
 BAND_ROWS = N_HASHES // N_BANDS
 JACCARD_THRESHOLD = 0.5
 MAX_BUCKET = 64
@@ -60,7 +63,7 @@ def normalize_surface(col):
     )
 
 
-def shingles(col, k: int = 3):
+def char_shingles(col, k: int = 3):
     """Distinct character k-gram array of a (normalized) string column."""
     padded = F.concat(F.lit(" "), col, F.lit(" "))
     return F.array_distinct(
@@ -69,6 +72,19 @@ def shingles(col, k: int = 3):
             lambda i: padded.substr(i + 1, F.lit(k)),
         )
     )
+
+
+def shingles(col):
+    """Distinct TOKEN shingles of a normalized surface form.
+
+    Token granularity is the right unit for entity-surface variants: a
+    near-dup variant appends/drops a token ("anchor model" vs "anchor
+    model system" -> Jaccard 2/3), while unrelated terms sharing one token
+    stay at <= 1/2 ("dense network" vs "dense model" -> 1/3).  Char-3-gram
+    Jaccard inverts this for short surfaces ("graph" vs "graph system"
+    ~0.38 < unrelated-pair noise), measured on the fixture lexicon.
+    """
+    return F.array_distinct(F.split(col, " "))
 
 
 def entity_vertices(triples: DataFrame) -> DataFrame:

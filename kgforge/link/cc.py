@@ -1,10 +1,10 @@
 """Connected components by iterative DataFrame joins (entity linking).
 
-GraphFrames-style large-star/small-star is overkill for canonicalization
-components (surface-form variant clusters are tiny); we use hash-to-min
-label propagation: every vertex repeatedly adopts the minimum label in its
-closed neighborhood until fixpoint.  Converges in O(log d) rounds for
-diameter d; each round is one shuffle on vertex id.  ``localCheckpoint``
+Min-label propagation with pointer jumping: every vertex adopts the
+minimum label in its closed neighborhood, then compresses paths via
+``l(v) <- l(l(v))`` (the doubling step of classic PRAM CC; same asymptotics
+as GraphFrames' large-star/small-star).  Converges in O(log n) rounds;
+each round is two shuffles (neighbor agg + label self-join).  ``localCheckpoint``
 per iteration truncates lineage so the plan doesn't grow exponentially
 (SURVEY.md §4.3); an iteration cap + convergence metric guard runaway
 inputs (never silent).
@@ -50,12 +50,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("canonical_id").alias("nbr_min"))
         )
+        new_labels = labels.join(nbr_min, on="a", how="left").select(
+            "a",
+            F.least(
+                F.col("canonical_id"), F.coalesce("nbr_min", "canonical_id")
+            ).alias("canonical_id"),
+        )
+        # pointer jumping (path compression): l(v) <- l(l(v)).  Labels are
+        # vertex ids, so the self-join resolves; this is what turns 1-hop
+        # propagation into O(log n) convergence on long chains.
+        parent = new_labels.select(
+            F.col("a").alias("p"), F.col("canonical_id").alias("p_label")
+        )
         new_labels = (
-            labels.join(nbr_min, on="a", how="left")
+            new_labels.join(parent, new_labels.canonical_id == parent.p, "left")
             .select(
                 "a",
                 F.least(
-                    F.col("canonical_id"), F.coalesce("nbr_min", "canonical_id")
+                    F.coalesce("p_label", "canonical_id"), F.col("canonical_id")
                 ).alias("canonical_id"),
             )
             .localCheckpoint(eager=True)

@@ -1,0 +1,1093 @@
+"""Driver-contract query registry: PySpark implementation + DuckDB oracle
+SQL per operator (SURVEY.md §2 inventory; run by /root/repo/__spark_entry__.py).
+
+Every entry returns columns with IDENTICAL names and compatible types in
+both engines; all floats are rounded; all integer outputs are BIGINT.  The
+driver compares row-count + schema + order-insensitive value hash at
+sf=0.01.
+
+Cross-engine determinism toolkit (used throughout):
+  * ``charfold`` — polynomial char hash ``fold(a*31 + ascii(c)) mod 2^31-1``,
+    expressible as Spark higher-order functions AND DuckDB list_reduce;
+  * md5/sha256 hex — identical builtins in both engines;
+  * rounding on every float aggregate (cross-engine summation order);
+  * total-order tie-breaks on every top-k.
+
+The KG queries run over the driver's ``documents`` table with the ``docs``
+surrogate model (kgforge/core/model.py) — single-token lexicon + gap
+patterns chosen so the full UDF cascade has an exact relational mirror.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.model import DOC_ENT_LEX, DOC_GAP_PATTERNS
+from .core.vocab import ENT_TYPES, REL_TYPES
+
+MOD = 2147483647  # 2^31 - 1
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def charfold(col) -> F.Column:
+    """Polynomial char hash, JVM-side (F13 analog; deterministic across
+    engines — see sql_charfold)."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        F.lit(7).cast("bigint"),
+        lambda a, c: (a * 31 + c) % MOD,
+    )
+
+
+def sql_charfold(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {MOD})"
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, tok) — whitespace tokens with 0-based positions."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    ).select("doc_id", F.col("p").cast("bigint").alias("pos"), "tok")
+
+
+SQL_TOK = """
+tokarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+tok AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+               unnest(arr) AS tok FROM tokarr)
+"""
+
+_LEX_VALUES = ", ".join(
+    f"('{tok}', '{ENT_TYPES[t]}')" for tok, t in sorted(DOC_ENT_LEX.items())
+)
+SQL_LEX = f"lex(tok, ent_type) AS (SELECT * FROM (VALUES {_LEX_VALUES}))"
+
+_GAP_VALUES = ", ".join(
+    f"('{pat[0]}', '{REL_TYPES[r]}')" for pat, r in sorted(DOC_GAP_PATTERNS.items())
+)
+SQL_GAP = f"gap(tok, pred) AS (SELECT * FROM (VALUES {_GAP_VALUES}))"
+
+# triple pattern: entity, gap-word, entity at consecutive positions,
+# Generic->Generic excluded (the J4 hard type filter)
+SQL_TRIPLES = f"""
+WITH {SQL_TOK}, {SQL_LEX}, {SQL_GAP},
+triples AS (
+  SELECT DISTINCT t1.doc_id, t1.tok AS subj, g.pred AS pred, t3.tok AS obj,
+         l1.ent_type AS subj_type, l3.ent_type AS obj_type
+  FROM tok t1
+  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+  JOIN lex l1 ON t1.tok = l1.tok
+  JOIN lex l3 ON t3.tok = l3.tok
+  JOIN gap g ON t2.tok = g.tok
+  WHERE NOT (l1.ent_type = 'Generic' AND l3.ent_type = 'Generic')
+)
+"""
+
+def _ent_names() -> F.Column:
+    # built lazily — module import must not require an active SparkContext
+    return F.array(*[F.lit(e) for e in ENT_TYPES])
+
+
+def _docs_as_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> the extraction pipeline's unit schema (one unit per doc)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.lit("docs").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.col("lang"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+        F.lit(0).alias("unit_id"),
+        F.lit("prose").alias("kind"),
+        F.col("text"),
+    )
+
+
+def _kg_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL fused UDF cascade (M1-M4) over documents, mapped to
+    (doc_id, subj, pred, obj, subj_type, obj_type)."""
+    from .extract.rel import extract_triples_fused
+
+    units = _docs_as_units(spark, sf_dir)
+    t = extract_triples_fused(units, model_name="docs")
+    return t.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "subj", "pred", "obj", "subj_type", "obj_type",
+    ).distinct()
+
+
+def _doc_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL tagging UDF (M1+M2) over documents -> exploded mentions."""
+    from .extract.ner import make_detect_mentions_udf
+
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id", "text",
+        make_detect_mentions_udf("docs")(F.col("text")).alias("mentions"),
+    )
+    toks = F.split("text", " ")
+    return tagged.select(
+        "doc_id", F.explode("mentions").alias("m"), toks.alias("toks")
+    ).select(
+        "doc_id",
+        F.col("m.start").cast("bigint").alias("pos"),
+        F.element_at("toks", F.col("m.start") + 1).alias("surface"),
+        F.element_at(_ent_names(), F.col("m.ent_type") + 1).alias("ent_type"),
+    )
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) — distinct 3-token shingles per document."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    return d.select("doc_id", F.explode(sh).alias("sh"))
+
+
+SQL_SHINGLES = f"""
+{SQL_TOK},
+sh3 AS (
+  SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS sh
+  FROM tok t1
+  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+),
+shingle AS (SELECT DISTINCT doc_id, sh FROM sh3)
+"""
+
+# minhash params (a, b): fixed literals; a*h < 2^62 with h < 2^31-1
+MINHASH_AB = [(1103515245, 12345), (1140671485, 12820163), (214013, 2531011), (16807, 0)]
+
+
+def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir).withColumn("h", charfold(F.col("sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"MIN((CAST({a} AS BIGINT) * h + {b}) % {MOD}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"""
+WITH {SQL_SHINGLES},
+hashed AS (SELECT doc_id, {sql_charfold('sh')} AS h FROM shingle),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------- relational core (TPC-H-ish; A1, J2-J8, W1-W4, P-ops) ----------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS sum_disc_price_c,
+           CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-agg with map-side partial aggregation
+    (A1 analog).  Predicate pushes to the parquet scan.  Money sums in
+    integer cents: per-row ROUND is bitwise-identical across engines,
+    integer sums are exact — no cross-engine float-accumulation drift."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    cents = lambda c, m=100: F.round(c * m).cast("bigint")  # noqa: E731
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents(F.col("l_quantity"))).cast("bigint").alias("sum_qty_c"),
+        F.sum(cents(F.col("l_extendedprice"))).cast("bigint").alias("sum_base_price_c"),
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("bigint")
+        .alias("sum_disc_price_c"),
+        F.sum(cents(F.col("l_discount"), 10000)).cast("bigint").alias("sum_disc_bp"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_by_nation(spark, sf_dir):
+    """Star join with broadcast dims (J4-style broadcast-hash; J2 equi)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_c"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_semi_anti",
+    """
+    SELECT CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+           CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+    FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_semi_anti(spark, sf_dir):
+    """Semi/anti-join counts (J7 left_semi / J8 left_anti semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.agg(
+        F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_orders"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_without_orders"),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k via row_number (W1 ranking + W2 truncation) with a
+    total-order tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@register(
+    "q_running_total",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_c
+    FROM events
+    """,
+)
+def q_running_total(spark, sf_dir):
+    """Analytic running total (W4: the reference's sentence-offset cumsum,
+    data/data_structures.py:76-80) — integer cents for exact parity."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .over(w)
+        .cast("bigint")
+        .alias("running_value_c"),
+    )
+
+
+@register(
+    "q_context_window",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS ctx_sum_c,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS ctx_n
+    FROM events
+    """,
+)
+def q_context_window(spark, sf_dir):
+    """±k-row frame window (W3: the reference's ±k-sentence context window,
+    data/utils.py:84-116) — integer cents for exact parity."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return e.select(
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .over(w)
+        .cast("bigint")
+        .alias("ctx_sum_c"),
+        F.count("*").over(w).cast("bigint").alias("ctx_n"),
+    )
+
+
+_BANDS = [(0.0, 2.0, "b0"), (2.0, 4.0, "b1"), (4.0, 6.0, "b2"), (6.0, 8.0, "b3"), (8.0, 1e9, "b4")]
+_BAND_VALUES = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _BANDS)
+
+
+@register(
+    "q_range_join",
+    f"""
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events e JOIN (VALUES {_BAND_VALUES}) b(lo, hi, band)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range/band join (P3: span-in-sentence range lookup)."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    j = e.join(
+        F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi)
+    )
+    return j.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_c"),
+    )
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts
+    FROM documents GROUP BY lang
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup accounting via content hash (T4/A9 set-dedup + F14
+    sha256 provenance)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_distinct_texts"),
+    )
+
+
+# ---------- KG pipeline over documents (M1-M4, J1, J4, W1/W2, A1) ----------
+
+@register(
+    "kg_mentions",
+    f"""
+    WITH {SQL_TOK}, {SQL_LEX}
+    SELECT t.doc_id, t.pos, t.tok AS surface, l.ent_type
+    FROM tok t JOIN lex l ON t.tok = l.tok
+    """,
+)
+def kg_mentions(spark, sf_dir):
+    """Mention detection through the REAL pandas-UDF tagger (M1+M2 +
+    BIO decode), relationally mirrored by a gazetteer join."""
+    return _doc_mentions_df(spark, sf_dir)
+
+
+@register(
+    "kg_mention_pairs",
+    f"""
+    WITH {SQL_TOK}, {SQL_LEX},
+    m AS (SELECT t.doc_id, t.pos, l.ent_type FROM tok t JOIN lex l ON t.tok = l.tok)
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.pos <> b.pos
+    WHERE NOT (a.ent_type = 'Generic' AND b.ent_type = 'Generic')
+    GROUP BY a.doc_id
+    """,
+)
+def kg_mention_pairs(spark, sf_dir):
+    """Ordered-pair enumeration (J1 self-join, i != j) + broadcast hard
+    type filter (J4) — per-document pair cardinality."""
+    m = _doc_mentions_df(spark, sf_dir)
+    a = m.select("doc_id", F.col("pos").alias("pos_a"), F.col("ent_type").alias("type_a"))
+    b = m.select("doc_id", F.col("pos").alias("pos_b"), F.col("ent_type").alias("type_b"))
+    pairs = a.join(b, on="doc_id").filter(F.col("pos_a") != F.col("pos_b"))
+    allow = spark.createDataFrame(
+        [
+            (s, o)
+            for s in ENT_TYPES
+            for o in ENT_TYPES
+            if not (s == "Generic" and o == "Generic")
+        ],
+        "type_a string, type_b string",
+    )
+    pairs = pairs.join(F.broadcast(allow), on=["type_a", "type_b"])
+    return pairs.groupBy("doc_id").agg(F.count("*").alias("n_pairs"))
+
+
+@register("kg_triples", SQL_TRIPLES + "SELECT * FROM triples")
+def kg_triples(spark, sf_dir):
+    """The flagship cascade — fused M1->M2->M3->M4 pandas UDF (tag, pair,
+    score, threshold, top-k, classify, NA-drop, set-dedup) — against a pure
+    relational oracle."""
+    return _kg_triples_df(spark, sf_dir)
+
+
+@register(
+    "kg_triples_topk",
+    SQL_TRIPLES
+    + f"""
+    , scored AS (
+      SELECT *, {sql_charfold("subj || '>' || pred || '>' || obj")} % 97 AS score
+      FROM triples)
+    SELECT doc_id, subj, pred, obj, CAST(score AS BIGINT) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, subj, pred, obj) AS rnk FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def kg_triples_topk(spark, sf_dir):
+    """Score-ranked top-k truncation per document (W1 ordering + W2
+    dynamic top-k, total-order tie-break)."""
+    t = _kg_triples_df(spark, sf_dir).withColumn(
+        "score", F.pmod(charfold(F.concat_ws(">", "subj", "pred", "obj")), F.lit(97))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "subj", "pred", "obj")
+    return (
+        t.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "subj", "pred", "obj", F.col("score").cast("bigint"), "rnk")
+    )
+
+
+@register(
+    "kg_nodes",
+    f"""
+    WITH {SQL_TOK}, {SQL_LEX}
+    SELECT md5(t.tok || ':' || l.ent_type) AS canonical_id,
+           t.tok AS surface, l.ent_type,
+           CAST(COUNT(*) AS BIGINT) AS mention_count
+    FROM tok t JOIN lex l ON t.tok = l.tok
+    GROUP BY 1, 2, 3
+    """,
+)
+def kg_nodes(spark, sf_dir):
+    """Node materialization: canonical id (md5 of normalized surface+type)
+    + mention counts (graph/materialize.build_nodes semantics)."""
+    m = _doc_mentions_df(spark, sf_dir)
+    return (
+        m.withColumn(
+            "canonical_id", F.md5(F.concat_ws(":", "surface", "ent_type"))
+        )
+        .groupBy("canonical_id", "surface", "ent_type")
+        .agg(F.count("*").alias("mention_count"))
+    )
+
+
+@register(
+    "kg_edges",
+    SQL_TRIPLES
+    + """
+    SELECT md5(subj || ':' || subj_type) AS src,
+           md5(obj || ':' || obj_type) AS dst,
+           pred, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM triples GROUP BY 1, 2, 3
+    """,
+)
+def kg_edges(spark, sf_dir):
+    """Edge materialization: weighted (src, dst, pred) aggregation over
+    per-document-deduped triples (graph/materialize.build_edges)."""
+    t = _kg_triples_df(spark, sf_dir)
+    return (
+        t.withColumn("src", F.md5(F.concat_ws(":", "subj", "subj_type")))
+        .withColumn("dst", F.md5(F.concat_ws(":", "obj", "obj_type")))
+        .groupBy("src", "dst", "pred")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+@register(
+    "kg_f1_baseline",
+    SQL_TRIPLES
+    + f"""
+    , naive AS (
+      SELECT DISTINCT t1.doc_id, t1.tok AS subj, 'CONJUNCTION' AS pred, t3.tok AS obj
+      FROM tok t1
+      JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+      JOIN lex l1 ON t1.tok = l1.tok
+      JOIN lex l3 ON t3.tok = l3.tok
+      WHERE NOT (l1.ent_type = 'Generic' AND l3.ent_type = 'Generic')
+    ),
+    gold AS (SELECT DISTINCT doc_id, subj, pred, obj FROM triples),
+    hits AS (SELECT n.* FROM naive n JOIN gold g
+             ON n.doc_id = g.doc_id AND n.subj = g.subj
+             AND n.pred = g.pred AND n.obj = g.obj)
+    SELECT CAST((SELECT COUNT(*) FROM naive) AS BIGINT) AS n_pred,
+           CAST((SELECT COUNT(*) FROM gold) AS BIGINT) AS n_gold,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_correct,
+           ROUND((SELECT COUNT(*) FROM hits) / ((SELECT COUNT(*) FROM naive) + 1e-8), 4) AS precision_,
+           ROUND((SELECT COUNT(*) FROM hits) / ((SELECT COUNT(*) FROM gold) + 1e-8), 4) AS recall_
+    """,
+)
+def kg_f1_baseline(spark, sf_dir):
+    """Micro-P/R of a majority-class baseline (predict CONJUNCTION for
+    every entity pair at distance 2) vs the model's triples — the
+    reference's set-based eval (A1, utils/metrics.py:1-52; J7 semi-join)."""
+    gold = _kg_triples_df(spark, sf_dir).select("doc_id", "subj", "pred", "obj").distinct()
+    m = _doc_mentions_df(spark, sf_dir)
+    a = m.select("doc_id", "pos", F.col("surface").alias("subj"), F.col("ent_type").alias("ta"))
+    b = m.select(
+        "doc_id", F.col("pos").alias("pos_b"), F.col("surface").alias("obj"),
+        F.col("ent_type").alias("tb"),
+    )
+    naive = (
+        a.join(b, on="doc_id")
+        .filter(F.col("pos_b") == F.col("pos") + 2)
+        .filter(~((F.col("ta") == "Generic") & (F.col("tb") == "Generic")))
+        .select("doc_id", "subj", F.lit("CONJUNCTION").alias("pred"), "obj")
+        .distinct()
+    )
+    hits = naive.join(gold, on=["doc_id", "subj", "pred", "obj"], how="left_semi")
+    n_pred, n_gold, n_correct = naive.count(), gold.count(), hits.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_pred,
+                n_gold,
+                n_correct,
+                round(n_correct / (n_pred + 1e-8), 4),
+                round(n_correct / (n_gold + 1e-8), 4),
+            )
+        ],
+        "n_pred bigint, n_gold bigint, n_correct bigint, precision_ double, recall_ double",
+    )
+
+
+@register(
+    "kg_lineage_counts",
+    """
+    SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS rows_out,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_out,
+           CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_sha
+    FROM documents GROUP BY 1
+    """,
+)
+def kg_lineage_counts(spark, sf_dir):
+    """Deterministic per-bucket lineage metrics (the SQL-checkable analog
+    of the per-partition manifest, kgforge/lineage.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.pmod("doc_id", F.lit(8)).cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("rows_out"),
+        F.sum("n_chars").cast("bigint").alias("chars_out"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_distinct_sha"),
+    )
+
+
+@register(
+    "kg_content_sha",
+    "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+)
+def kg_content_sha(spark, sf_dir):
+    """Per-row provenance invariant: sha256(content) (F14; BASELINE.json
+    input_hint)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("content_sha")
+    )
+
+
+# ---------- dedup / training-data ops over documents ----------
+
+@register(
+    "dedup_shingle_stats",
+    f"WITH {SQL_SHINGLES} SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles "
+    "FROM shingle GROUP BY doc_id",
+)
+def dedup_shingle_stats(spark, sf_dir):
+    """3-token shingling (the unit under all near-dup ops)."""
+    return _shingles_df(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+
+
+@register("dedup_minhash_sig", _sql_minhash() + "SELECT * FROM sig")
+def dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures (4 universal hashes over charfold'd shingles) —
+    all JVM-side expressions (link/canonical.py at document scale)."""
+    return _minhash_df(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_pairs",
+    _sql_minhash()
+    + """
+    , cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM sig a JOIN sig b ON a.s2 = b.s2 AND a.s3 = b.s3 AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN shingle sa ON sa.doc_id = c.doc_a
+      JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(COALESCE(s.shared, 0)
+                 / (na.n + nb.n - COALESCE(s.shared, 0) + 1e-12), 4) AS jaccard
+    FROM cand c
+    LEFT JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+    JOIN counts na ON c.doc_a = na.doc_id
+    JOIN counts nb ON c.doc_b = nb.doc_id
+    WHERE COALESCE(s.shared, 0)
+          / (na.n + nb.n - COALESCE(s.shared, 0) + 1e-12) >= 0.5
+    """,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup detection: banded candidate join + exact
+    Jaccard verification (the full LSH cascade of link/canonical.py)."""
+    sig = _minhash_df(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir)
+    b1 = sig.alias("a").join(
+        sig.alias("b"),
+        (F.col("a.s0") == F.col("b.s0")) & (F.col("a.s1") == F.col("b.s1"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    b2 = sig.alias("a").join(
+        sig.alias("b"),
+        (F.col("a.s2") == F.col("b.s2")) & (F.col("a.s3") == F.col("b.s3"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand = b1.unionByName(b2).distinct()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # shared-shingle count: inverted-index join on the shingle
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        cand.join(sh_a, on="doc_a")
+        .join(sh_b, on=["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    j = (
+        cand.join(shared, on=["doc_a", "doc_b"], how="left")
+        .fillna(0, subset=["shared"])
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), on="doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), on="doc_b")
+        .withColumn("jac", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared") + F.lit(1e-12)))
+    )
+    return j.filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {SQL_SHINGLES},
+    hashed AS (SELECT doc_id, {sql_charfold('sh')} AS h FROM shingle),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+      FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN bal > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over shingle hashes — bitwise majority vote, pure
+    expressions."""
+    sh = _shingles_df(spark, sf_dir).withColumn("h", charfold(F.col("sh")))
+    bal = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << k))) != 0, 1).otherwise(-1)
+        ).alias(f"bal{k}")
+        for k in range(16)
+    ]
+    agg = sh.groupBy("doc_id").agg(*bal)
+    sim = None
+    for k in range(16):
+        term = F.when(F.col(f"bal{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {SQL_SHINGLES},
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.shared / (na.n + nb.n - p.shared + 1e-12), 4) AS jaccard
+    FROM pair p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+    WHERE p.shared / (na.n + nb.n - p.shared + 1e-12) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs (no LSH) — the ground truth the
+    LSH variant approximates (inverted-index join on shingle)."""
+    sh = _shingles_df(spark, sf_dir)
+    pair = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j = (
+        pair.join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), on="doc_a")
+        .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), on="doc_b")
+        .withColumn(
+            "jac",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared") + F.lit(1e-12)),
+        )
+    )
+    return j.filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
+    )
+
+
+# ---------- similarity search over embeddings ----------
+
+def _cosine_cols(qcol, vcol):
+    dot = F.aggregate(
+        F.zip_with(qcol, vcol, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    nq = F.sqrt(F.aggregate(F.transform(qcol, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    nv = F.sqrt(F.aggregate(F.transform(vcol, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    return dot / (nq * nv)
+
+
+_SQL_COS = """
+flat AS (
+  SELECT e.vec_id, CAST(generate_subscripts(e.embedding, 1) AS BIGINT) AS i,
+         unnest(e.embedding) AS x
+  FROM embeddings e
+),
+qflat AS (SELECT i, x AS qx FROM flat WHERE vec_id = 0),
+dots AS (
+  SELECT f.vec_id,
+         SUM(CAST(f.x AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot,
+         SUM(CAST(f.x AS DOUBLE) * CAST(f.x AS DOUBLE)) AS nv
+  FROM flat f JOIN qflat q ON f.i = q.i
+  WHERE f.vec_id <> 0
+  GROUP BY f.vec_id
+),
+nq AS (SELECT SUM(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS nq FROM qflat),
+cos AS (
+  SELECT d.vec_id, d.dot / (sqrt(d.nv) * sqrt(nq.nq)) AS c FROM dots d, nq
+)
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH {_SQL_COS}
+    SELECT vec_id, ROUND(c, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT vec_id, c,
+             ROW_NUMBER() OVER (ORDER BY ROUND(c, 6) DESC, vec_id) AS rnk
+      FROM cos) WHERE rnk <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k vs query vector (vec_id=0) — JVM-side
+    zip_with/aggregate fold, no UDF.  Rank on round(cos, 6) with vec_id
+    tie-break for cross-engine determinism."""
+    e = _t(spark, sf_dir, "embeddings")
+    # exact same arithmetic as the SQL oracle: per-dimension join + sum
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    q = flat.filter(F.col("vec_id") == 0).select("i", F.col("x").alias("qx"))
+    dots = (
+        flat.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), on="i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("qx")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("nv"),
+        )
+    )
+    nq = q.agg(F.sum(F.col("qx") * F.col("qx")).alias("nq"))
+    cos = dots.crossJoin(F.broadcast(nq)).select(
+        "vec_id", (F.col("dot") / (F.sqrt("nv") * F.sqrt("nq"))).alias("c")
+    )
+    w = Window.orderBy(F.desc(F.round("c", 6)), "vec_id")
+    return (
+        cos.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("vec_id", F.round("c", 4).alias("cos_sim"), "rnk")
+    )
+
+
+@register(
+    "ann_lsh_bucket",
+    """
+    WITH b AS (
+      SELECT vec_id, label,
+             CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
+             + 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)
+             + 8 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(label) AS BIGINT) AS label_sum
+    FROM b GROUP BY bucket
+    """,
+)
+def ann_lsh_bucket(spark, sf_dir):
+    """Hyperplane-sign LSH bucketing (the scale path for ANN: candidate
+    generation by bucket, then exact re-rank within bucket)."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    bucket = (
+        F.when(F.element_at(emb, 1) > 0, 1).otherwise(0)
+        + F.when(F.element_at(emb, 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at(emb, 3) > 0, 4).otherwise(0)
+        + F.when(F.element_at(emb, 4) > 0, 8).otherwise(0)
+    ).cast("bigint")
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("label").cast("bigint").alias("label_sum"),
+    )
+
+
+@register(
+    "embed_centroids",
+    """
+    SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 3) AS c0,
+           ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 3) AS c1,
+           ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 3) AS c2
+    FROM embeddings GROUP BY label
+    """,
+)
+def embed_centroids(spark, sf_dir):
+    """Per-label centroid head — groupBy over array elements (A8 span-pool
+    analog: groupBy(mention).agg(avg(vec)))."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.element_at(emb, 1).cast("double")), 3).alias("c0"),
+        F.round(F.avg(F.element_at(emb, 2).cast("double")), 3).alias("c1"),
+        F.round(F.avg(F.element_at(emb, 3).cast("double")), 3).alias("c2"),
+    )
+
+
+# ---------- text analysis over documents ----------
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           ROUND(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Quality scoring: token count, char count, stopword ratio (the
+    training-data quality gate)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stops = F.filter(toks, lambda t: t.isin("a", "the"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_obs"),
+        F.round(F.size(stops) / F.size(toks).cast("double"), 4).alias("stop_ratio"),
+    )
+
+
+@register(
+    "lang_id_confusion",
+    """
+    SELECT lang,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    """Heuristic language ID (stopword-ratio threshold) + confusion counts
+    vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ratio = F.size(F.filter(toks, lambda t: t.isin("a", "the"))) / F.size(toks).cast(
+        "double"
+    )
+    pred = F.when(ratio > 0.05, "en").otherwise("other").alias("pred_lang")
+    return d.groupBy("lang", pred).agg(F.count("*").alias("n"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH {SQL_TOK}
+    SELECT doc_id,
+           CAST(SUM((pos + 1) * ({sql_charfold("tok")} % 1000003)) % {MOD} AS BIGINT)
+             AS fingerprint
+    FROM tok GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint (positional rolling hash —
+    integer arithmetic, exact in both engines)."""
+    t = _doc_tokens(spark, sf_dir)
+    return t.groupBy("doc_id").agg(
+        (
+            F.sum((F.col("pos") + 1) * (charfold(F.col("tok")) % F.lit(1000003)))
+            % F.lit(MOD)
+        )
+        .cast("bigint")
+        .alias("fingerprint")
+    )
+
+
+@register(
+    "token_counts",
+    f"WITH {SQL_TOK} SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok",
+)
+def token_counts(spark, sf_dir):
+    """Global token frequency (the wordcount primitive under BPE-ish
+    vocabulary building)."""
+    return _doc_tokens(spark, sf_dir).groupBy("tok").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "multimodal_bytes",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS payload_sha_prefix
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark, sf_dir):
+    """Opaque-binary-column plumbing: byte length + payload hash of an
+    encoded blob (the schema/partition layer under image/audio columns)."""
+    d = _t(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("bigint").alias("n_bytes"),
+        F.substring(F.sha2("text", 256), 1, 16).alias("payload_sha_prefix"),
+    )
+
+
+# ---------- non-SQL-expressible ops (rows-only driver check) ----------
+
+def kg_cc_components(spark, sf_dir):
+    """Connected components (iterative joins, link/cc.py) over the doc
+    entity graph: emit (canonical_id stand-in) component -> member count.
+    Iterative fixpoint — not single-query SQL; driver records rows-only."""
+    from .link.cc import connected_components
+
+    edges = kg_edges(spark, sf_dir).select(
+        F.abs(F.xxhash64("src")).alias("src"), F.abs(F.xxhash64("dst")).alias("dst")
+    )
+    verts = (
+        edges.select(F.col("src").alias("entity_id"))
+        .unionByName(edges.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    labels = connected_components(verts, edges)
+    return labels.groupBy("canonical_id").agg(F.count("*").alias("component_size"))
+
+
+def multimodal_features(spark, sf_dir):
+    """Multimodal feature-extraction plumbing over an opaque binary column:
+    deterministic fake 'decoder' (real decode is stubbed — no image libs in
+    this container, kgforge/functions/multimodal.py) through a REAL
+    mapInPandas with Arrow-batched binary payloads."""
+    from .functions.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_features(d)
+
+
+QUERIES["kg_cc_components"] = kg_cc_components
+QUERIES["multimodal_features"] = multimodal_features

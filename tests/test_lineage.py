@@ -1,0 +1,66 @@
+"""Checkpoint/lineage contract: per-partition metrics, resume-from-failure
+(SURVEY.md §7.6; north rule)."""
+
+import pathlib
+
+import pytest
+
+from kgforge.fixtures import gen_repo_rows
+from kgforge.lineage import run_kg_pipeline
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("kgwork"))
+
+
+@pytest.fixture(scope="module")
+def first_run(spark, workdir):
+    rows = gen_repo_rows(80)
+    repos = spark.createDataFrame(rows)
+    out = run_kg_pipeline(spark, repos, workdir)
+    return rows, repos, out
+
+
+def test_all_stages_complete(first_run, workdir):
+    for stage in ("triples", "canonical", "linked", "nodes", "edges"):
+        assert (pathlib.Path(workdir) / stage / "_COMPLETE").exists()
+
+
+def test_lineage_rows_recorded(first_run):
+    _, _, out = first_run
+    lin = out["runner"].lineage()
+    stages = {r.stage for r in lin.collect()}
+    assert stages == {"triples", "canonical", "linked", "nodes", "edges"}
+    by_stage = {
+        r.stage: r.total
+        for r in lin.groupBy("stage").agg({"rows_out": "sum"})
+        .withColumnRenamed("sum(rows_out)", "total").collect()
+    }
+    assert by_stage["triples"] == out["triples"].count()
+    assert by_stage["nodes"] == out["nodes"].count()
+
+
+def test_resume_skips_completed_stages(spark, first_run, workdir, monkeypatch):
+    rows, repos, out = first_run
+    import kgforge.lineage as L
+
+    def boom(*a, **k):
+        raise AssertionError("extract recomputed despite checkpoint")
+
+    monkeypatch.setattr("kgforge.extract.pipeline.extract_pipeline", boom)
+    out2 = run_kg_pipeline(spark, repos, workdir)
+    assert out2["triples"].count() == out["triples"].count()
+
+
+def test_crash_mid_stage_recomputes_only_that_stage(spark, first_run, workdir):
+    rows, repos, out = first_run
+    before = sorted(
+        tuple(r) for r in out["edges"].select("src", "dst", "pred", "weight").collect()
+    )
+    (pathlib.Path(workdir) / "edges" / "_COMPLETE").unlink()
+    out2 = run_kg_pipeline(spark, repos, workdir)
+    after = sorted(
+        tuple(r) for r in out2["edges"].select("src", "dst", "pred", "weight").collect()
+    )
+    assert before == after
