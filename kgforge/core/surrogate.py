@@ -19,9 +19,11 @@ are parallelism-invariant (SURVEY.md §4.3).
 
 from __future__ import annotations
 
+import zlib
+
 from .bio import decode_bio, encode_bio
 from .model import SurrogateModel
-from .vocab import NUM_ENT_TYPES, stable_hash, type_pair_allowed
+from .vocab import NUM_ENT_TYPES, type_pair_allowed
 
 Mention = tuple[int, int, int]  # (start, end, ent_type), half-open
 
@@ -82,7 +84,20 @@ def score_pair(
     """
     sub_text = " ".join(tokens[sub[0] : sub[1]]).lower()
     obj_text = " ".join(tokens[obj[0] : obj[1]]).lower()
-    noise = (stable_hash("pair", sub_text, obj_text) % 10_000) / 25_000.0  # [0, 0.4)
+    return _score_from_texts(tokens, sub, obj, sub_text, obj_text, model)
+
+
+def _score_from_texts(
+    tokens: list[str],
+    sub: Mention,
+    obj: Mention,
+    sub_text: str,
+    obj_text: str,
+    model: SurrogateModel,
+) -> float:
+    # crc32: C-speed, platform/session-stable; the noise band [0, 0.4) only
+    # has to be deterministic — every noise pair is NA-dropped by M4.
+    noise = (zlib.crc32(f"{sub_text}\x1f{obj_text}".encode()) % 10_000) / 25_000.0
     if sub[1] < obj[0] and obj[0] - sub[1] <= model.max_gap:
         if match_gap_pattern(tokens[sub[1] : obj[0]], model) >= 0:
             return 0.6 + noise / 2.0
@@ -100,6 +115,8 @@ def rank_pairs(
     ties there fall back to python's stable sort over enumeration order;
     our total key is deterministic under any partitioning).
     """
+    texts = [" ".join(tokens[s:e]).lower() for s, e, _ in mentions]
+    thresh = model.score_threshold
     scored = []
     for i, sub in enumerate(mentions):
         for j, obj in enumerate(mentions):
@@ -107,8 +124,8 @@ def rank_pairs(
                 continue
             if not type_pair_allowed(sub[2], obj[2]):
                 continue
-            s = score_pair(tokens, sub, obj, model)
-            if s > model.score_threshold:
+            s = _score_from_texts(tokens, sub, obj, texts[i], texts[j], model)
+            if s > thresh:
                 scored.append((sub, obj, s))
     scored.sort(key=lambda g: (-g[2], g[0][0], g[0][1], g[1][0], g[1][1]))
     return scored[: model.top_k_pairs]

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame
 
 from .ner import explode_mentions, tag_mentions
 from .pairs import pair_relational
-from .rel import classify_pairs, extract_triples_fused
+from .rel import classify_pairs, extract_triples_fused, extract_triples_onepass
 from .units import extract_units
 
 
@@ -19,15 +19,21 @@ def extract_pipeline(
 ) -> DataFrame:
     """repos(repo, path, commit, lang, content) -> triples.
 
-    strategy='fused'      — single Arrow pass, zero intermediate shuffle
-                            (the 100 TB plan).
+    strategy='fused'      — maximal fusion: one Arrow pass from content to
+                            triples, zero intermediate shuffle or Python
+                            round-trip (the 100 TB plan).
+    strategy='staged'     — unit-extraction UDF then cascade UDF (two
+                            Arrow hops; useful when units feed multiple
+                            consumers, e.g. checkpointing the unit table).
     strategy='relational' — mentions self-join + broadcast type filter +
                             window top-k + classify UDF (the plan whose
                             stages are individually oracle-checkable).
-    Both strategies produce identical triples (tested).
+    All strategies produce identical triples (tested).
     """
-    units = extract_units(repos)
     if strategy == "fused":
+        return extract_triples_onepass(repos, model_name)
+    units = extract_units(repos)
+    if strategy == "staged":
         return extract_triples_fused(units, model_name)
     if strategy == "relational":
         tagged = tag_mentions(units, model_name)

@@ -58,9 +58,22 @@ def sql_charfold(expr: str) -> str:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, re-split to cluster parallelism.
+
+    The local table is one tiny parquet file = one scan split; anything
+    expression- or UDF-heavy downstream would run on a single core.  At
+    real scale the scan has thousands of splits and this repartition is
+    simply not written.
+    """
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, tok) — whitespace tokens with 0-based positions."""
-    return _t(spark, sf_dir, "documents").select(
+    return _docs(spark, sf_dir).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
     ).select("doc_id", F.col("p").cast("bigint").alias("pos"), "tok")
 
@@ -104,8 +117,17 @@ def _ent_names() -> F.Column:
 
 
 def _docs_as_units(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> the extraction pipeline's unit schema (one unit per doc)."""
-    d = _t(spark, sf_dir, "documents")
+    """documents -> the extraction pipeline's unit schema (one unit per doc).
+
+    The local test table is a single tiny parquet file = ONE scan split, so
+    the expensive UDF cascade downstream would run on one core.  Repartition
+    to cluster parallelism first (a 65 KB shuffle buys 32x UDF parallelism;
+    at real scale the scan has thousands of splits and this is a no-op
+    choice the planner makes for us).
+    """
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         F.lit("docs").alias("repo"),
         F.col("doc_id").cast("string").alias("path"),
@@ -132,28 +154,41 @@ def _kg_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL tagging UDF (M1+M2) over documents -> exploded mentions."""
-    from .extract.ner import make_detect_mentions_udf
+    """The REAL tagging path (M1+M2: tag_tokens + BIO decode) over
+    documents -> one row per mention.
 
-    d = _t(spark, sf_dir, "documents")
-    tagged = d.select(
-        "doc_id", "text",
-        make_detect_mentions_udf("docs")(F.col("text")).alias("mentions"),
-    )
-    toks = F.split("text", " ")
-    return tagged.select(
-        "doc_id", F.explode("mentions").alias("m"), toks.alias("toks")
-    ).select(
-        "doc_id",
-        F.col("m.start").cast("bigint").alias("pos"),
-        F.element_at("toks", F.col("m.start") + 1).alias("surface"),
-        F.element_at(_ent_names(), F.col("m.ent_type") + 1).alias("ent_type"),
+    Shaped as a single mapInPandas emitting exploded rows: the scalar-UDF +
+    explode formulation compiled to TWO ArrowEvalPython nodes (the UDF
+    re-evaluated on both sides of the repartition Exchange — see
+    docs/PLANS.md), i.e. the whole tagging pass ran twice, once of them on
+    the single input split."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        from .core.model import get_model
+        from .core.surrogate import detect_mentions, tokenize
+
+        model = get_model("docs")
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                toks = tokenize(r.text)
+                for s, e, t in detect_mentions(toks, model):
+                    rows.append((r.doc_id, s, " ".join(toks[s:e]), ENT_TYPES[t]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pos", "surface", "ent_type"]
+            )
+
+    return d.mapInPandas(
+        gen, "doc_id bigint, pos bigint, surface string, ent_type string"
     )
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) — distinct 3-token shingles per document."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     sh = F.array_distinct(
         F.transform(
@@ -709,8 +744,10 @@ def dedup_minhash_sig(spark, sf_dir):
 def dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup detection: banded candidate join + exact
     Jaccard verification (the full LSH cascade of link/canonical.py)."""
-    sig = _minhash_df(spark, sf_dir)
-    sh = _shingles_df(spark, sf_dir)
+    # sig feeds two band joins, sh feeds two inverted-index joins + counts:
+    # checkpoint once instead of recomputing the shingle expressions 5x
+    sig = _minhash_df(spark, sf_dir).localCheckpoint(eager=True)
+    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
     b1 = sig.alias("a").join(
         sig.alias("b"),
         (F.col("a.s0") == F.col("b.s0")) & (F.col("a.s1") == F.col("b.s1"))
@@ -797,7 +834,7 @@ def dedup_simhash(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs (no LSH) — the ground truth the
     LSH variant approximates (inverted-index join on shingle)."""
-    sh = _shingles_df(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
     pair = (
         sh.alias("a")
         .join(

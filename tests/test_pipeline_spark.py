@@ -38,11 +38,12 @@ def test_fused_matches_golden(spark, corpus):
     assert got == want
 
 
-def test_relational_matches_fused(spark, corpus):
+def test_all_strategies_match(spark, corpus):
     _, repos = corpus
     fused = {KEY(r) for r in extract_pipeline(repos, "fused").collect()}
+    staged = {KEY(r) for r in extract_pipeline(repos, "staged").collect()}
     rel = {KEY(r) for r in extract_pipeline(repos, "relational").collect()}
-    assert fused == rel
+    assert fused == staged == rel
 
 
 def test_partition_invariance(spark, corpus):
