@@ -39,8 +39,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    ap.add_argument("--repos-files", type=int, default=8000)
+    ap.add_argument("--repos-files", type=int, default=30000)
     ap.add_argument("--skip-repos", action="store_true")
+    ap.add_argument("--skip-headline", action="store_true")
     args = ap.parse_args()
 
     from kgforge.fixtures import gen_repo_rows
@@ -59,24 +60,50 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.monotonic()
 
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.monotonic()
-        n = fn(spark, args.sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    if not args.skip_headline:
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.monotonic()
+            n = fn(spark, args.sf_dir).count()
+            timings[name] = round(time.monotonic() - t0, 3)
+            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     triples_per_sec = None
     if not args.skip_repos:
-        # full KG extraction cascade over the synthetic repos corpus
-        rows = gen_repo_rows(args.repos_files)
+        # full KG extraction cascade over the synthetic repos corpus.
+        # Corpus is staged once as parquet in /tmp (deterministic; reused
+        # across runs and across the two scaling subprocesses) so corpus
+        # generation/upload never pollutes the measurement.
+        corpus_dir = f"/tmp/kgforge_bench_corpus_{args.repos_files}"
+        if not os.path.exists(f"{corpus_dir}/_SUCCESS"):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rows = gen_repo_rows(args.repos_files)
+            os.makedirs(corpus_dir, exist_ok=True)
+            shard = max(1, len(rows) // 32)
+            for i in range(0, len(rows), shard):
+                pq.write_table(
+                    pa.Table.from_pylist(rows[i : i + shard]),
+                    f"{corpus_dir}/part-{i // shard:04d}.parquet",
+                )
+            open(f"{corpus_dir}/_SUCCESS", "w").close()
+
         from kgforge.extract.pipeline import extract_pipeline
 
-        repos = spark.createDataFrame(rows).repartition(int(args.cores))
-        repos = repos.localCheckpoint(eager=True)  # exclude gen+upload time
-        t0 = time.monotonic()
-        n_triples = extract_pipeline(repos, "fused").count()
-        dt = time.monotonic() - t0
+        repos = (
+            spark.read.parquet(corpus_dir)
+            .repartition(int(args.cores))
+            .localCheckpoint(eager=True)  # exclude scan+shuffle staging
+        )
+        # best-of-3: this host shows 20-40% wall jitter between identical
+        # runs; min is the standard estimator for the true cost
+        plan = extract_pipeline(repos, "fused")
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            n_triples = plan.count()
+            dt = min(dt, time.monotonic() - t0)
         timings["kg_pipeline_repos"] = round(dt, 3)
         triples_per_sec = round(n_triples / dt, 1)
         print(

@@ -690,6 +690,98 @@ def kg_content_sha(spark, sf_dir):
     )
 
 
+@register(
+    "q_doc_range_slice",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn > 100 AND rn <= 200
+    """,
+)
+def q_doc_range_slice(spark, sf_dir):
+    """Doc-range slice (S3: Dataset doc_range keep-window,
+    data/data_structures.py:36-40) via row_number over a total order."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "q_train_split",
+    """
+    WITH ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n FROM documents)
+    SELECT CASE WHEN rn <= CAST(0.9 * n AS BIGINT) THEN 'train' ELSE 'dev' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_train_split(spark, sf_dir):
+    """Deterministic 90/10 train/dev split by document order (S4:
+    convert_dataset_to_samples split, data/utils.py:41-50)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    split = F.when(
+        F.col("rn") <= (F.lit(0.9) * F.col("n")).cast("bigint"), "train"
+    ).otherwise("dev")
+    return ranked.groupBy(split.alias("split")).agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "q_subarray_find",
+    f"""
+    WITH {SQL_TOK}
+    SELECT t1.doc_id, CAST(MIN(t1.pos) AS BIGINT) AS first_pos
+    FROM tok t1
+    JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+    WHERE t1.tok = 'key' AND t2.tok = 'fast' AND t3.tok = 'value'
+    GROUP BY t1.doc_id
+    """,
+)
+def q_subarray_find(spark, sf_dir):
+    """Token-subarray containment (J10: find_subarray_position,
+    data/utils.py:395-407) — relational positional self-join instead of a
+    python scan."""
+    t = _doc_tokens(spark, sf_dir)
+    t1 = t.filter(F.col("tok") == "key").select("doc_id", "pos")
+    t2 = t.filter(F.col("tok") == "fast").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    t3 = t.filter(F.col("tok") == "value").select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    hits = t1.join(t2, ["doc_id", "pos"]).join(t3, ["doc_id", "pos"])
+    return hits.groupBy("doc_id").agg(F.min("pos").cast("bigint").alias("first_pos"))
+
+
+@register(
+    "kg_pred_histogram",
+    SQL_TRIPLES
+    + """
+    SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM triples GROUP BY pred
+    """,
+)
+def kg_pred_histogram(spark, sf_dir):
+    """Per-relation-type eval counters (A3/A5: the reference's statistic
+    Counter tables, re_model.py:853-919) over extracted triples."""
+    t = _kg_triples_df(spark, sf_dir)
+    return t.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 # ---------- dedup / training-data ops over documents ----------
 
 @register(

@@ -1,0 +1,71 @@
+"""Structured Streaming surface for incremental KG construction.
+
+The reference is strictly batch (verified: no streaming constructs
+anywhere under /root/reference — SURVEY.md §2.10).  This module is an
+ADDITION for the training-data-pipeline use case: new repo files arrive
+continuously; triples append incrementally.
+
+Design: the fused extraction cascade (extract_triples_onepass) is
+stateless and row-local, so the SAME mapInPandas runs unchanged on a
+streaming DataFrame.  Canonicalization/linking stay batch (they are
+global fixpoints — recomputed downstream per checkpoint epoch), which is
+the standard lambda split for KG builds.
+
+``trigger(availableNow=True)`` drains the backlog and stops — the batch
+job and the streaming job are the same code path, so results are
+identical (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+REPOS_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+
+def read_repo_stream(
+    spark: SparkSession, input_dir: str, fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(REPOS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(input_dir)
+
+
+def stream_triples(repos_stream: DataFrame, model_name: str = "repos") -> DataFrame:
+    """Streaming repos -> streaming triples (same fused UDF as batch)."""
+    from .extract.rel import extract_triples_onepass
+
+    return extract_triples_onepass(repos_stream, model_name)
+
+
+def run_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    model_name: str = "repos",
+) -> None:
+    """Drain all available input into an append-only triples parquet and
+    stop.  Re-running resumes from the stream checkpoint — files already
+    processed are not re-extracted (exactly-once per input file)."""
+    triples = stream_triples(read_repo_stream(spark, input_dir), model_name)
+    q = (
+        triples.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
