@@ -691,6 +691,85 @@ def kg_content_sha(spark, sf_dir):
 
 
 @register(
+    "q5_regional_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q5_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 4-way star join, two broadcast dims chained, filter
+    pushed below the joins (Catalyst join reordering territory)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_c"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "q_daily_active",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_daily_active(spark, sf_dir):
+    """Event-time daily rollup with exact distinct-user counts (the
+    monitoring-side aggregation; approx_count_distinct is the 100 TB
+    variant, exact here for the oracle)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q_mktsegment_share",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 4) AS share
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_mktsegment_share(spark, sf_dir):
+    """Aggregate + window-over-aggregate (share-of-total pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total).cast("double"), 4).alias("share"),
+    )
+
+
+@register(
     "q_doc_range_slice",
     """
     SELECT doc_id, lang FROM (
@@ -1185,24 +1264,40 @@ def multimodal_bytes(spark, sf_dir):
     )
 
 
-# ---------- non-SQL-expressible ops (rows-only driver check) ----------
-
+@register(
+    "kg_cc_components",
+    SQL_TRIPLES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , e AS (SELECT DISTINCT md5(subj || ':' || subj_type) AS src,
+                            md5(obj || ':' || obj_type) AS dst FROM triples),
+    verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (SELECT a AS v, MIN(b) AS canonical_id FROM reach GROUP BY a)
+    SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS component_size
+    FROM labels GROUP BY canonical_id
+    """,
+)
 def kg_cc_components(spark, sf_dir):
-    """Connected components (iterative joins, link/cc.py) over the doc
-    entity graph: emit (canonical_id stand-in) component -> member count.
-    Iterative fixpoint — not single-query SQL; driver records rows-only."""
+    """Connected components over the doc entity graph — the REAL iterative
+    min-label + pointer-jumping joins (link/cc.py) vs a DuckDB recursive-
+    CTE transitive-closure oracle."""
     from .link.cc import connected_components
 
-    edges = kg_edges(spark, sf_dir).select(
-        F.abs(F.xxhash64("src")).alias("src"), F.abs(F.xxhash64("dst")).alias("dst")
-    )
+    edges = kg_edges(spark, sf_dir).select("src", "dst").distinct()
     verts = (
         edges.select(F.col("src").alias("entity_id"))
         .unionByName(edges.select(F.col("dst").alias("entity_id")))
         .distinct()
     )
-    labels = connected_components(verts, edges)
-    return labels.groupBy("canonical_id").agg(F.count("*").alias("component_size"))
+    labels = connected_components(verts, edges, vertex_col="entity_id")
+    return labels.groupBy("canonical_id").agg(
+        F.count("*").alias("component_size")
+    )
 
 
 def multimodal_features(spark, sf_dir):
@@ -1218,5 +1313,4 @@ def multimodal_features(spark, sf_dir):
     return extract_features(d)
 
 
-QUERIES["kg_cc_components"] = kg_cc_components
 QUERIES["multimodal_features"] = multimodal_features

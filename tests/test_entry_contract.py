@@ -49,8 +49,8 @@ def test_every_query_has_callable_and_most_have_oracles():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
-    # only the iterative/UDF-plumbing ops may omit oracles
-    assert set(qs) - set(oracles) == {"kg_cc_components", "multimodal_features"}
+    # only the UDF-plumbing op (stubbed codec) omits an oracle
+    assert set(qs) - set(oracles) == {"multimodal_features"}
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)
