@@ -10,9 +10,17 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the kgforge package lives next to this file; make imports robust to the
+# driver invoking us from any cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry(spark: SparkSession) -> DataFrame:

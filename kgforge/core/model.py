@@ -61,14 +61,19 @@ class SurrogateModel:
     score_threshold: float = 0.05
     top_k_pairs: int = 30
     max_mentions: int = 64
+    # derived, precomputed once in __post_init__ — these sit on the
+    # per-token hot path (a property recomputing max() over the gazetteer
+    # per call was 87% of kernel time; docs/PLANS.md)
+    max_gap: int = field(init=False)
+    max_term_len: int = field(init=False)
+    first_tokens: frozenset = field(init=False, repr=False)
 
-    @property
-    def max_gap(self) -> int:
-        return max(len(p) for p in self.patterns)
-
-    @property
-    def max_term_len(self) -> int:
-        return max(len(t) for t in self.gaz)
+    def __post_init__(self):
+        self.max_gap = max(len(p) for p in self.patterns)
+        self.max_term_len = max(len(t) for t in self.gaz)
+        # index of gazetteer first-words: one set probe rejects most
+        # positions before any tuple is built (hot-path win, docs/PLANS.md)
+        self.first_tokens = frozenset(t[0] for t in self.gaz)
 
 
 @lru_cache(maxsize=4)

@@ -41,13 +41,18 @@ def tag_tokens(tokens: list[str], model: SurrogateModel) -> list[int]:
     """
     n = len(tokens)
     gaz = model.gaz
+    first = model.first_tokens
+    max_len = model.max_term_len
+    low = [w.lower() for w in tokens]
     mentions: list[Mention] = []
     i = 0
     while i < n:
+        if low[i] not in first:  # one probe rejects most positions
+            i += 1
+            continue
         matched = False
-        for ln in range(min(model.max_term_len, n - i), 0, -1):
-            key = tuple(w.lower() for w in tokens[i : i + ln])
-            t = gaz.get(key)
+        for ln in range(min(max_len, n - i), 0, -1):
+            t = gaz.get(tuple(low[i : i + ln]))
             if t is not None:
                 mentions.append((i, i + ln, t))
                 i += ln

@@ -205,7 +205,15 @@ def _render_java(sents: list[PlantedSentence]) -> str:
     return "\n".join(lines)
 
 
-def gen_repo_rows(n_files: int = 200, seed: int = 42) -> list[dict]:
+def gen_repo_rows(
+    n_files: int = 200,
+    seed: int = 42,
+    min_sents: int = 1,
+    max_sents: int = 6,
+) -> list[dict]:
+    """min/max_sents controls file richness: the default small files suit
+    unit tests; the bench staging uses larger files (real source files
+    carry tens of comment/docstring sentences)."""
     rng = random.Random(seed)
     lexicon = build_lexicon()
     rows = []
@@ -219,7 +227,7 @@ def gen_repo_rows(n_files: int = 200, seed: int = 42) -> list[dict]:
         lang = "python" if lang_roll < 0.8 else ("markdown" if lang_roll < 0.9 else "java")
         ext = {"python": "py", "markdown": "md", "java": "java"}[lang]
         path = f"src/pkg{i % 11}/mod{i}.{ext}"
-        n_sents = rng.randint(1, 6)
+        n_sents = rng.randint(min_sents, max_sents)
         sents = [plant_sentence(rng, lexicon) for _ in range(n_sents)]
         content = {
             "python": lambda: _render_python(sents, rng),

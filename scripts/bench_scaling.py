@@ -31,18 +31,21 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 LEVELS = [2, 8, 32]
-PASSES = 3
+PASSES = 4
 
 
 def stage_corpus(n_files: int) -> str:
-    corpus = f"/tmp/kgforge_bench_corpus_{n_files}"
+    """Rich-file corpus (8-40 sentences/file, like real source files):
+    more python compute per Arrow row keeps the measurement
+    compute-dominated rather than serde-dominated."""
+    corpus = f"/tmp/kgforge_bench_corpus_rich_{n_files}"
     if not os.path.exists(f"{corpus}/_SUCCESS"):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from kgforge.fixtures import gen_repo_rows
 
-        rows = gen_repo_rows(n_files)
+        rows = gen_repo_rows(n_files, min_sents=8, max_sents=40)
         os.makedirs(corpus, exist_ok=True)
         shard = max(1, len(rows) // 32)
         for i in range(0, len(rows), shard):
@@ -55,7 +58,7 @@ def stage_corpus(n_files: int) -> str:
 
 
 def main():
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
     sys.path.insert(0, str(REPO))
     from kgforge.extract.pipeline import extract_pipeline
     from kgforge.session import get_spark
