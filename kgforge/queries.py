@@ -1160,6 +1160,82 @@ def embed_centroids(spark, sf_dir):
     )
 
 
+_SQL_EMB_BUCKET = """
+eb AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END)
+         + 4 * (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)
+         + 8 * (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings),
+flat AS (
+  SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM eb),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM flat GROUP BY vec_id)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_SQL_EMB_BUCKET},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+      FROM flat a JOIN flat b
+        ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT d.vec_a, d.vec_b,
+           ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos_sim
+    FROM dots d
+    JOIN norms na ON d.vec_a = na.vec_id
+    JOIN norms nb ON d.vec_b = nb.vec_id
+    WHERE ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucket prefiltered (the scale
+    path: hyperplane-sign buckets bound the candidate set to same-bucket
+    pairs; exact cosine verifies).  Completes the dedup modality set
+    (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine)."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    bucket = (
+        F.when(F.element_at(emb, 1) > 0, 1).otherwise(0)
+        + F.when(F.element_at(emb, 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at(emb, 3) > 0, 4).otherwise(0)
+        + F.when(F.element_at(emb, 4) > 0, 8).otherwise(0)
+    )
+    flat = e.select(
+        "vec_id", bucket.alias("bucket"), F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id", "bucket", (F.col("i0") + 1).alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    norms = flat.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
+    a = flat.select(
+        F.col("vec_id").alias("vec_a"), "bucket", "i", F.col("x").alias("xa")
+    )
+    b = flat.select(
+        F.col("vec_id").alias("vec_b"), "bucket", "i", F.col("x").alias("xb")
+    )
+    dots = (
+        a.join(b, on=["bucket", "i"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    j = (
+        dots.join(norms.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("n2", "na"), on="vec_a")
+        .join(norms.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("n2", "nb"), on="vec_b")
+        .withColumn("c", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+    )
+    return j.filter(F.round("c", 6) >= 0.45).select(
+        "vec_a", "vec_b", F.round("c", 4).alias("cos_sim")
+    )
+
+
 # ---------- text analysis over documents ----------
 
 @register(
