@@ -45,7 +45,6 @@ def main() -> None:
     args = ap.parse_args()
 
     from kgforge.fixtures import gen_repo_rows
-    from kgforge.lineage import LINEAGE_COLS  # noqa: F401 (import check)
     from kgforge.queries import QUERIES
     from kgforge.session import get_spark
 

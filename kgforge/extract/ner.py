@@ -45,7 +45,7 @@ def make_detect_mentions_udf(model_name: str):
         model = get_model(model_name)
         out = []
         for text in texts:
-            ments = detect_mentions(tokenize(text), model)
+            ments = detect_mentions(tokenize(text or ""), model)
             out.append([{"start": s, "end": e, "ent_type": t} for s, e, t in ments])
         return pd.Series(out)
 

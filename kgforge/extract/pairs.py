@@ -49,7 +49,7 @@ def make_score_pair_udf(model_name: str):
         for t, ss, se, st, os_, oe, ot in zip(
             text, sub_start, sub_end, sub_type, obj_start, obj_end, obj_type
         ):
-            toks = tokenize(t)
+            toks = tokenize(t or "")
             out.append(score_pair(toks, (ss, se, st), (os_, oe, ot), model))
         return pd.Series(out, dtype=float)
 

@@ -72,7 +72,7 @@ def make_classify_relation_udf(model_name: str):
         for t, ss, se, st, os_, oe, ot in zip(
             text, sub_start, sub_end, sub_type, obj_start, obj_end, obj_type
         ):
-            toks = tokenize(t)
+            toks = tokenize(t or "")
             rel_plus1, _score = classify_relation(
                 toks, (ss, se, st), (os_, oe, ot), model
             )
@@ -134,8 +134,9 @@ def extract_triples_onepass(repos: DataFrame, model_name: str = "repos") -> Data
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                sha = hashlib.sha256(r.content.encode()).hexdigest()
-                for uid, _kind, text in extract_units_text(r.content, r.lang):
+                content = r.content or ""  # null-content rows yield nothing
+                sha = hashlib.sha256(content.encode()).hexdigest()
+                for uid, _kind, text in extract_units_text(content, r.lang or ""):
                     toks = tokenize(text)
                     for sub, obj, rel, st, ot, score in extract_triples(toks, model):
                         rows.append(
@@ -166,7 +167,7 @@ def extract_triples_fused(units: DataFrame, model_name: str = "repos") -> DataFr
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                toks = tokenize(r.text)
+                toks = tokenize(r.text or "")
                 for sub, obj, rel, st, ot, score in extract_triples(toks, model):
                     rows.append(
                         (

@@ -102,7 +102,7 @@ def extract_units(repos: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                for uid, kind, text in extract_units_text(r.content, r.lang):
+                for uid, kind, text in extract_units_text(r.content or "", r.lang or ""):
                     rows.append(
                         (r.repo, r.path, r.commit, r.lang, r.content_sha, uid, kind, text)
                     )

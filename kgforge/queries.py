@@ -174,7 +174,7 @@ def _doc_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                toks = tokenize(r.text)
+                toks = tokenize(r.text or "")
                 for s, e, t in detect_mentions(toks, model):
                     rows.append((r.doc_id, s, " ".join(toks[s:e]), ENT_TYPES[t]))
             yield pd.DataFrame(
