@@ -76,8 +76,34 @@ class SurrogateModel:
         self.first_tokens = frozenset(t[0] for t in self.gaz)
 
 
-@lru_cache(maxsize=4)
+@lru_cache(maxsize=16)
 def get_model(name: str) -> SurrogateModel:
+    """Resolve a model by name, rebuilding from seeds (executor-safe).
+
+    Names may carry inference-config overrides after ``@`` —
+    ``"repos@t=0.1,k=10"`` sets score_threshold / top_k_pairs.  This is
+    how the sweep driver (scripts/sweep.py, the xjobs.py analog)
+    parameterizes runs: the full config travels in the string, so every
+    python worker rebuilds the identical model.
+    """
+    base, _, params = name.partition("@")
+    if params:
+        m = get_model(base)
+        overrides: dict = {}
+        for kv in params.split(","):
+            k, v = kv.split("=")
+            if k == "t":
+                overrides["score_threshold"] = float(v)
+            elif k == "k":
+                overrides["top_k_pairs"] = int(v)
+            else:
+                raise KeyError(f"unknown model override: {k}")
+        return SurrogateModel(
+            name=name, patterns=m.patterns, gaz=m.gaz,
+            score_threshold=overrides.get("score_threshold", m.score_threshold),
+            top_k_pairs=overrides.get("top_k_pairs", m.top_k_pairs),
+            max_mentions=m.max_mentions,
+        )
     if name == "repos":
         return SurrogateModel(name="repos", patterns=dict(GAP_PATTERNS), gaz=gazetteer())
     if name == "docs":
