@@ -1376,17 +1376,52 @@ def kg_cc_components(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_features",
+    """
+    WITH h AS (SELECT doc_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                      sha256(text) AS payload_sha
+               FROM documents)
+    SELECT doc_id, n_bytes, payload_sha,
+           CAST(16 + ((strpos('0123456789abcdef', substr(payload_sha, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 2, 1)) - 1) % 64 AS INT) AS width,
+           CAST(16 + ((strpos('0123456789abcdef', substr(payload_sha, 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 4, 1)) - 1) % 64 AS INT) AS height,
+           CAST(((strpos('0123456789abcdef', substr(payload_sha, 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 6, 1)) - 1) AS INT) AS f0,
+           CAST(((strpos('0123456789abcdef', substr(payload_sha, 7, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 8, 1)) - 1) AS INT) AS f1,
+           CAST(((strpos('0123456789abcdef', substr(payload_sha, 9, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 10, 1)) - 1) AS INT) AS f2,
+           CAST(((strpos('0123456789abcdef', substr(payload_sha, 11, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 12, 1)) - 1) AS INT) AS f3,
+           CAST(((strpos('0123456789abcdef', substr(payload_sha, 13, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 14, 1)) - 1) AS INT) AS f4,
+           CAST(((strpos('0123456789abcdef', substr(payload_sha, 15, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 16, 1)) - 1) AS INT) AS f5,
+           CAST(((strpos('0123456789abcdef', substr(payload_sha, 17, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 18, 1)) - 1) AS INT) AS f6,
+           CAST(((strpos('0123456789abcdef', substr(payload_sha, 19, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(payload_sha, 20, 1)) - 1) AS INT) AS f7
+    FROM h
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Multimodal feature-extraction plumbing over an opaque binary column:
     deterministic fake 'decoder' (real decode is stubbed — no image libs in
     this container, kgforge/functions/multimodal.py) through a REAL
-    mapInPandas with Arrow-batched binary payloads."""
-    from .functions.multimodal import extract_features
+    mapInPandas with Arrow-batched binary payloads.
+
+    The query surface projects the float32 feature vector back to the
+    exact sha-derived bytes (f0..f7 ints) so the DuckDB oracle — which
+    mirrors fake_decode_meta via hex-nibble arithmetic on sha256(text) —
+    can hash-compare values (array columns can't be lexsorted by the
+    driver's canonicalizer)."""
+    from .functions.multimodal import FEATURE_DIM, extract_features
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return extract_features(d)
-
-
-QUERIES["multimodal_features"] = multimodal_features
+    feats = extract_features(d)
+    # feature[i] = (b/255)*2-1 stored float32; (f+1)/2*255 recovers b
+    # exactly (float32 ulp << 0.5 after the affine inverse).
+    byte_cols = [
+        F.round((F.element_at("feature", i + 1) + F.lit(1.0)) / 2.0 * 255.0)
+        .cast("int")
+        .alias(f"f{i}")
+        for i in range(FEATURE_DIM)
+    ]
+    return feats.select(
+        "doc_id", "n_bytes", "payload_sha", "width", "height", *byte_cols
+    )

@@ -112,3 +112,29 @@ def test_nodes_edges_consistency(spark, triples):
     # provenance bounded and deterministic
     for r in edges.select("provenance").collect():
         assert 1 <= len(r.provenance) <= 3
+
+def test_case_variant_surfaces_no_duplicate_fanout(spark):
+    """Case/punct variants share entity_id (derived from the normalized
+    form); CC must not receive duplicate vertex rows (ADVICE r1: the
+    pointer-jump self-join multiplies dupes and fans out linked triples)."""
+    rows = [
+        ("r", "p", 0, "Anchor Model", "Method", "USED-FOR", "prism index", "Task"),
+        ("r", "p", 1, "anchor model", "Method", "USED-FOR", "prism index", "Task"),
+        ("r", "p", 2, "anchor model", "Method", "USED-FOR", "quartz sampler", "Task"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "repo string, path string, unit_id long, subj string, subj_type string,"
+        " pred string, obj string, obj_type string",
+    )
+    can = canonical_entities(t)
+    # exactly one canonical row per (surface, ent_type) — no label dupes
+    assert can.count() == can.dropDuplicates(["surface", "ent_type"]).count()
+    # both case variants resolve to one entity_id and one canonical_id
+    variants = can.filter(F.lower("surface") == "anchor model").collect()
+    assert len(variants) == 2
+    assert len({r.entity_id for r in variants}) == 1
+    assert len({r.canonical_id for r in variants}) == 1
+    # the canonical join must not fan out triples
+    linked = attach_canonical_ids(t, can)
+    assert linked.count() == t.count()
