@@ -148,6 +148,29 @@ def classify_relation(
     return 0, 0.9
 
 
+def extract_triples_spanned(
+    tokens: list[str], model: SurrogateModel
+) -> list[tuple[int, int, int, int, int, int, int, float]]:
+    """Per-unit cascade keeping SPAN keys:
+    ``[(ss, se, os, oe, rel_id, sub_type, obj_type, score)]``.
+
+    The text-key dedup of ``extract_triples`` collapses distinct span pairs
+    with equal surfaces; strict evaluation (reference
+    data/data_structures.py:404-441 — relation matched AND both argument
+    spans predicted) needs the span identity, so dedup here is on the span
+    key."""
+    mentions = detect_mentions(tokens, model)
+    out: dict[tuple[int, int, int, int, int, int, int], float] = {}
+    for sub, obj, _s in rank_pairs(tokens, mentions, model):
+        rel_plus1, score = classify_relation(tokens, sub, obj, model)
+        if rel_plus1 == 0:
+            continue
+        key = (sub[0], sub[1], obj[0], obj[1], rel_plus1 - 1, sub[2], obj[2])
+        if key not in out:
+            out[key] = score
+    return [(*k, v) for k, v in sorted(out.items())]
+
+
 def extract_triples(
     tokens: list[str], model: SurrogateModel
 ) -> list[tuple[str, str, int, int, int, float]]:

@@ -626,8 +626,13 @@ def kg_edges(spark, sf_dir):
 def kg_f1_baseline(spark, sf_dir):
     """Micro-P/R of a majority-class baseline (predict CONJUNCTION for
     every entity pair at distance 2) vs the model's triples — the
-    reference's set-based eval (A1, utils/metrics.py:1-52; J7 semi-join)."""
-    gold = _kg_triples_df(spark, sf_dir).select("doc_id", "subj", "pred", "obj").distinct()
+    reference's set-based eval (A1, utils/metrics.py:1-52).
+
+    SINGLE JOB: union-with-tag + one aggregation — no driver-side counts
+    (the r1 version ran 3 actions, re-running the UDF cascade ~5x).  The
+    semi-join semantics fall out of the per-key max(tag) agg:
+    n_correct = keys present on both sides."""
+    gold = _kg_triples_df(spark, sf_dir).select("doc_id", "subj", "pred", "obj")
     m = _doc_mentions_df(spark, sf_dir)
     a = m.select("doc_id", "pos", F.col("surface").alias("subj"), F.col("ent_type").alias("ta"))
     b = m.select(
@@ -639,21 +644,27 @@ def kg_f1_baseline(spark, sf_dir):
         .filter(F.col("pos_b") == F.col("pos") + 2)
         .filter(~((F.col("ta") == "Generic") & (F.col("tb") == "Generic")))
         .select("doc_id", "subj", F.lit("CONJUNCTION").alias("pred"), "obj")
-        .distinct()
     )
-    hits = naive.join(gold, on=["doc_id", "subj", "pred", "obj"], how="left_semi")
-    n_pred, n_gold, n_correct = naive.count(), gold.count(), hits.count()
-    return spark.createDataFrame(
-        [
-            (
-                n_pred,
-                n_gold,
-                n_correct,
-                round(n_correct / (n_pred + 1e-8), 4),
-                round(n_correct / (n_gold + 1e-8), 4),
-            )
-        ],
-        "n_pred bigint, n_gold bigint, n_correct bigint, precision_ double, recall_ double",
+    key = ["doc_id", "subj", "pred", "obj"]
+    tagged = naive.select(
+        *key, F.lit(1).alias("is_pred"), F.lit(0).alias("is_gold")
+    ).unionByName(
+        gold.select(*key, F.lit(0).alias("is_pred"), F.lit(1).alias("is_gold"))
+    )
+    per_key = tagged.groupBy(*key).agg(
+        F.max("is_pred").alias("is_pred"), F.max("is_gold").alias("is_gold")
+    )
+    counts = per_key.agg(
+        F.sum("is_pred").cast("bigint").alias("n_pred"),
+        F.sum("is_gold").cast("bigint").alias("n_gold"),
+        F.sum(F.col("is_pred") * F.col("is_gold")).cast("bigint").alias("n_correct"),
+    )
+    return counts.select(
+        "n_pred",
+        "n_gold",
+        "n_correct",
+        F.round(F.col("n_correct") / (F.col("n_pred") + F.lit(1e-8)), 4).alias("precision_"),
+        F.round(F.col("n_correct") / (F.col("n_gold") + F.lit(1e-8)), 4).alias("recall_"),
     )
 
 

@@ -51,3 +51,24 @@ def test_model_name_overrides():
     assert m.gaz is base.gaz  # shared weights, different inference config
     with pytest.raises(KeyError):
         get_model("repos@bogus=1")
+
+
+def test_evaluate_reference_slices(spark, eval_path):
+    """Strict / NER / rel_f1 slices (theta.py:473-476,
+    data_structures.py:404-441): the surrogate detects exactly the gold
+    mentions and relations on the fixture corpus, so every slice is ~1.0,
+    and strict can never exceed the span-level relation match."""
+    m = evaluate(spark, eval_path)
+    assert m["test_ner_f1"] >= 0.95
+    assert m["test_f1_strict"] >= 0.95
+    assert m["test_rel_f1"] >= 0.95
+    # strict <= plain relation f1 by construction
+    assert m["test_f1_strict"] <= m["test_f1"] + 1e-9
+
+
+def test_strict_degrades_with_wrong_types(spark, eval_path):
+    """A model variant that starves mention detection lowers NER recall
+    and drags strict recall with it."""
+    full = evaluate(spark, eval_path)
+    tiny = evaluate(spark, eval_path, model_name="repos@t=0.05,k=1")
+    assert tiny["test_r_strict"] <= full["test_r_strict"] + 1e-9
