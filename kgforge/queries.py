@@ -997,16 +997,31 @@ def dedup_simhash(spark, sf_dir):
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+# Document-frequency ceiling for the inverted-index self-join: one hot
+# shingle shared by d documents contributes d^2/2 candidate pairs, so the
+# join is quadratic in the hottest key.  Shingles above the cap are
+# EXCLUDED from pairing AND from the per-doc denominators (both engines
+# mirror this), and the drop is surfaced by dedup_shingle_df_caps — never
+# silent.  Analogous to MAX_BUCKET in link/canonical.py.
+NGRAM_DF_CAP = 1000
+
+_SQL_SHINGLES_CAPPED = f"""
+hot AS (SELECT sh FROM shingle GROUP BY sh HAVING COUNT(*) > {NGRAM_DF_CAP}),
+kept AS (SELECT s.* FROM shingle s ANTI JOIN hot h ON s.sh = h.sh)
+"""
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH {SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
     pair AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    n AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id)
+    n AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id)
     SELECT p.doc_a, p.doc_b,
            ROUND(p.shared / (na.n + nb.n - p.shared + 1e-12), 4) AS jaccard
     FROM pair p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
@@ -1015,8 +1030,21 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs (no LSH) — the ground truth the
-    LSH variant approximates (inverted-index join on shingle)."""
-    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    LSH variant approximates (inverted-index join on shingle), with a
+    document-frequency cap on the join key (NGRAM_DF_CAP) so one hot
+    shingle cannot make the self-join quadratic."""
+    raw = _shingles_df(spark, sf_dir)
+    hot = (
+        raw.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("sh")
+    )
+    # hot set is tiny by construction (few keys exceed the cap) ->
+    # broadcast anti-join; no shuffle of the shingle table for the filter
+    sh = raw.join(F.broadcast(hot), on="sh", how="left_anti").localCheckpoint(
+        eager=True
+    )
     pair = (
         sh.alias("a")
         .join(
@@ -1042,16 +1070,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-# ---------- similarity search over embeddings ----------
-
-def _cosine_cols(qcol, vcol):
-    dot = F.aggregate(
-        F.zip_with(qcol, vcol, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+@register(
+    "dedup_shingle_df_caps",
+    f"""
+    WITH {SQL_SHINGLES},
+    df AS (SELECT sh, COUNT(*) AS df FROM shingle GROUP BY sh)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df > {NGRAM_DF_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(MAX(df) AS BIGINT) AS max_df
+    FROM df
+    """,
+)
+def dedup_shingle_df_caps(spark, sf_dir):
+    """Companion accounting for NGRAM_DF_CAP ('no silent caps'): total
+    distinct shingles, how many exceed the document-frequency ceiling, and
+    the observed max DF."""
+    df = _shingles_df(spark, sf_dir).groupBy("sh").agg(F.count("*").alias("df"))
+    return df.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("df") > NGRAM_DF_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.max("df").cast("bigint").alias("max_df"),
     )
-    nq = F.sqrt(F.aggregate(F.transform(qcol, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
-    nv = F.sqrt(F.aggregate(F.transform(vcol, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
-    return dot / (nq * nv)
 
+
+# ---------- similarity search over embeddings ----------
+# Production cosine paths live in functions/similarity.py (zip_with fold —
+# no per-dimension explode); the SQL oracles below keep the per-dimension
+# form because DuckDB has no array fold. Equivalence of the two physical
+# plans is covered by tests/test_similarity.py.
 
 _SQL_COS = """
 flat AS (
@@ -1086,34 +1134,14 @@ cos AS (
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-k vs query vector (vec_id=0) — JVM-side
-    zip_with/aggregate fold, no UDF.  Rank on round(cos, 6) with vec_id
-    tie-break for cross-engine determinism."""
-    e = _t(spark, sf_dir, "embeddings")
-    # exact same arithmetic as the SQL oracle: per-dimension join + sum
-    flat = e.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
-    q = flat.filter(F.col("vec_id") == 0).select("i", F.col("x").alias("qx"))
-    dots = (
-        flat.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), on="i")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.col("x") * F.col("qx")).alias("dot"),
-            F.sum(F.col("x") * F.col("x")).alias("nv"),
-        )
-    )
-    nq = q.agg(F.sum(F.col("qx") * F.col("qx")).alias("nq"))
-    cos = dots.crossJoin(F.broadcast(nq)).select(
-        "vec_id", (F.col("dot") / (F.sqrt("nv") * F.sqrt("nq"))).alias("c")
-    )
-    w = Window.orderBy(F.desc(F.round("c", 6)), "vec_id")
-    return (
-        cos.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 10)
-        .select("vec_id", F.round("c", 4).alias("cos_sim"), "rnk")
-    )
+    """Brute-force cosine top-k vs query vector (vec_id=0) — PRODUCTION
+    path: one scan, per-row zip_with/aggregate fold against the broadcast
+    query vector (no per-dimension explode; the r1 explode-join form
+    inflated every shuffle by x dim and is kept only as the oracle twin).
+    Rank on round(cos, 6) with vec_id tie-break for determinism."""
+    from .functions.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
 @register(
@@ -1208,43 +1236,13 @@ norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM flat GROUP BY vec_id)
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucket prefiltered (the scale
     path: hyperplane-sign buckets bound the candidate set to same-bucket
-    pairs; exact cosine verifies).  Completes the dedup modality set
+    pairs; exact zip_with-fold cosine verifies — each side of the bucket
+    self-join carries its whole vector, so the shuffle moves n rows, not
+    n x dim exploded rows).  Completes the dedup modality set
     (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine)."""
-    e = _t(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    bucket = (
-        F.when(F.element_at(emb, 1) > 0, 1).otherwise(0)
-        + F.when(F.element_at(emb, 2) > 0, 2).otherwise(0)
-        + F.when(F.element_at(emb, 3) > 0, 4).otherwise(0)
-        + F.when(F.element_at(emb, 4) > 0, 8).otherwise(0)
-    )
-    flat = e.select(
-        "vec_id", bucket.alias("bucket"), F.posexplode("embedding").alias("i0", "x")
-    ).select(
-        "vec_id", "bucket", (F.col("i0") + 1).alias("i"),
-        F.col("x").cast("double").alias("x"),
-    )
-    norms = flat.groupBy("vec_id").agg(F.sum(F.col("x") * F.col("x")).alias("n2"))
-    a = flat.select(
-        F.col("vec_id").alias("vec_a"), "bucket", "i", F.col("x").alias("xa")
-    )
-    b = flat.select(
-        F.col("vec_id").alias("vec_b"), "bucket", "i", F.col("x").alias("xb")
-    )
-    dots = (
-        a.join(b, on=["bucket", "i"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
-    )
-    j = (
-        dots.join(norms.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("n2", "na"), on="vec_a")
-        .join(norms.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("n2", "nb"), on="vec_b")
-        .withColumn("c", F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
-    )
-    return j.filter(F.round("c", 6) >= 0.45).select(
-        "vec_a", "vec_b", F.round("c", 4).alias("cos_sim")
-    )
+    from .functions.similarity import near_dup_pairs
+
+    return near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 # ---------- text analysis over documents ----------

@@ -1,0 +1,71 @@
+"""Production fold cosine vs oracle-parity explode-join: identical output
+(two physical plans, one math), plus the broadcast size gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.functions.similarity import (
+    cosine_topk,
+    cosine_topk_explode,
+    near_dup_pairs,
+    near_dup_pairs_explode,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint(eager=True)
+
+
+def test_fold_matches_explode_topk(spark, emb):
+    a = {(r.vec_id, r.cos_sim, r.rnk) for r in cosine_topk(emb, k=10).collect()}
+    b = {(r.vec_id, r.cos_sim, r.rnk) for r in cosine_topk_explode(emb, k=10).collect()}
+    assert a == b and len(a) == 10
+
+
+def test_fold_matches_explode_pairs(spark, emb):
+    a = {(r.vec_a, r.vec_b, r.cos_sim) for r in near_dup_pairs(emb, 0.45).collect()}
+    b = {(r.vec_a, r.vec_b, r.cos_sim) for r in near_dup_pairs_explode(emb, 0.45).collect()}
+    assert a == b
+
+
+def test_fold_plan_has_no_explode(spark, emb):
+    """The production path must not inflate rows x dim: no Generate
+    (posexplode) node in its optimized plan."""
+    plan = cosine_topk(emb, k=5)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan
+
+
+def test_broadcast_size_gate(spark):
+    """attach_canonical_ids: forced-shuffle path (threshold 0) must produce
+    exactly the broadcast path's rows."""
+    from kgforge.graph.materialize import attach_canonical_ids, canonical_entities
+
+    rows = [
+        ("r", "p", i, s, "Method", "USED-FOR", o, "Task")
+        for i, (s, o) in enumerate(
+            [("anchor model", "prism index"), ("anchor model", "quartz sampler"),
+             ("prism index", "quartz sampler")]
+        )
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "repo string, path string, unit_id long, subj string, subj_type string,"
+        " pred string, obj string, obj_type string",
+    )
+    can = canonical_entities(t).localCheckpoint(eager=True)
+    via_bcast = attach_canonical_ids(t, can)  # dim far below default gate
+    via_shuffle = attach_canonical_ids(t, can, broadcast_max_rows=0)
+    key = lambda r: (r.repo, r.path, r.unit_id, r.subj, r.obj, r.src, r.dst)
+    assert sorted(map(key, via_bcast.collect())) == sorted(
+        map(key, via_shuffle.collect())
+    )
+    # the gate changes the PLANNED join strategy (pre-AQE sparkPlan): with
+    # the hint -> broadcast; without -> shuffle join, and only runtime AQE
+    # stats may re-promote it (which is exactly the at-scale contract)
+    bp = via_bcast._jdf.queryExecution().sparkPlan().toString()
+    sp = via_shuffle._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in bp
+    assert "BroadcastHashJoin" not in sp
