@@ -15,7 +15,10 @@ from .units import extract_units
 
 
 def extract_pipeline(
-    repos: DataFrame, strategy: str = "fused", model_name: str = "repos"
+    repos: DataFrame,
+    strategy: str = "fused",
+    model_name: str = "repos",
+    context_window: int = 0,
 ) -> DataFrame:
     """repos(repo, path, commit, lang, content) -> triples.
 
@@ -29,7 +32,17 @@ def extract_pipeline(
                             window top-k + classify UDF (the plan whose
                             stages are individually oracle-checkable).
     All strategies produce identical triples (tested).
+
+    context_window=k > 0 tags each unit together with its ±k neighbor
+    sentences (reference config.yaml:34 context_window, data/utils.py:
+    84-116); implies the staged path (the window needs the unit table).
+    k=0 is bit-identical to the plain pipeline (tested).
     """
+    if context_window > 0:
+        from .context import extract_triples_fused_ctx
+
+        units = extract_units(repos)
+        return extract_triples_fused_ctx(units, model_name, k=context_window)
     if strategy == "fused":
         return extract_triples_onepass(repos, model_name)
     units = extract_units(repos)

@@ -1434,3 +1434,122 @@ def multimodal_features(spark, sf_dir):
     return feats.select(
         "doc_id", "n_bytes", "payload_sha", "width", "height", *byte_cols
     )
+
+
+# ---------- context window + cross-sentence NER (W3/J9/J10 in the REAL
+# pipeline; reference data/utils.py:84-116,165-191) ----------
+
+def _docs_as_ctx_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pseudo-document units: 10 consecutive doc_ids form one
+    'document' (path = doc_id // 10, unit_id = doc_id) so the ±k
+    neighbor-sentence window has real neighbors to pull context from."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.lit("corpus").alias("repo"),
+        F.floor(F.col("doc_id") / 10).cast("bigint").cast("string").alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("text").alias("lang"),
+        F.lit("").alias("content_sha"),
+        F.col("doc_id").alias("unit_id"),
+        F.lit("sent").alias("kind"),
+        "text",
+    )
+
+
+@register(
+    "kg_context_units",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+        COALESCE(SUM(len(string_split(text, ' '))) OVER (
+          PARTITION BY doc_id // 10 ORDER BY doc_id
+          ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING), 0) AS n_left,
+        string_agg(text, ' ') OVER (
+          PARTITION BY doc_id // 10 ORDER BY doc_id
+          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ctx
+      FROM documents)
+    SELECT doc_id, CAST(n_left AS BIGINT) AS n_left,
+           CAST(len(string_split(ctx, ' ')) AS BIGINT) AS n_ctx_tokens,
+           {sql_charfold('ctx')} AS ctx_hash
+    FROM w
+    """,
+)
+def kg_context_units(spark, sf_dir):
+    """Context-window expansion (with_context, extract/context.py): ±1
+    neighbor-sentence text + the token offset of the unit's own text —
+    the widened input the tagger sees (reference context_window,
+    config.yaml:34)."""
+    from .extract.context import with_context
+
+    ctx = with_context(_docs_as_ctx_units(spark, sf_dir), k=1)
+    return ctx.select(
+        F.col("unit_id").alias("doc_id"),
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.size(F.split("ctx_text", " ")).cast("bigint").alias("n_ctx_tokens"),
+        charfold(F.col("ctx_text")).alias("ctx_hash"),
+    )
+
+
+@register(
+    "kg_context_triples",
+    SQL_TRIPLES
+    + "SELECT doc_id, subj, pred, obj, subj_type, obj_type FROM triples",
+)
+def kg_context_triples(spark, sf_dir):
+    """The REAL context-window cascade (extract_triples_fused_ctx, k=1):
+    tagging runs over the widened token sequence, candidate pairs come
+    from in-unit mentions only, spans re-based to unit-local.  On the
+    single-token docs lexicon the widened encoding cannot change in-unit
+    tagging, so the output must EXACTLY equal the plain kg_triples oracle
+    — which is precisely what pins the sent_start/sent_end offset
+    bookkeeping (any off-by-one shifts every span and changes triples)."""
+    from .extract.context import extract_triples_fused_ctx
+
+    t = extract_triples_fused_ctx(_docs_as_ctx_units(spark, sf_dir), "docs", k=1)
+    return t.select(
+        F.col("unit_id").cast("bigint").alias("doc_id"),
+        "subj", "pred", "obj", "subj_type", "obj_type",
+    ).distinct()
+
+
+@register(
+    "kg_cross_mentions",
+    f"""
+    WITH {SQL_TOK}, {SQL_LEX},
+    m AS (SELECT DISTINCT t.doc_id, t.tok AS surface, l.ent_type
+          FROM tok t JOIN lex l ON t.tok = l.tok),
+    prop AS (
+      SELECT DISTINCT m.doc_id AS src_doc, t.doc_id, t.pos, m.surface, m.ent_type
+      FROM m JOIN tok t
+        ON t.doc_id <> m.doc_id
+       AND t.doc_id // 10 = m.doc_id // 10
+       AND abs(t.doc_id - m.doc_id) <= 1
+       AND t.tok = m.surface
+    )
+    SELECT doc_id, pos, surface, ent_type,
+           CAST(COUNT(DISTINCT src_doc) AS BIGINT) AS n_sources
+    FROM prop GROUP BY 1, 2, 3, 4
+    """,
+)
+def kg_cross_mentions(spark, sf_dir):
+    """Cross-sentence NER propagation (propagate_mentions,
+    extract/context.py): surfaces detected in a unit are searched in ±1
+    neighbor units via the pure-expression subarray match (J10/F13,
+    reference find_subarray_position data/utils.py:395-407)."""
+    from .extract.context import propagate_mentions
+
+    units = _docs_as_ctx_units(spark, sf_dir)
+    m = _doc_mentions_df(spark, sf_dir).select(
+        F.lit("corpus").alias("repo"),
+        F.floor(F.col("doc_id") / 10).cast("bigint").cast("string").alias("path"),
+        F.col("doc_id").alias("unit_id"),
+        "surface",
+        "ent_type",
+    )
+    prop = propagate_mentions(units, m, k=1)
+    return prop.groupBy(
+        F.col("unit_id").alias("doc_id"),
+        F.col("start").cast("bigint").alias("pos"),
+        "surface",
+        "ent_type",
+    ).agg(F.countDistinct("src_unit").alias("n_sources"))

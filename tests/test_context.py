@@ -1,0 +1,130 @@
+"""Context-window expansion + cross-sentence NER (extract/context.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.extract.context import (
+    extract_triples_fused_ctx,
+    merge_mentions,
+    propagate_mentions,
+    with_context,
+)
+from kgforge.extract.rel import TRIPLE_KEY, extract_triples_fused
+from kgforge.extract.units import extract_units
+from kgforge.fixtures import gen_repo_rows
+
+
+@pytest.fixture(scope="module")
+def units(spark):
+    repos = spark.createDataFrame(gen_repo_rows(60))
+    return extract_units(repos).localCheckpoint(eager=True)
+
+
+def _key(r):
+    return tuple(getattr(r, c) for c in TRIPLE_KEY)
+
+
+def test_k0_equals_plain_pipeline(spark, units):
+    """context_window=0 must be bit-identical to the plain fused cascade."""
+    plain = sorted(map(_key, extract_triples_fused(units).collect()))
+    ctx0 = sorted(map(_key, extract_triples_fused_ctx(units, k=0).collect()))
+    assert plain == ctx0 and len(plain) > 0
+
+
+def test_with_context_offsets(spark):
+    """n_left = token count of the left neighbors actually in the window;
+    ctx_text concatenates the frame in unit order."""
+    rows = [
+        ("r", "p", "c", "s", 0, "k", "a b"),
+        ("r", "p", "c", "s", 1, "k", "c"),
+        ("r", "p", "c", "s", 2, "k", "d e f"),
+    ]
+    u = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, content_sha string,"
+        " unit_id long, kind string, text string",
+    )
+    got = {r.unit_id: (r.ctx_text, r.n_left) for r in with_context(u, 1).collect()}
+    assert got[0] == ("a b c", 0)
+    assert got[1] == ("a b c d e f", 2)
+    assert got[2] == ("c d e f", 1)
+
+
+def test_ctx_triples_only_in_unit_spans(spark, units):
+    """With k=1 every emitted triple must also be derivable from its own
+    unit's mention set on the single-token-free repos lexicon boundary:
+    subject/object surfaces must occur inside the unit's own text."""
+    t = extract_triples_fused_ctx(units, k=1).collect()
+    unit_text = {
+        (r.repo, r.path, r.unit_id): r.text for r in units.collect()
+    }
+    assert len(t) > 0
+    for r in t:
+        text = f" {unit_text[(r.repo, r.path, r.unit_id)]} "
+        assert f" {r.subj} " in text or text.startswith(f"{r.subj} ")
+        assert f" {r.obj} " in text or text.endswith(f" {r.obj}")
+
+
+def test_propagate_mentions_subarray(spark):
+    """Multi-token surfaces propagate to neighbors at every occurrence;
+    same-unit and out-of-window units are excluded."""
+    u = spark.createDataFrame(
+        [
+            ("r", "p", 0, "anchor model is here"),
+            ("r", "p", 1, "x anchor model y anchor model"),
+            ("r", "p", 3, "anchor model far away"),  # outside ±1 of unit 0
+        ],
+        "repo string, path string, unit_id long, text string",
+    )
+    m = spark.createDataFrame(
+        [("r", "p", 0, "anchor model", "Method")],
+        "repo string, path string, unit_id long, surface string, ent_type string",
+    )
+    got = sorted(
+        (r.unit_id, r.start, r.end) for r in propagate_mentions(u, m, k=1).collect()
+    )
+    assert got == [(1, 1, 3), (1, 4, 6)]
+
+
+def test_propagate_case_folded_and_merge_dedup(spark):
+    """Occurrence match is case-folded (gazetteer semantics); merge dedups
+    on the exact span key and keeps locally-detected rows."""
+    u = spark.createDataFrame(
+        [("r", "p", 0, "Anchor Model z"), ("r", "p", 1, "anchor model z")],
+        "repo string, path string, unit_id long, text string",
+    )
+    m = spark.createDataFrame(
+        [
+            ("r", "p", 0, 0, 2, "Anchor Model", "Method"),
+            ("r", "p", 1, 0, 2, "anchor model", "Method"),
+        ],
+        "repo string, path string, unit_id long, start int, end int,"
+        " surface string, ent_type string",
+    )
+    prop = propagate_mentions(u, m.select("repo", "path", "unit_id", "surface", "ent_type"), k=1)
+    # each unit's surface found in the OTHER unit despite case difference
+    assert prop.count() == 2
+    merged = merge_mentions(m, prop)
+    # propagated spans coincide with local ones -> dedup keeps 2 rows
+    assert merged.count() == 2
+
+
+def test_propagated_spans_valid(spark, units):
+    """Property: every propagated span is in-bounds and non-empty, and the
+    surface case-insensitively equals the token slice."""
+    from kgforge.extract.ner import explode_mentions, tag_mentions
+
+    mentions = explode_mentions(tag_mentions(units)).withColumn(
+        "surface",
+        F.array_join(
+            F.slice(F.split("text", " "), F.col("start") + 1, F.col("end") - F.col("start")),
+            " ",
+        ),
+    )
+    prop = propagate_mentions(units, mentions, k=1)
+    toks = units.select("repo", "path", "unit_id", F.split("text", " ").alias("toks"))
+    joined = prop.join(toks, on=["repo", "path", "unit_id"]).collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert 0 <= r.start < r.end <= len(r.toks)
+        assert " ".join(r.toks[r.start : r.end]).lower() == r.surface.lower()
