@@ -1,0 +1,45 @@
+"""Output assembly — predict-mode JSON (S9) and repaired-partition writers.
+
+Reference analog: ``get_dataset_ace_for_predict``
+(data/data_module.py:94-130) assembles per-sentence dicts
+``{doc, sent, entities: [...], relations: [...]}`` and keeps only items
+with >= 1 relation.  Here the same assembly is a pure projection —
+``to_json(struct(...))`` over the aggregated triples — so the serving
+output is produced JVM-side with zero Python in the loop and can be
+written straight to a JSONL sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assemble_predict_json(
+    triples: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """triples(key..., subj, pred, obj) -> one JSON line per key group:
+    ``{"relations": [{"subject": ..., "relation": ..., "object": ...}]}``.
+
+    The relations array is sort_array'd (struct field order: subject,
+    relation, object) so output is parallelism-invariant; groups exist
+    only for keys with >= 1 triple — the reference's
+    ``len(relations) > 0`` filter falls out of the groupBy."""
+    keys = key_cols or ["repo", "path", "unit_id"]
+    rel = F.struct(
+        F.col("subj").alias("subject"),
+        F.col("pred").alias("relation"),
+        F.col("obj").alias("object"),
+    )
+    agg = triples.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(rel)).alias("relations")
+    )
+    return agg.select(
+        *keys,
+        F.to_json(F.struct(F.col("relations"))).alias("payload"),
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, payload_col: str = "payload") -> None:
+    """One JSON object per line (the reference's predict output file)."""
+    df.select(payload_col).write.mode("overwrite").text(path)

@@ -46,3 +46,30 @@ def read_repos(
     if with_sha:
         df = df.withColumn("content_sha", F.sha2(F.col("content"), 256))
     return df
+
+
+def overlay_predictions(
+    gold: DataFrame, pred: DataFrame, key: str | list[str] = "doc_key"
+) -> DataFrame:
+    """Gold + prediction-file merge scan (S2; reference
+    data/data_structures.py:51-62 ``Dataset._read(json_file, pred_file)``).
+
+    Every ``predicted*`` column from ``pred`` overlays the gold table via
+    left join + coalesce: docs present in the prediction file take its
+    predicted_* values; docs absent keep their own (the reference zips
+    1:1 and asserts doc_key equality — the join generalizes that to
+    partial prediction files).  Non-predicted pred columns are ignored,
+    exactly as the reference copies only ``"predicted" in k`` keys.
+
+    Scale: equi-join on the doc key; the prediction side is usually the
+    small output of one eval run — Catalyst/AQE picks broadcast when its
+    stats allow, no hint needed for correctness.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    pred_cols = [c for c in pred.columns if "predicted" in c and c not in keys]
+    p = pred.select(*keys, *[F.col(c).alias(f"__p_{c}") for c in pred_cols])
+    out = gold.join(p, on=keys, how="left")
+    for c in pred_cols:
+        base = F.col(c) if c in gold.columns else F.lit(None)
+        out = out.withColumn(c, F.coalesce(F.col(f"__p_{c}"), base))
+    return out.drop(*[f"__p_{c}" for c in pred_cols])

@@ -1553,3 +1553,153 @@ def kg_cross_mentions(spark, sf_dir):
         "surface",
         "ent_type",
     ).agg(F.countDistinct("src_unit").alias("n_sources"))
+
+
+# ---------- pred-overlay loader (S2), predict JSON sink (S9), CV folds
+# (S5), per-label F1 (A2/A4) ----------
+
+@register(
+    "kg_pred_overlay",
+    """
+    WITH gold AS (SELECT doc_id, -5 AS predicted_len FROM documents),
+    pred AS (SELECT doc_id, strlen(text) AS predicted_len
+             FROM documents WHERE doc_id % 3 = 0)
+    SELECT g.doc_id,
+           CAST(COALESCE(p.predicted_len, g.predicted_len) AS BIGINT) AS predicted_len
+    FROM gold g LEFT JOIN pred p ON g.doc_id = p.doc_id
+    """,
+)
+def kg_pred_overlay(spark, sf_dir):
+    """Gold + prediction-file merge scan (S2) through the REAL
+    overlay_predictions loader (io/sources.py; reference
+    data/data_structures.py:51-62): predicted_* columns from the pred file
+    overlay the gold table, docs absent from the pred file keep their own
+    (stale) values."""
+    from .io.sources import overlay_predictions
+
+    d = _t(spark, sf_dir, "documents")
+    gold = d.select("doc_id", F.lit(-5).alias("predicted_len"))
+    pred = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        "doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("predicted_len")
+    )
+    out = overlay_predictions(gold, pred, key="doc_id")
+    return out.select("doc_id", F.col("predicted_len").cast("bigint").alias("predicted_len"))
+
+
+@register(
+    "kg_predict_json",
+    SQL_TRIPLES
+    + """
+    , rels AS (SELECT doc_id, subj, pred, obj FROM triples)
+    SELECT doc_id,
+           '{"relations":[' || string_agg(
+             '{"subject":"' || subj || '","relation":"' || pred
+             || '","object":"' || obj || '"}', ','
+             ORDER BY subj, pred, obj) || ']}' AS payload
+    FROM rels GROUP BY doc_id
+    """,
+)
+def kg_predict_json(spark, sf_dir):
+    """Predict-mode JSON assembly (S9) through the REAL
+    assemble_predict_json projection (io/sinks.py; reference
+    data/data_module.py:94-130): to_json(struct(sorted relations array)),
+    one line per doc with >= 1 relation, byte-compared against a DuckDB
+    string-assembled mirror."""
+    from .io.sinks import assemble_predict_json
+
+    t = _kg_triples_df(spark, sf_dir).select("doc_id", "subj", "pred", "obj")
+    return assemble_predict_json(t, key_cols=["doc_id"])
+
+
+@register(
+    "q_cv_folds",
+    """
+    SELECT CAST(f AS BIGINT) AS fold,
+           CAST(SUM(CASE WHEN doc_id % 5 = f THEN 1 ELSE 0 END) AS BIGINT) AS n_dev,
+           CAST(SUM(CASE WHEN doc_id % 5 <> f THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+    FROM documents, (SELECT unnest(generate_series(0, 4)) AS f)
+    GROUP BY f
+    """,
+)
+def q_cv_folds(spark, sf_dir):
+    """K-fold CV split demo (S5; reference datasets/ace2004/ace2004.yaml +
+    data_module.py:48-51): fold = doc_id % k as the partition column; each
+    fold's dev set is its residue class, train is the complement.  At
+    scale the fold column rides the existing partitioning — no shuffle to
+    materialize a fold."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    folds = spark.range(5).select(F.col("id").cast("bigint").alias("fold"))
+    j = d.crossJoin(folds)
+    is_dev = F.pmod("doc_id", F.lit(5)) == F.col("fold")
+    return j.groupBy("fold").agg(
+        F.sum(F.when(is_dev, 1).otherwise(0)).cast("bigint").alias("n_dev"),
+        F.sum(F.when(~is_dev, 1).otherwise(0)).cast("bigint").alias("n_train"),
+    )
+
+
+@register(
+    "kg_label_prf",
+    SQL_TRIPLES
+    + f"""
+    , naive AS (
+      SELECT DISTINCT t1.doc_id, t1.tok AS subj, 'CONJUNCTION' AS pred, t3.tok AS obj
+      FROM tok t1
+      JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+      JOIN lex l1 ON t1.tok = l1.tok
+      JOIN lex l3 ON t3.tok = l3.tok
+      WHERE NOT (l1.ent_type = 'Generic' AND l3.ent_type = 'Generic')
+    ),
+    gold AS (SELECT DISTINCT doc_id, subj, pred, obj FROM triples),
+    tagged AS (
+      SELECT doc_id, subj, pred, obj, MAX(is_p) AS is_p, MAX(is_g) AS is_g FROM (
+        SELECT *, 1 AS is_p, 0 AS is_g FROM naive
+        UNION ALL
+        SELECT *, 0 AS is_p, 1 AS is_g FROM gold
+      ) GROUP BY 1, 2, 3, 4
+    )
+    SELECT pred AS label,
+           CAST(SUM(is_p) AS BIGINT) AS n_pred,
+           CAST(SUM(is_g) AS BIGINT) AS n_gold,
+           CAST(SUM(is_p * is_g) AS BIGINT) AS n_correct,
+           ROUND(SUM(is_p * is_g) / (SUM(is_p) + 1e-8), 4) AS precision_,
+           ROUND(SUM(is_p * is_g) / (SUM(is_g) + 1e-8), 4) AS recall_
+    FROM tagged GROUP BY pred
+    """,
+)
+def kg_label_prf(spark, sf_dir):
+    """Per-label P/R counters (A2/A4; reference utils/metrics.py simple
+    label F1): the same single-job union-with-tag aggregation as
+    kg_f1_baseline, grouped by relation label."""
+    gold = _kg_triples_df(spark, sf_dir).select("doc_id", "subj", "pred", "obj")
+    m = _doc_mentions_df(spark, sf_dir)
+    a = m.select("doc_id", "pos", F.col("surface").alias("subj"), F.col("ent_type").alias("ta"))
+    b = m.select(
+        "doc_id", F.col("pos").alias("pos_b"), F.col("surface").alias("obj"),
+        F.col("ent_type").alias("tb"),
+    )
+    naive = (
+        a.join(b, on="doc_id")
+        .filter(F.col("pos_b") == F.col("pos") + 2)
+        .filter(~((F.col("ta") == "Generic") & (F.col("tb") == "Generic")))
+        .select("doc_id", "subj", F.lit("CONJUNCTION").alias("pred"), "obj")
+    )
+    key = ["doc_id", "subj", "pred", "obj"]
+    tagged = naive.select(
+        *key, F.lit(1).alias("is_p"), F.lit(0).alias("is_g")
+    ).unionByName(
+        gold.select(*key, F.lit(0).alias("is_p"), F.lit(1).alias("is_g"))
+    )
+    per_key = tagged.groupBy(*key).agg(
+        F.max("is_p").alias("is_p"), F.max("is_g").alias("is_g")
+    )
+    return per_key.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("is_p").cast("bigint").alias("n_pred"),
+        F.sum("is_g").cast("bigint").alias("n_gold"),
+        F.sum(F.col("is_p") * F.col("is_g")).cast("bigint").alias("n_correct"),
+        F.round(
+            F.sum(F.col("is_p") * F.col("is_g")) / (F.sum("is_p") + F.lit(1e-8)), 4
+        ).alias("precision_"),
+        F.round(
+            F.sum(F.col("is_p") * F.col("is_g")) / (F.sum("is_g") + F.lit(1e-8)), 4
+        ).alias("recall_"),
+    )

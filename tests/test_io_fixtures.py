@@ -40,3 +40,41 @@ def test_write_fixtures_roundtrip(spark, tmp_path):
     got = {tuple(r) for r in extract_pipeline(repos, "fused").select(*key_cols).collect()}
     want = {tuple(r) for r in golden.select(*key_cols).collect()}
     assert got == want
+
+
+def test_overlay_predictions(spark):
+    """S2 merge scan (reference data_structures.py:51-62): predicted_*
+    columns overlay gold; docs missing from the pred file keep their own;
+    non-predicted pred columns are ignored."""
+    from kgforge.io.sources import overlay_predictions
+
+    gold = spark.createDataFrame(
+        [("d1", [1], None), ("d2", [2], ["x"])],
+        "doc_key string, sentences array<int>, predicted_ner array<string>",
+    )
+    pred = spark.createDataFrame(
+        [("d1", ["a"], "ignored")],
+        "doc_key string, predicted_ner array<string>, other string",
+    )
+    out = {r.doc_key: r for r in overlay_predictions(gold, pred).collect()}
+    assert out["d1"].predicted_ner == ["a"]   # overlaid
+    assert out["d2"].predicted_ner == ["x"]   # kept (absent from pred)
+    assert "other" not in out["d1"].asDict()  # non-predicted col dropped
+    assert out["d1"].sentences == [1]         # gold columns untouched
+
+
+def test_assemble_predict_json(spark):
+    """S9 predict assembly: sorted relations array, only keys with >= 1
+    relation, valid JSON payload."""
+    import json
+
+    from kgforge.io.sinks import assemble_predict_json
+
+    t = spark.createDataFrame(
+        [(1, "b", "USED-FOR", "c"), (1, "a", "USED-FOR", "c")],
+        "doc_id long, subj string, pred string, obj string",
+    )
+    rows = assemble_predict_json(t, key_cols=["doc_id"]).collect()
+    assert len(rows) == 1
+    payload = json.loads(rows[0].payload)
+    assert [r["subject"] for r in payload["relations"]] == ["a", "b"]  # sorted
