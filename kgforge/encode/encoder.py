@@ -58,8 +58,11 @@ class OnnxEncoder(EncoderBase):
     class, reference data/utils.py:74-79).
     """
 
+    PAD_TOKEN = "[PAD]"
+    UNK_TOKEN = "[UNK]"
+
     def __init__(self, model_path: str | None = None, vocab: dict[str, int] | None = None,
-                 session=None, max_seq_len: int = 402, pad_id: int = 0):
+                 session=None, max_seq_len: int = 402):
         if session is None:
             try:
                 import onnxruntime  # noqa: F401
@@ -71,13 +74,25 @@ class OnnxEncoder(EncoderBase):
                 ) from e
             session = onnxruntime.InferenceSession(model_path)  # pragma: no cover
         self.session = session
-        self.vocab = vocab or {}
+        self.vocab = dict(vocab) if vocab else {}
         self.max_seq_len = max_seq_len  # reference budget, config.yaml:30
-        self.pad_id = pad_id
+        # Reserved-id contract (ADVICE r1): PAD/UNK must be REAL in-vocab
+        # ids — deriving unk as len(vocab)+1 indexes past the embedding
+        # table on the first OOV token, and pad=0 collides with any real
+        # token id 0.  Absent entries are auto-reserved ABOVE the existing
+        # ids (the embedding table must then cover max(vocab)+1 rows,
+        # asserted in detect_batch's id bound below).
+        for tok in (self.PAD_TOKEN, self.UNK_TOKEN):
+            if tok not in self.vocab:
+                self.vocab[tok] = (max(self.vocab.values()) + 1) if self.vocab else len(self.vocab)
+        self.pad_id = self.vocab[self.PAD_TOKEN]
+        self.unk_id = self.vocab[self.UNK_TOKEN]
+        self.embedding_rows = max(self.vocab.values()) + 1
 
     def _encode_ids(self, tokens: list[str]) -> list[int]:
-        unk = len(self.vocab) + 1
-        return [self.vocab.get(t.lower(), unk) for t in tokens[: self.max_seq_len]]
+        ids = [self.vocab.get(t.lower(), self.unk_id) for t in tokens[: self.max_seq_len]]
+        assert all(i < self.embedding_rows for i in ids)
+        return ids
 
     def detect_batch(self, token_lists):
         import numpy as np

@@ -59,7 +59,8 @@ def with_context(units: DataFrame, k: int) -> DataFrame:
         .orderBy("unit_id")
         .rowsBetween(-k, -1)
     )
-    n_toks = F.size(F.split("text", " "))
+    # same token rule as tokenize() == str.split(): trim + collapse runs
+    n_toks = F.size(F.split(F.trim("text"), "\\s+"))
     return units.withColumn(
         "ctx_text", F.concat_ws(" ", F.collect_list("text").over(w))
     ).withColumn(
@@ -163,7 +164,8 @@ def propagate_mentions(
         "surface", "ent_type",
     ).distinct()
     u = units.select(
-        "repo", "path", "unit_id", F.split("text", " ").alias("toks")
+        "repo", "path", "unit_id",
+        F.split(F.trim("text"), "\\s+").alias("toks"),
     )
     nb = (
         u.join(surf, on=["repo", "path"])
@@ -171,7 +173,7 @@ def propagate_mentions(
             (F.abs(F.col("unit_id") - F.col("src_unit")) <= k)
             & (F.col("unit_id") != F.col("src_unit"))
         )
-        .withColumn("pat", F.split("surface", " "))
+        .withColumn("pat", F.split(F.trim("surface"), "\\s+"))
     )
     hits = nb.withColumn(
         "positions", _subarray_positions(F.col("toks"), F.col("pat"))

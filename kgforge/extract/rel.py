@@ -94,7 +94,10 @@ def classify_pairs(pairs: DataFrame, model_name: str = "repos") -> DataFrame:
 
     rel_names = F.array(*[F.lit(r) for r in REL_TYPES])
     ent_names = F.array(*[F.lit(e) for e in ENT_TYPES])
-    toks = F.split(F.col("text"), " ")
+    # mention indices came from tokenize() == str.split(), which trims and
+    # collapses whitespace runs; reconstruct surfaces under the SAME rule
+    # (ADVICE r1: F.split(text, ' ') misaligned spans on double spaces)
+    toks = F.split(F.trim(F.col("text")), "\\s+")
     triples = rel.select(
         "repo",
         "path",

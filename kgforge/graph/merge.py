@@ -44,4 +44,126 @@ def merge_nodes(existing: DataFrame, delta: DataFrame) -> DataFrame:
             F.array_distinct(F.flatten(F.collect_list("surface_forms")))
         ).alias("surface_forms"),
         F.sum("mention_count").alias("mention_count"),
+    ).withColumn("n_surfaces", F.size("surface_forms").cast("bigint"))
+
+
+def _relabel(df: DataFrame, mapping: DataFrame, cols: list[str]) -> DataFrame:
+    """Rewrite canonical-id columns through (old_canonical_id ->
+    new_canonical_id); ids absent from the mapping are unchanged."""
+    for c in cols:
+        m = mapping.select(
+            F.col("old_canonical_id").alias(c),
+            F.col("new_canonical_id").alias(f"__new_{c}"),
+        )
+        df = (
+            df.join(m, on=c, how="left")
+            .withColumn(c, F.coalesce(f"__new_{c}", c))
+            .drop(f"__new_{c}")
+        )
+    return df
+
+
+def update_canonical(
+    existing_canonical: DataFrame | None, delta_triples: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Evolve the canonical entity dimension with a delta batch (ADVICE r1:
+    per-batch canonicalization is unstable and inner-join attach silently
+    drops novel surfaces).
+
+    The ACCUMULATED vertex set (existing dim surfaces ∪ delta surfaces)
+    is re-linked: LSH candidates + CC over the union.  Labels are
+    min-entity-id over the merged clusters — deterministic under any batch
+    split, and an existing cluster's id only changes when the delta merges
+    it with a smaller-id cluster; those moves are returned as a relabel
+    map (old_canonical_id -> new_canonical_id) so accumulated nodes/edges
+    can be migrated (see merge_graph).
+
+    Cost note: this recomputes linking over the entity DIM (distinct
+    surfaces), not the corpus — the dim is orders of magnitude smaller
+    than triples, and LSH+CC are near-linear in it.
+
+    Returns (canonical, relabel_map)."""
+    from ..link.canonical import entity_vertices, lsh_candidate_pairs
+    from ..link.cc import connected_components
+
+    cols = ["surface", "ent_type", "norm", "entity_id"]
+    new_verts = entity_vertices(delta_triples).select(*cols)
+    if existing_canonical is not None:
+        verts = (
+            existing_canonical.select(*cols)
+            .unionByName(new_verts)
+            .dropDuplicates(["surface", "ent_type"])
+        )
+    else:
+        verts = new_verts
+    verts = verts.localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(verts)
+    labels = connected_components(verts.select("entity_id").distinct(), cand)
+    labels = labels.dropDuplicates(["entity_id"]).localCheckpoint(eager=True)
+    canonical = verts.join(labels, on="entity_id")
+    if existing_canonical is None:
+        relabel = canonical.sparkSession.createDataFrame(
+            [], "old_canonical_id bigint, new_canonical_id bigint"
+        )
+    else:
+        relabel = (
+            existing_canonical.select(
+                "entity_id", F.col("canonical_id").alias("old_canonical_id")
+            )
+            .distinct()
+            .join(labels, on="entity_id")
+            .select(
+                "old_canonical_id",
+                F.col("canonical_id").alias("new_canonical_id"),
+            )
+            .filter(F.col("old_canonical_id") != F.col("new_canonical_id"))
+            .distinct()
+        )
+    return canonical, relabel
+
+
+def merge_graph(
+    existing_nodes: DataFrame | None,
+    existing_edges: DataFrame | None,
+    existing_canonical: DataFrame | None,
+    delta_triples: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold a delta triple batch into the materialized graph WITH entity-dim
+    evolution: returns (nodes, edges, canonical).
+
+    Contract (tested): one-shot materialization over A ∪ B equals
+    merge_graph(materialize(A), triples_B) — the incremental path never
+    drops novel surfaces (the dim is extended before attach) and never
+    splits clusters (labels are recomputed over the accumulated dim, and
+    history is migrated through the relabel map)."""
+    from .materialize import (
+        attach_canonical_ids,
+        build_nodes,
+        build_edges,
+        mention_counts,
     )
+
+    canonical, relabel = update_canonical(existing_canonical, delta_triples)
+    canonical = canonical.localCheckpoint(eager=True)
+
+    linked = attach_canonical_ids(delta_triples, canonical)
+    linked = linked.localCheckpoint(eager=True)
+
+    # delta nodes: canonical rows restricted to the delta's vertices
+    from ..link.canonical import entity_vertices
+
+    delta_surf = entity_vertices(delta_triples).select("surface", "ent_type").distinct()
+    delta_can = canonical.join(delta_surf, on=["surface", "ent_type"])
+    delta_nodes = build_nodes(delta_can).join(
+        mention_counts(linked), on="canonical_id", how="left"
+    ).fillna(0, subset=["mention_count"])
+    delta_edges = build_edges(linked)
+
+    if existing_nodes is None:
+        return delta_nodes, delta_edges, canonical
+
+    nodes_h = _relabel(existing_nodes, relabel, ["canonical_id"])
+    edges_h = _relabel(existing_edges, relabel, ["src", "dst"])
+    nodes = merge_nodes(nodes_h, delta_nodes)
+    edges = merge_edges(edges_h, delta_edges)
+    return nodes, edges, canonical

@@ -16,6 +16,7 @@ the data — a crash mid-write leaves no marker, so the stage reruns
 
 from __future__ import annotations
 
+import hashlib
 import json
 import time
 from collections.abc import Callable
@@ -36,17 +37,40 @@ LINEAGE_COLS = [
 
 
 class StageRunner:
-    def __init__(self, spark: SparkSession, workdir: str, run_id: str = "run0"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        run_id: str = "run0",
+        config: dict | None = None,
+    ):
+        """``config`` is the stage-relevant parameter set (strategy, model
+        name, ...).  Its hash is stored in each ``_COMPLETE`` marker and
+        VALIDATED on resume: re-running in the same workdir with different
+        parameters reruns the stage instead of silently returning the
+        previous configuration's data (ADVICE r1).  run_id is lineage
+        metadata only — the same config may resume across run ids."""
         self.spark = spark
         self.workdir = Path(workdir)
         self.run_id = run_id
+        self.config = dict(config) if config else {}
+        self.config_hash = hashlib.sha256(
+            json.dumps(self.config, sort_keys=True).encode()
+        ).hexdigest()
         self.workdir.mkdir(parents=True, exist_ok=True)
 
     def _stage_dir(self, stage: str) -> Path:
         return self.workdir / stage
 
     def is_complete(self, stage: str) -> bool:
-        return (self._stage_dir(stage) / "_COMPLETE").exists()
+        marker = self._stage_dir(stage) / "_COMPLETE"
+        if not marker.exists():
+            return False
+        try:
+            meta = json.loads(marker.read_text())
+        except (ValueError, OSError):
+            return False  # unreadable marker: treat as incomplete, rerun
+        return meta.get("config_hash") == self.config_hash
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(str(self._stage_dir(stage) / "data"))
@@ -85,7 +109,15 @@ class StageRunner:
         )
         per_part.write.mode("overwrite").parquet(str(d / "lineage"))
         (d / "_COMPLETE").write_text(
-            json.dumps({"run_id": self.run_id, "stage": stage, "wall_ms": wall_ms})
+            json.dumps(
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "wall_ms": wall_ms,
+                    "config_hash": self.config_hash,
+                    "config": self.config,
+                }
+            )
         )
         return self.read(stage)
 
@@ -116,7 +148,10 @@ def run_kg_pipeline(
         mention_counts,
     )
 
-    runner = StageRunner(spark, workdir, run_id)
+    runner = StageRunner(
+        spark, workdir, run_id,
+        config={"strategy": strategy, "model_name": model_name},
+    )
     triples = runner.run(
         "triples", lambda: extract_pipeline(repos, strategy, model_name)
     )

@@ -790,11 +790,15 @@ def q_mktsegment_share(spark, sf_dir):
 )
 def q_doc_range_slice(spark, sf_dir):
     """Doc-range slice (S3: Dataset doc_range keep-window,
-    data/data_structures.py:36-40) via row_number over a total order."""
+    data/data_structures.py:36-40) via the scale-safe two-pass global rank
+    (functions/ranks.py) — same total-order semantics as ROW_NUMBER()
+    OVER (ORDER BY doc_id), but no Exchange SinglePartition (the r1 form
+    sorted the corpus on one core)."""
+    from .functions.ranks import global_row_number
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        global_row_number(d, ["doc_id"])
         .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
         .select("doc_id", "lang")
     )

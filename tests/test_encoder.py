@@ -64,3 +64,17 @@ def test_onnx_encoder_truncates_to_budget():
     enc = OnnxEncoder(session=_StubSession(), vocab=vocab, max_seq_len=10)
     out = enc.detect_batch(["ent".split() * 50])
     assert max(e[1] for e in out[0]) <= 10
+
+
+def test_onnx_encoder_reserved_ids():
+    """PAD/UNK come from the vocab contract (reserved in-vocab ids); OOV
+    tokens map to unk_id, never past the embedding table (ADVICE r1)."""
+    vocab = {"ent": 7, "[PAD]": 0, "[UNK]": 1}
+    enc = OnnxEncoder(session=_StubSession(), vocab=vocab)
+    assert enc.pad_id == 0 and enc.unk_id == 1
+    out = enc.detect_batch([["zzz-oov", "ent"]])
+    assert out[0] == [(1, 2, 0)]
+    # auto-reservation allocates ABOVE existing ids (no collision with 0)
+    enc2 = OnnxEncoder(session=_StubSession(), vocab={"a": 0})
+    assert enc2.pad_id == 1 and enc2.unk_id == 2
+    assert enc2.embedding_rows == 3

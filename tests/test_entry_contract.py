@@ -49,8 +49,9 @@ def test_every_query_has_callable_and_most_have_oracles():
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 25
     assert set(oracles) <= set(qs)
-    # only the UDF-plumbing op (stubbed codec) omits an oracle
-    assert set(qs) - set(oracles) == {"multimodal_features"}
+    # r2: every registered query has a DuckDB oracle (multimodal_features
+    # gained one — scalar sha-derived feature bytes + hex-nibble mirror)
+    assert set(qs) - set(oracles) == set()
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)

@@ -67,3 +67,38 @@ def test_merge_idempotent_on_empty_delta(spark, split_corpus):
     assert sorted(map(lambda r: (r.src, r.dst, r.pred, r.weight), again.collect())) == sorted(
         map(lambda r: (r.src, r.dst, r.pred, r.weight), e.collect())
     )
+
+def test_incremental_with_dim_evolution_equals_full(spark):
+    """merge_graph (entity-dim evolution, ADVICE r1): materialize batch A
+    standalone, fold batch B in — nodes/edges must equal the one-shot
+    materialization of A ∪ B, including surfaces only seen in B (the old
+    inner-join path silently dropped them) and clusters whose canonical id
+    moves when A- and B-entities merge."""
+    from kgforge.graph.materialize import materialize_graph
+    from kgforge.graph.merge import merge_graph, update_canonical
+
+    rows = gen_repo_rows(100)
+    full = extract_pipeline(spark.createDataFrame(rows), "fused").localCheckpoint(eager=True)
+    a = extract_pipeline(spark.createDataFrame(rows[:60]), "fused").localCheckpoint(eager=True)
+    b = extract_pipeline(spark.createDataFrame(rows[60:]), "fused").localCheckpoint(eager=True)
+
+    # batch A standalone (its own canonical dim, NOT the full corpus's)
+    nodes_a, edges_a, can_a = merge_graph(None, None, None, a)
+    nodes_a, edges_a, can_a = (
+        nodes_a.localCheckpoint(eager=True),
+        edges_a.localCheckpoint(eager=True),
+        can_a.localCheckpoint(eager=True),
+    )
+    # sanity: B contains surfaces unknown to A's dim
+    new_surf = update_canonical(can_a, b)[0].join(
+        can_a.select("surface", "ent_type"), on=["surface", "ent_type"], how="left_anti"
+    )
+    assert new_surf.count() > 0
+
+    nodes_i, edges_i, _ = merge_graph(nodes_a, edges_a, can_a, b)
+
+    nodes_f, edges_f = materialize_graph(full)
+    key_n = lambda r: (r.canonical_id, r.ent_type, tuple(r.surface_forms), r.mention_count)
+    assert sorted(map(key_n, nodes_i.collect())) == sorted(map(key_n, nodes_f.collect()))
+    key_e = lambda r: (r.src, r.dst, r.pred, r.weight)
+    assert sorted(map(key_e, edges_i.collect())) == sorted(map(key_e, edges_f.collect()))

@@ -64,3 +64,32 @@ def test_crash_mid_stage_recomputes_only_that_stage(spark, first_run, workdir):
         tuple(r) for r in out2["edges"].select("src", "dst", "pred", "weight").collect()
     )
     assert before == after
+
+
+def test_resume_rejects_config_change(spark, tmp_path):
+    """Same workdir + different parameters must RERUN, not return the old
+    run's checkpoint relabeled (ADVICE r1: config hash in _COMPLETE)."""
+    from kgforge.lineage import StageRunner
+
+    wd = str(tmp_path / "wd")
+    calls = []
+
+    def build(tag):
+        def f():
+            calls.append(tag)
+            return spark.createDataFrame([(tag,)], "tag string")
+        return f
+
+    r1 = StageRunner(spark, wd, run_id="r1", config={"model": "a"})
+    out1 = r1.run("s", build("a"))
+    assert [r.tag for r in out1.collect()] == ["a"] and calls == ["a"]
+
+    # same config, new run_id: resumes (no rebuild)
+    r2 = StageRunner(spark, wd, run_id="r2", config={"model": "a"})
+    assert [r.tag for r in r2.run("s", build("a2")).collect()] == ["a"]
+    assert calls == ["a"]
+
+    # different config: reruns
+    r3 = StageRunner(spark, wd, run_id="r3", config={"model": "b"})
+    assert [r.tag for r in r3.run("s", build("b")).collect()] == ["b"]
+    assert calls == ["a", "b"]
