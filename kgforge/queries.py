@@ -817,12 +817,14 @@ def q_doc_range_slice(spark, sf_dir):
 )
 def q_train_split(spark, sf_dir):
     """Deterministic 90/10 train/dev split by document order (S4:
-    convert_dataset_to_samples split, data/utils.py:41-50)."""
+    convert_dataset_to_samples split, data/utils.py:41-50).  Two-pass
+    global rank + broadcast total count — no single-partition window
+    (neither ROW_NUMBER OVER () nor COUNT(*) OVER ())."""
+    from .functions.ranks import global_row_number
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy())
-    )
+    total = d.agg(F.count("*").alias("n"))
+    ranked = global_row_number(d, ["doc_id"]).crossJoin(F.broadcast(total))
     split = F.when(
         F.col("rn") <= (F.lit(0.9) * F.col("n")).cast("bigint"), "train"
     ).otherwise("dev")
