@@ -338,3 +338,140 @@ def predict_text(text: str, model_name: str = "repos") -> list[dict]:
             }
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# eval-on-saved-predictions (reference Dataset(json_file, pred_file) +
+# evaluate_predictions, data/data_structures.py:51-62,404-441)
+
+SAVED_FLAT_SCHEMA = StructType(
+    [
+        StructField("doc_key", StringType()),
+        StructField("who", StringType()),    # 'gold' | 'pred'
+        StructField("kind", StringType()),   # 'ner'  | 'rel'
+        StructField("s", IntegerType()),
+        StructField("e", IntegerType()),
+        StructField("os", IntegerType()),
+        StructField("oe", IntegerType()),
+        StructField("label", StringType()),
+    ]
+)
+
+
+def _flatten_merged_docs(merged: DataFrame) -> DataFrame:
+    """merged(doc_key, js, predicted_js) -> typed mention/relation rows
+    (doc-level HALF-OPEN spans; SciERC stores inclusive ends)."""
+    import json as _json
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SAVED_FLAT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                doc = _json.loads(r.js)
+                doc.update(_json.loads(r.predicted_js or "{}"))
+                for who, nk, rk in (
+                    ("gold", "ner", "relations"),
+                    ("pred", "predicted_ner", "predicted_relations"),
+                ):
+                    for sent in doc.get(nk) or []:
+                        for s, e, t in sent:
+                            rows.append(
+                                (r.doc_key, who, "ner", s, e + 1, None, None, t)
+                            )
+                    for sent in doc.get(rk) or []:
+                        for ss, se, os_, oe, label in sent:
+                            rows.append(
+                                (r.doc_key, who, "rel", ss, se + 1, os_, oe + 1, label)
+                            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return merged.mapInPandas(gen, SAVED_FLAT_SCHEMA)
+
+
+def evaluate_saved(
+    spark: SparkSession, gold_jsonl: str, pred_jsonl: str
+) -> dict[str, dict[str, float]]:
+    """Score a SAVED prediction file against gold docs — the reference's
+    ``Dataset(json_file, pred_file)`` load (predicted_* keys overlay gold,
+    via the real overlay_predictions join) followed by
+    ``evaluate_predictions``: NER (span+label), relation (span-pair +
+    label), and strict relation (relation matched AND both argument spans
+    among correctly-predicted mentions; membership span-only).
+
+    Returns ``{"ner": {...}, "relation": {...}, "strict_relation": {...}}``
+    with precision/recall/f1 each (compute_f1 semantics; set-deduped —
+    duplicate annotations count once)."""
+    import json as _json
+
+    from .io.sources import overlay_predictions
+
+    with open(gold_jsonl) as f:
+        gold_docs = [_json.loads(x) for x in f if x.strip()]
+    with open(pred_jsonl) as f:
+        pred_docs = [_json.loads(x) for x in f if x.strip()]
+    gold = spark.createDataFrame(
+        [(d["doc_key"], _json.dumps(d)) for d in gold_docs],
+        "doc_key string, js string",
+    )
+    pred = spark.createDataFrame(
+        [
+            (
+                d["doc_key"],
+                _json.dumps({k: v for k, v in d.items() if "predicted" in k}),
+            )
+            for d in pred_docs
+        ],
+        "doc_key string, predicted_js string",
+    )
+    merged = overlay_predictions(
+        gold.withColumn("predicted_js", F.lit("{}")), pred, key="doc_key"
+    )
+    flat = _flatten_merged_docs(merged).localCheckpoint(eager=True)
+
+    def side(who, kind):
+        return flat.filter((F.col("who") == who) & (F.col("kind") == kind))
+
+    ner_key = ["doc_key", "s", "e", "label"]
+    f1_n, p_n, r_n = _prf(side("pred", "ner"), side("gold", "ner"), ner_key)
+
+    rel_key = ["doc_key", "s", "e", "os", "oe", "label"]
+    f1_r, p_r, r_r = _prf(side("pred", "rel"), side("gold", "rel"), rel_key)
+
+    # strict: relation matched + both arg SPANS among correct mentions
+    correct_ner = side("pred", "ner").join(
+        side("gold", "ner").select(*ner_key), on=ner_key, how="left_semi"
+    )
+    matched_rel = (
+        side("pred", "rel").select(*rel_key).distinct()
+        .join(side("gold", "rel").select(*rel_key).distinct(), on=rel_key, how="left_semi")
+    )
+    sub_ok = correct_ner.select("doc_key", "s", "e").distinct()
+    obj_ok = correct_ner.select(
+        "doc_key", F.col("s").alias("os"), F.col("e").alias("oe")
+    ).distinct()
+    strict_hits = matched_rel.join(
+        sub_ok, on=["doc_key", "s", "e"], how="left_semi"
+    ).join(obj_ok, on=["doc_key", "os", "oe"], how="left_semi")
+    counts = (
+        side("pred", "rel").select(*rel_key).distinct()
+        .withColumn("t", F.lit("p"))
+        .unionByName(side("gold", "rel").select(*rel_key).distinct().withColumn("t", F.lit("g")))
+        .unionByName(strict_hits.withColumn("t", F.lit("s")))
+        .agg(
+            F.sum(F.when(F.col("t") == "p", 1).otherwise(0)).alias("n_pred"),
+            F.sum(F.when(F.col("t") == "g", 1).otherwise(0)).alias("n_gold"),
+            F.sum(F.when(F.col("t") == "s", 1).otherwise(0)).alias("n_strict"),
+        )
+        .collect()[0]
+    )
+    f1_s, p_s, r_s = _f1_from_counts(counts.n_pred, counts.n_gold, counts.n_strict)
+
+    def d(f1, p, r):
+        return {"precision": round(p, 4), "recall": round(r, 4), "f1": round(f1, 4)}
+
+    return {
+        "ner": d(f1_n, p_n, r_n),
+        "relation": d(f1_r, p_r, r_r),
+        "strict_relation": d(f1_s, p_s, r_s),
+    }

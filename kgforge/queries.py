@@ -1039,7 +1039,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     LSH variant approximates (inverted-index join on shingle), with a
     document-frequency cap on the join key (NGRAM_DF_CAP) so one hot
     shingle cannot make the self-join quadratic."""
-    raw = _shingles_df(spark, sf_dir)
+    # checkpoint the RAW shingle table once; the hot-key set and the
+    # anti-joined kept set both derive from it (the r2 first cut
+    # recomputed the explode three times — 2.6x the query wall)
+    raw = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
     hot = (
         raw.groupBy("sh")
         .agg(F.count("*").alias("df"))
@@ -1048,9 +1051,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     # hot set is tiny by construction (few keys exceed the cap) ->
     # broadcast anti-join; no shuffle of the shingle table for the filter
-    sh = raw.join(F.broadcast(hot), on="sh", how="left_anti").localCheckpoint(
-        eager=True
-    )
+    sh = raw.join(F.broadcast(hot), on="sh", how="left_anti")
     pair = (
         sh.alias("a")
         .join(

@@ -69,3 +69,70 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_triple_counts(
+    triples_stream: DataFrame,
+    ts_col: str = "event_time",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed triple-rate aggregation with late-data handling:
+    per (window, pred) counts, watermarked so state is bounded — rows later
+    than ``watermark`` are dropped (counted by the sink's streaming
+    metrics, never silently lost in-window).  Append output mode: a window
+    emits once, when the watermark passes it."""
+    from pyspark.sql import functions as F
+
+    return (
+        triples_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "pred")
+        .agg(F.count("*").alias("n_triples"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "pred",
+            "n_triples",
+        )
+    )
+
+
+def streaming_first_seen(
+    keyed_stream: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup: emit each key the first time it is
+    ever seen, suppress all later arrivals — the streaming counterpart of
+    the exact-dedup modality (a custom stateful operator via
+    applyInPandasWithState; state = one empty marker per key, so state
+    size is O(distinct keys), the minimum any exact dedup can hold)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    keys = key_cols or ["content_sha"]
+    out_schema = ", ".join(f"{k} string" for k in keys) + ", first_seen boolean"
+    state_schema = "seen boolean"
+
+    def fn(key, pdf_iter, state):
+        if not state.exists:
+            state.update((True,))
+            emit = True
+        else:
+            emit = False
+        for _ in pdf_iter:  # drain (values unused: key identity is the event)
+            pass
+        if emit:
+            yield pd.DataFrame([{**dict(zip(keys, key)), "first_seen": True}])
+        else:
+            yield pd.DataFrame(
+                [], columns=[*keys, "first_seen"]
+            ).astype({"first_seen": bool})
+
+    return keyed_stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

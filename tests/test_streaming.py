@@ -49,3 +49,87 @@ def test_stream_resume_exactly_once(spark, tmp_path):
     total = spark.read.parquet(str(out)).count()
     batch_total = extract_pipeline(spark.createDataFrame(rows), "fused").count()
     assert total == batch_total
+
+
+def test_windowed_triple_counts_watermark(spark, tmp_path):
+    """Event-time windowed counts with watermark: windows close when the
+    watermark passes; per-(window, pred) counts match a batch groupBy."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kgforge.streaming import windowed_triple_counts
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    # two 10-min windows of triples, then a far-future row to advance the
+    # watermark past both
+    for i in range(40):
+        rows.append(
+            {"pred": "USED-FOR" if i % 2 else "PART-OF",
+             "event_time": (base + dt.timedelta(minutes=i % 20)).isoformat()}
+        )
+    rows.append({"pred": "USED-FOR",
+                 "event_time": (base + dt.timedelta(hours=6)).isoformat()})
+    inp = tmp_path / "in"
+    _write_json_files(rows, inp, per_file=10)
+
+    stream = (
+        spark.readStream.schema("pred string, event_time string")
+        .format("json").load(str(inp))
+        .withColumn("event_time", F.to_timestamp("event_time"))
+    )
+    out = windowed_triple_counts(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("win_counts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start.isoformat(), r.pred): r.n_triples
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # the two closed windows carry 10 rows per pred each
+    assert got[("2026-01-01T00:00:00", "USED-FOR")] == 10
+    assert got[("2026-01-01T00:00:00", "PART-OF")] == 10
+    assert got[("2026-01-01T00:10:00", "USED-FOR")] == 10
+    assert got[("2026-01-01T00:10:00", "PART-OF")] == 10
+    # the far-future window is NOT emitted (watermark has not passed it)
+    assert all(ws.startswith("2026-01-01T00:") for ws, _ in got)
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Cross-micro-batch exact dedup: a key emits exactly once across ALL
+    batches (state persists in the checkpoint between availableNow runs)."""
+    from kgforge.streaming import streaming_first_seen
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    _write_json_files(
+        [{"content_sha": f"sha{i % 7}"} for i in range(30)], inp, per_file=5
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema("content_sha string")
+            .option("maxFilesPerTrigger", 1)
+            .format("json").load(str(inp))
+        )
+        q = (
+            streaming_first_seen(stream).writeStream.format("parquet")
+            .option("path", str(out)).outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = [r.content_sha for r in spark.read.parquet(str(out)).collect()]
+    assert sorted(got) == sorted({f"sha{i}" for i in range(7)})
+
+    # late re-arrivals of the same keys: suppressed by the persisted state
+    _write_json_files(
+        [{"content_sha": f"sha{i % 7}"} for i in range(7)], inp, prefix="late"
+    )
+    drain()
+    got2 = [r.content_sha for r in spark.read.parquet(str(out)).collect()]
+    assert sorted(got2) == sorted(got)
