@@ -197,3 +197,46 @@ def merge_mentions(local: DataFrame, propagated: DataFrame) -> DataFrame:
         .unionByName(propagated.select(*cols))
         .dropDuplicates(key)
     )
+
+
+def cross_ner_mentions(
+    units: DataFrame, mentions: DataFrame, k: int = 1
+) -> DataFrame:
+    """Full cross-sentence mention set for the RELATIONAL pipeline
+    (reference use_cross_ner, data/utils.py:165-191): locally-detected
+    mentions plus propagated neighbor-surface occurrences, re-keyed with a
+    fresh per-unit ``m_id`` (pair enumeration excludes self-pairs by m_id,
+    so ids must stay unique after the merge).
+
+    ``mentions`` is the explode_mentions schema (repo, path, commit,
+    unit_id, content_sha, text, m_id, start, end, ent_type:int)."""
+    toks = F.split(F.trim("text"), "\\s+")
+    with_surface = mentions.withColumn(
+        "surface",
+        F.array_join(
+            F.slice(toks, F.col("start") + 1, F.col("end") - F.col("start")), " "
+        ),
+    )
+    prop = propagate_mentions(
+        units.select("repo", "path", "unit_id", "text"),
+        with_surface.select("repo", "path", "unit_id", "surface", "ent_type"),
+        k=k,
+    )
+    unit_meta = units.select(
+        "repo", "path", "unit_id", "commit", "content_sha", "text"
+    )
+    cols = ["repo", "path", "commit", "unit_id", "content_sha", "text",
+            "start", "end", "ent_type"]
+    prop_full = prop.join(unit_meta, on=["repo", "path", "unit_id"]).select(*cols)
+    key = ["repo", "path", "unit_id", "start", "end", "ent_type"]
+    merged = (
+        mentions.select(*cols)
+        .unionByName(prop_full)
+        .dropDuplicates(key)
+    )
+    w = Window.partitionBy("repo", "path", "unit_id").orderBy(
+        "start", "end", "ent_type"
+    )
+    return merged.withColumn(
+        "m_id", (F.row_number().over(w) - 1).cast("int")
+    )

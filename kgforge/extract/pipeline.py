@@ -19,6 +19,7 @@ def extract_pipeline(
     strategy: str = "fused",
     model_name: str = "repos",
     context_window: int = 0,
+    cross_ner: bool = False,
 ) -> DataFrame:
     """repos(repo, path, commit, lang, content) -> triples.
 
@@ -38,6 +39,10 @@ def extract_pipeline(
     84-116); implies the staged path (the window needs the unit table).
     k=0 is bit-identical to the plain pipeline (tested).
     """
+    if cross_ner and (strategy != "relational" or context_window > 0):
+        raise ValueError("cross_ner requires strategy='relational' and "
+                         "context_window=0 (mentions must be materialized "
+                         "to propagate)")
     if context_window > 0:
         from .context import extract_triples_fused_ctx
 
@@ -51,6 +56,12 @@ def extract_pipeline(
     if strategy == "relational":
         tagged = tag_mentions(units, model_name)
         mentions = explode_mentions(tagged)
+        if cross_ner:
+            # reference use_cross_ner (data/utils.py:165-191): neighbor
+            # surfaces merged into the mention set before pairing
+            from .context import cross_ner_mentions
+
+            mentions = cross_ner_mentions(units, mentions, k=1)
         pairs = pair_relational(mentions, model_name)
         return classify_pairs(pairs, model_name)
     raise ValueError(f"unknown strategy: {strategy}")

@@ -128,3 +128,42 @@ def test_propagated_spans_valid(spark, units):
     for r in joined:
         assert 0 <= r.start < r.end <= len(r.toks)
         assert " ".join(r.toks[r.start : r.end]).lower() == r.surface.lower()
+
+
+def test_cross_ner_pipeline_superset(spark):
+    """cross_ner=True merges propagated neighbor-surface mentions before
+    pairing: the triple set is a superset of the plain relational path,
+    and on the fixture corpus (which plants nested lexicon variants like
+    'X' / 'X system') it strictly grows the mention set."""
+    import pytest as _pytest
+
+    from kgforge.extract.ner import explode_mentions, tag_mentions
+    from kgforge.extract.context import cross_ner_mentions
+    from kgforge.extract.pipeline import extract_pipeline
+
+    repos = spark.createDataFrame(gen_repo_rows(120)).localCheckpoint(eager=True)
+    plain = {
+        _key(r) for r in extract_pipeline(repos, "relational").collect()
+    }
+    crossed = {
+        _key(r)
+        for r in extract_pipeline(repos, "relational", cross_ner=True).collect()
+    }
+    assert crossed >= plain
+
+    u = extract_units(repos).localCheckpoint(eager=True)
+    local = explode_mentions(tag_mentions(u))
+    merged = cross_ner_mentions(u, local, k=1)
+    n_local, n_merged = local.count(), merged.count()
+    assert n_merged > n_local  # propagation found occurrences
+
+    # m_id stays unique per unit after the merge (pair enumeration relies
+    # on it for self-pair exclusion)
+    dup = (
+        merged.groupBy("repo", "path", "unit_id", "m_id")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+    with _pytest.raises(ValueError):
+        extract_pipeline(repos, "fused", cross_ner=True)
