@@ -3,9 +3,10 @@
 ``entry(spark)`` — flagship KG-construction query at sf0.001.
 ``queries()``   — one callable per implemented operator (SURVEY.md §2),
                   implemented in kgforge/queries.py.
-``oracle_sql()``— matching DuckDB SQL per query (omitted only for the
-                  iterative / UDF-plumbing ops: connected components,
-                  multimodal feature extraction).
+``oracle_sql()``— matching DuckDB SQL per query (r2: EVERY registered
+                  query has one, including connected components via a
+                  recursive CTE and multimodal feature extraction via a
+                  sha256 hex-nibble mirror of the fake decoder).
 """
 
 from __future__ import annotations
