@@ -166,3 +166,61 @@ def near_dup_pairs_explode(
     return j.filter(F.round("c", 6) >= threshold).select(
         "vec_a", "vec_b", F.round("c", 4).alias("cos_sim")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to their nearest centroid
+    (deterministic centroid set: the first ``n_centroids`` vec_ids after
+    the query), probe the query's ``n_probe`` nearest inverted lists, and
+    exact-rank only within the probed lists.
+
+    At scale the assignment is one broadcast crossJoin (centroids are tiny
+    by definition) + a max_by per vector — no shuffle of the vector table;
+    the probe step scans ~n_probe/n_centroids of the data.  Ties broken on
+    centroid id; ranks on round(cos, 6) + vec_id, as everywhere."""
+    e = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    cents = F.broadcast(
+        e.filter(
+            (F.col("vec_id") > query_vec_id)
+            & (F.col("vec_id") <= query_vec_id + n_centroids)
+        ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    scored = e.crossJoin(cents).select(
+        "vec_id", "v", "cid",
+        F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
+    )
+    # argmax centroid per vector: highest cos, then LOWEST cid
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(F.col("cid"), F.struct(F.col("cc"), -F.col("cid"))).alias("cid"),
+        F.first("v").alias("v"),
+    )
+    probe = (
+        assigned.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("v").alias("qv"))
+        .crossJoin(cents)
+        .select("cid", "qv", F.round(cosine_fold(F.col("qv"), F.col("cv")), 6).alias("cc"))
+        .orderBy(F.desc("cc"), "cid")
+        .limit(n_probe)
+    )
+    cand = assigned.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(probe.select("cid", "qv")), on="cid"
+    )
+    cos = cand.select(
+        "vec_id", "cid", cosine_fold(F.col("qv"), F.col("v")).alias("c")
+    )
+    w = Window.orderBy(F.desc(F.round("c", 6)), "vec_id")
+    return (
+        cos.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "vec_id", F.col("cid").cast("bigint").alias("cid"),
+            F.round("c", 4).alias("cos_sim"), "rnk",
+        )
+    )

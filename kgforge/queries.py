@@ -1710,3 +1710,109 @@ def kg_label_prf(spark, sf_dir):
             F.sum(F.col("is_p") * F.col("is_g")) / (F.sum("is_g") + F.lit(1e-8)), 4
         ).alias("recall_"),
     )
+
+
+# ---------- IVF ANN, quality filter, BPE-ish tokenizer (round 2) ----------
+
+@register(
+    "ann_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROUND(list_cosine_similarity(e.v, c.cv), 6) AS cc
+      FROM e, cents c),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    probe AS (SELECT cid FROM scored WHERE vec_id = 0 ORDER BY cc DESC, cid LIMIT 2),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT a.vec_id, a.cid, list_cosine_similarity(a.v, q.qv) AS c
+      FROM assigned a JOIN probe p ON a.cid = p.cid, q
+      WHERE a.vec_id <> 0)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid, ROUND(c, 4) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(c, 6) DESC, vec_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 10
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (functions/similarity.ivf_topk): coarse-quantize to
+    the nearest of 8 deterministic centroids, probe the query's 2 nearest
+    inverted lists, exact-rank within them.  The scale path between
+    brute-force (ann_cosine_topk) and pure LSH bucketing (ann_lsh_bucket):
+    assignment is a broadcast crossJoin + max_by, probing scans
+    ~n_probe/n_centroids of the vectors."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_vec_id=0, k=10, n_centroids=8, n_probe=2,
+    )
+
+
+@register(
+    "text_quality_filter",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n,
+             len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
+             list_aggregate(list_transform(string_split(text, ' '),
+                                           t -> CAST(strlen(t) AS DOUBLE)), 'sum')
+               / len(string_split(text, ' ')) AS ml
+      FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(sr, 4) AS stop_ratio,
+           ROUND(ml, 4) AS mean_tok_len,
+           CASE WHEN n < 5 THEN 'too_short'
+                WHEN sr > 0.6 THEN 'stopword_heavy'
+                WHEN ml < 2.0 OR ml > 12.0 THEN 'weird_tokens'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN n < 5 THEN 'too_short'
+                WHEN sr > 0.6 THEN 'stopword_heavy'
+                WHEN ml < 2.0 OR ml > 12.0 THEN 'weird_tokens'
+                ELSE 'ok' END) = 'ok' AS keep
+    FROM f
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """Training-data quality gate (functions/quality.quality_flags):
+    per-doc keep/drop with the first-failing reason materialized — drops
+    attributable, countable via drop_stats, never silent."""
+    from .functions.quality import quality_flags
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_flags(d).select(
+        "doc_id", "n_tokens", "stop_ratio", "mean_tok_len", "reason", "keep"
+    )
+
+
+@register(
+    "token_counts_bpe",
+    r"""
+    WITH t AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+      FROM documents)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok
+    """,
+)
+def token_counts_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenization wordcount (GPT-2-style split: letter runs
+    | digit runs | single punctuation) — the vocabulary-building primitive
+    over raw text, pure regexp (JVM-side), no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+    )
+    return (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -69,3 +69,41 @@ def test_broadcast_size_gate(spark):
     sp = via_shuffle._jdf.queryExecution().sparkPlan().toString()
     assert "BroadcastHashJoin" in bp
     assert "BroadcastHashJoin" not in sp
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    """IVF probes 2/8 lists: its hits must be a subset of candidates whose
+    exact cosine the brute-force path also computed, with identical cosine
+    values where they overlap, and ranks contiguous from 1."""
+    from kgforge.functions.similarity import ivf_topk
+
+    brute = {r.vec_id: r.cos_sim for r in cosine_topk(emb, k=50).collect()}
+    ivf = ivf_topk(emb, k=10).collect()
+    assert [r.rnk for r in ivf] == list(range(1, len(ivf) + 1))
+    overlap = [r for r in ivf if r.vec_id in brute]
+    assert len(overlap) >= 5  # 2/8 probe still recalls most near neighbors
+    for r in overlap:
+        assert r.cos_sim == brute[r.vec_id]
+
+
+def test_quality_filter_accounting(spark):
+    """Every doc gets exactly one reason; drop_stats partitions the corpus."""
+    from kgforge.functions.quality import drop_stats, quality_flags
+
+    d = spark.createDataFrame(
+        [
+            (1, "a the a the a the"),              # stopword_heavy
+            (2, "ok"),                              # too_short
+            (3, "spark query filters data stream fast"),   # ok
+            (4, "aaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbb cccccccccccccc dddddddddddddd eeeeeeeeeeeeee"),  # weird_tokens
+        ],
+        "doc_id long, text string",
+    )
+    f = quality_flags(d)
+    got = {r.doc_id: (r.keep, r.reason) for r in f.collect()}
+    assert got[1] == (False, "stopword_heavy")
+    assert got[2] == (False, "too_short")
+    assert got[3] == (True, "ok")
+    assert got[4] == (False, "weird_tokens")
+    stats = {r.reason: r.n_docs for r in drop_stats(f).collect()}
+    assert sum(stats.values()) == 4 and stats["ok"] == 1
