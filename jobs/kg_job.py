@@ -6,6 +6,7 @@
         --workdir /path/to/checkpoints \
         --output /path/to/kg_out \
         [--strategy fused] [--model repos] [--run-id r1]
+        [--context-window K] [--cross-ner] [--format parquet|json|csv|orc]
 
 Reads the repos table (parquet; Iceberg catalogs plug in via
 ``--input table:<name>`` when the runtime ships the Iceberg jar), runs
@@ -31,6 +32,15 @@ def main() -> None:
     ap.add_argument("--strategy", default="fused")
     ap.add_argument("--model", default="repos")
     ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--context-window", type=int, default=0,
+                    help="tag each unit with ±K neighbor sentences "
+                         "(reference config.yaml context_window)")
+    ap.add_argument("--cross-ner", action="store_true",
+                    help="propagate mention surfaces to neighbor units "
+                         "(requires --strategy relational)")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "json", "csv", "orc"],
+                    help="input file format when --input is a path")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,15 +51,15 @@ def main() -> None:
     # spark-submit owns master/conf; just get-or-create
     spark = SparkSession.builder.appName("kgforge-kg-job").getOrCreate()
 
-    if args.input.startswith("table:"):
-        repos = spark.read.table(args.input.split(":", 1)[1])
-    else:
-        repos = spark.read.parquet(args.input)
+    from kgforge.io.sources import read_repos
+
+    repos = read_repos(spark, args.input, fmt=args.format)
 
     t0 = time.monotonic()
     out = run_kg_pipeline(
         spark, repos, args.workdir, run_id=args.run_id,
         strategy=args.strategy, model_name=args.model,
+        context_window=args.context_window, cross_ner=args.cross_ner,
     )
     write_repaired(out["triples"], f"{args.output}/triples", ["repo", "path"])
     write_repaired(out["nodes"], f"{args.output}/nodes", ["canonical_id"])

@@ -23,23 +23,44 @@ def _validate(df: DataFrame) -> DataFrame:
     return df.select(*REPOS_COLUMNS)
 
 
+REPOS_DDL = ", ".join(f"{c} string" for c in REPOS_COLUMNS)
+
+
 def read_repos(
     spark: SparkSession,
     source: str,
     with_sha: bool = True,
     min_partitions: int | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Read the repos input table.
 
     source = ``table:<catalog.db.name>`` for an Iceberg/catalog table,
-    anything else is treated as a parquet path.  ``min_partitions``
-    guards against tiny local inputs collapsing to one scan split (the
-    single-split trap, docs/PLANS.md §2).
+    anything else is a file path read as ``fmt`` (parquet/json/csv/orc —
+    self-describing formats keep their schema; json/csv get the explicit
+    repos DDL so a typo'd column fails loudly instead of inferring).
+    ``min_partitions`` guards against tiny local inputs collapsing to one
+    scan split (the single-split trap, docs/PLANS.md §2).
     """
     if source.startswith("table:"):
         df = spark.read.table(source.split(":", 1)[1])
+    elif fmt in ("parquet", "orc"):
+        df = spark.read.format(fmt).load(source)
+    elif fmt == "json":
+        df = spark.read.schema(REPOS_DDL).json(source)
+    elif fmt == "csv":
+        # RFC-4180 quoting: content carries newlines and quotes
+        df = (
+            spark.read.schema(REPOS_DDL)
+            .option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(source)
+        )
     else:
-        df = spark.read.parquet(source)
+        raise ValueError(f"unsupported repos format: {fmt}")
     df = _validate(df)
     if min_partitions and df.rdd.getNumPartitions() < min_partitions:
         df = df.repartition(min_partitions)

@@ -136,6 +136,8 @@ def run_kg_pipeline(
     run_id: str = "run0",
     strategy: str = "fused",
     model_name: str = "repos",
+    context_window: int = 0,
+    cross_ner: bool = False,
 ) -> dict[str, DataFrame]:
     """The full checkpointed pipeline: repos -> triples -> canonical ->
     nodes/edges, each stage resumable."""
@@ -150,10 +152,19 @@ def run_kg_pipeline(
 
     runner = StageRunner(
         spark, workdir, run_id,
-        config={"strategy": strategy, "model_name": model_name},
+        config={
+            "strategy": strategy,
+            "model_name": model_name,
+            "context_window": context_window,
+            "cross_ner": cross_ner,
+        },
     )
     triples = runner.run(
-        "triples", lambda: extract_pipeline(repos, strategy, model_name)
+        "triples",
+        lambda: extract_pipeline(
+            repos, strategy, model_name,
+            context_window=context_window, cross_ner=cross_ner,
+        ),
     )
     canonical = runner.run("canonical", lambda: canonical_entities(triples))
     linked = runner.run("linked", lambda: attach_canonical_ids(triples, canonical))

@@ -78,3 +78,29 @@ def test_assemble_predict_json(spark):
     assert len(rows) == 1
     payload = json.loads(rows[0].payload)
     assert [r["subject"] for r in payload["relations"]] == ["a", "b"]  # sorted
+
+
+def test_read_repos_formats(spark, tmp_path):
+    """read_repos: same rows back from parquet, json, and csv inputs; sha
+    provenance attached; unknown format fails loudly."""
+    import pytest as _pytest
+
+    from kgforge.fixtures import gen_repo_rows
+    from kgforge.io.sources import read_repos
+
+    rows = gen_repo_rows(10)
+    df = spark.createDataFrame(rows).select("repo", "path", "commit", "lang", "content")
+    for fmt in ("parquet", "json", "csv"):
+        p = str(tmp_path / fmt)
+        w = df.write.mode("overwrite")
+        (w.option("header", True).option("escape", '"')
+         .option("ignoreLeadingWhiteSpace", False)
+         .option("ignoreTrailingWhiteSpace", False).csv(p)
+         if fmt == "csv" else getattr(w, fmt)(p))
+        back = read_repos(spark, p, fmt=fmt)
+        assert "content_sha" in back.columns
+        got = sorted((r.repo, r.path, r.content) for r in back.collect())
+        want = sorted((r["repo"], r["path"], r["content"]) for r in rows)
+        assert got == want, fmt
+    with _pytest.raises(ValueError):
+        read_repos(spark, str(tmp_path / "x"), fmt="avro")
