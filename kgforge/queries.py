@@ -769,14 +769,17 @@ def q_daily_active(spark, sf_dir):
     """,
 )
 def q_mktsegment_share(spark, sf_dir):
-    """Aggregate + window-over-aggregate (share-of-total pattern)."""
+    """Aggregate + share-of-total.  The total is a broadcast 1-row agg, not
+    a Window.partitionBy() — an empty-partition window funnels ALL group
+    rows through one task (fine at 5 segments, a scale killer at millions
+    of groups; same family as the r1 q_train_split finding)."""
     c = _t(spark, sf_dir, "customer")
     agg = c.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
-    total = Window.partitionBy()
-    return agg.select(
+    total = agg.agg(F.sum("n").cast("double").alias("tot"))
+    return agg.crossJoin(F.broadcast(total)).select(
         "c_mktsegment",
         "n",
-        F.round(F.col("n") / F.sum("n").over(total).cast("double"), 4).alias("share"),
+        F.round(F.col("n") / F.col("tot"), 4).alias("share"),
     )
 
 
