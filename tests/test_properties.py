@@ -79,3 +79,46 @@ def test_rank_pairs_bounded_and_ordered(tokens, k):
     assert len(pairs) <= max(0, n * n - n)
     scores = [p[2] for p in pairs]
     assert scores == sorted(scores, reverse=True)
+
+
+# --- round 2: subarray-position expression vs python reference ----------
+
+def _py_subarray_positions(toks, pat):
+    if not pat or len(pat) > len(toks):
+        return []
+    tl = [t.lower() for t in toks]
+    pl = [p.lower() for p in pat]
+    m = len(pl)
+    return [i for i in range(len(tl) - m + 1) if tl[i : i + m] == pl]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "ab", "B", "x"]), min_size=0, max_size=12),
+    pat=st.lists(st.sampled_from(["a", "b", "ab", "B"]), min_size=1, max_size=4),
+)
+def test_subarray_positions_matches_reference(spark, toks, pat):
+    """_subarray_positions (pure Spark expressions) == the reference python
+    scan (find_subarray_position analog) for arbitrary token/pattern
+    combos including overlaps, case variants, and pattern > input."""
+    from pyspark.sql import functions as F
+
+    from kgforge.extract.context import _subarray_positions
+
+    df = spark.createDataFrame([(toks, pat)], "toks array<string>, pat array<string>")
+    got = df.select(
+        _subarray_positions(F.col("toks"), F.col("pat")).alias("p")
+    ).collect()[0].p
+    assert list(got or []) == _py_subarray_positions(toks, pat)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60, unique=True))
+def test_global_rank_property(spark, vals):
+    """Two-pass rank == sorted-position rank for any unique key set."""
+    from kgforge.functions.ranks import global_row_number
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    got = {r.k: r.rn for r in global_row_number(df, ["k"], num_partitions=4).collect()}
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == want
