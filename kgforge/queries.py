@@ -1728,6 +1728,74 @@ def kg_label_prf(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_resolve_clusters",
+    _sql_minhash().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , hot1 AS (SELECT s0, s1 FROM sig GROUP BY s0, s1 HAVING COUNT(*) > 64),
+    hot2 AS (SELECT s2, s3 FROM sig GROUP BY s2, s3 HAVING COUNT(*) > 64),
+    k1 AS (SELECT s.* FROM sig s ANTI JOIN hot1 h ON s.s0 = h.s0 AND s.s1 = h.s1),
+    k2 AS (SELECT s.* FROM sig s ANTI JOIN hot2 h ON s.s2 = h.s2 AND s.s3 = h.s3),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM k1 a JOIN k1 b ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM k2 a JOIN k2 b ON a.s2 = b.s2 AND a.s3 = b.s3 AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN shingle sa ON sa.doc_id = c.doc_a
+      JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+      JOIN counts na ON c.doc_a = na.doc_id
+      JOIN counts nb ON c.doc_b = nb.doc_id
+      WHERE s.shared / (na.n + nb.n - s.shared + 1e-12) >= 0.5
+    ),
+    verts AS (SELECT doc_a AS v FROM dup UNION SELECT doc_b FROM dup),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+            UNION SELECT doc_b, doc_a FROM dup),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS keep_doc FROM reach GROUP BY a)
+    SELECT keep_doc, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM labels GROUP BY keep_doc
+    """,
+)
+def dedup_resolve_clusters(spark, sf_dir):
+    """Dedup RESOLUTION — the end-step every near-dup pipeline needs:
+    verified near-dup pairs -> connected components (the REAL
+    pointer-jumping CC of link/cc.py) -> one retained representative per
+    cluster (min doc_id) + drop accounting.  Oracle: recursive-CTE
+    transitive closure."""
+    from .link.cc import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    verts = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(verts, pairs, vertex_col="doc_id")
+    return labels.groupBy(F.col("canonical_id").alias("keep_doc")).agg(
+        F.count("*").alias("cluster_size"),
+        (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
 # ---------- IVF ANN, quality filter, BPE-ish tokenizer (round 2) ----------
 
 @register(
