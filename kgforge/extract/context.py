@@ -59,8 +59,12 @@ def with_context(units: DataFrame, k: int) -> DataFrame:
         .orderBy("unit_id")
         .rowsBetween(-k, -1)
     )
-    # same token rule as tokenize() == str.split(): trim + collapse runs
-    n_toks = F.size(F.split(F.trim("text"), "\\s+"))
+    # same token rule as tokenize() == str.split(): trim + collapse runs;
+    # null/empty text is ZERO tokens (split('') yields [''] -> size 1,
+    # which would shift every downstream span by one per empty neighbor)
+    n_toks = F.when(
+        F.length(F.trim(F.coalesce("text", F.lit("")))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), "\\s+")))
     return units.withColumn(
         "ctx_text", F.concat_ws(" ", F.collect_list("text").over(w))
     ).withColumn(

@@ -167,3 +167,24 @@ def test_cross_ner_pipeline_superset(spark):
 
     with _pytest.raises(ValueError):
         extract_pipeline(repos, "fused", cross_ner=True)
+
+
+def test_with_context_empty_and_null_neighbors(spark):
+    """Empty/null neighbor texts contribute ZERO tokens to n_left —
+    split('') yields [''] (size 1) and would shift every span by one."""
+    rows = [
+        ("r", "p", "c", "s", 0, "k", "a b"),
+        ("r", "p", "c", "s", 1, "k", ""),        # empty
+        ("r", "p", "c", "s", 2, "k", None),      # null
+        ("r", "p", "c", "s", 3, "k", "d e"),
+    ]
+    u = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, content_sha string,"
+        " unit_id long, kind string, text string",
+    )
+    got = {r.unit_id: r.n_left for r in with_context(u, 1).collect()}
+    assert got[0] == 0
+    assert got[1] == 2   # left neighbor 'a b'
+    assert got[2] == 0   # left neighbor is empty -> zero tokens
+    assert got[3] == 0   # left neighbor is null  -> zero tokens
