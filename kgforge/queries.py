@@ -986,6 +986,40 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_bucket_stats",
+    _sql_minhash()
+    + """
+    , b1 AS (SELECT COUNT(*) AS n FROM sig GROUP BY s0, s1),
+    b2 AS (SELECT COUNT(*) AS n FROM sig GROUP BY s2, s3),
+    bu AS (SELECT n, 1 AS band FROM b1 UNION ALL SELECT n, 2 FROM b2)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+    FROM bu GROUP BY band
+    """,
+)
+def dedup_minhash_bucket_stats(spark, sf_dir):
+    """Band-bucket accounting for the MinHash cap ('no silent caps'): per
+    band, bucket count, the largest bucket, and how many exceed
+    MAX_BUCKET=64 (those are excluded from candidate pairing in
+    dedup_minhash_pairs, mirrored in its oracle)."""
+    sig = _minhash_df(spark, sf_dir).localCheckpoint(eager=True)
+    out = None
+    for band, cols in ((1, ["s0", "s1"]), (2, ["s2", "s3"])):
+        g = sig.groupBy(*cols).agg(F.count("*").alias("n")).agg(
+            F.lit(band).cast("bigint").alias("band"),
+            F.count("*").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(F.col("n") > 64, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_capped"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+@register(
     "dedup_simhash",
     f"""
     WITH {SQL_SHINGLES},

@@ -40,3 +40,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """partitionBy layout + filter on the partition column == partition
+    pruning at the scan (PartitionFilters populated, pushed to zero
+    non-matching directories)."""
+    from kgforge.graph.materialize import write_partitioned
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("ent_type")
+    )
+    p = str(tmp_path / "nodes")
+    write_partitioned(df, p, ["ent_type"])
+    back = spark.read.parquet(p).filter(F.col("ent_type") == "2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "ent_type" in plan.split("PartitionFilters:")[1][:120]
+    assert back.count() == 250
