@@ -1934,3 +1934,74 @@ def token_counts_bpe(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# ---------- KG consumption queries (what a graph user runs after
+# materialization: degree profile, multi-hop traversal) ----------
+
+_SQL_EDGES = SQL_TRIPLES + """
+    , edges AS (
+      SELECT md5(subj || ':' || subj_type) AS src,
+             md5(obj || ':' || obj_type) AS dst,
+             pred, COUNT(*) AS weight
+      FROM triples GROUP BY 1, 2, 3
+    )
+"""
+
+
+@register(
+    "kg_degree_distribution",
+    _SQL_EDGES
+    + """
+    , deg AS (
+      SELECT v, SUM(d) AS degree FROM (
+        SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src
+        UNION ALL
+        SELECT dst, COUNT(*) FROM edges GROUP BY dst
+      ) GROUP BY v)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def kg_degree_distribution(spark, sf_dir):
+    """Degree histogram over the materialized graph — the first sanity
+    query on any KG (hub detection feeds the salting/skew story)."""
+    e = kg_edges(spark, sf_dir)
+    deg = (
+        e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
+        .groupBy("v")
+        .agg(F.sum("d").alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+@register(
+    "kg_two_hop",
+    _SQL_EDGES
+    + """
+    SELECT a.pred AS pred_ab, b.pred AS pred_bc,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT a.src) AS BIGINT) AS n_src
+    FROM edges a JOIN edges b ON a.dst = b.src AND a.src <> b.dst
+    GROUP BY 1, 2
+    """,
+)
+def kg_two_hop(spark, sf_dir):
+    """Two-hop traversal (A -[p1]-> B -[p2]-> C, no immediate backtrack):
+    per relation-pair path counts — the motif-count primitive.  Scale
+    note: the hop join shuffles on the shared vertex; hub vertices are
+    exactly the skew the AQE skew-join test + salting pattern cover."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    a = e.select(F.col("src").alias("a_src"), F.col("dst").alias("mid"),
+                 F.col("pred").alias("pred_ab"))
+    b = e.select(F.col("src").alias("mid"), F.col("dst").alias("b_dst"),
+                 F.col("pred").alias("pred_bc"))
+    paths = a.join(b, on="mid").filter(F.col("a_src") != F.col("b_dst"))
+    return paths.groupBy("pred_ab", "pred_bc").agg(
+        F.count("*").alias("n_paths"),
+        F.countDistinct("a_src").alias("n_src"),
+    )
