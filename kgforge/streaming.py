@@ -136,3 +136,84 @@ def streaming_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_incremental_graph(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    model_name: str = "repos",
+) -> None:
+    """Continuous KG maintenance: stream repo files -> triples; per
+    micro-batch, EVOLVE the canonical entity dim and fold delta
+    nodes/edges into the persisted graph (graph/merge.merge_graph — novel
+    surfaces extend the dim, history migrates through the relabel map).
+
+    State layout (resume- and replay-safe):
+      state_dir/epoch=N/{nodes,edges,canonical}/  + _COMPLETE marker
+      state_dir/_LATEST  -> N                      (atomic rename)
+
+    The stream checkpoint gives at-least-once per micro-batch on restart;
+    replays are absorbed by the epoch _COMPLETE marker (an already-merged
+    epoch is skipped, not merged twice).  Reading the previous epoch and
+    writing the next one never overwrites what is being read."""
+    import os
+
+    from .extract.rel import extract_triples_onepass
+    from .graph.merge import merge_graph
+
+    def _latest() -> int | None:
+        p = os.path.join(state_dir, "_LATEST")
+        if not os.path.exists(p):
+            return None
+        return int(open(p).read().strip())
+
+    def _set_latest(epoch: int) -> None:
+        tmp = os.path.join(state_dir, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(epoch))
+        os.replace(tmp, os.path.join(state_dir, "_LATEST"))
+
+    def upsert(batch_df, epoch_id: int) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        edir = os.path.join(state_dir, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(edir, "_COMPLETE")):
+            return  # replayed batch after restart: already merged
+        delta = extract_triples_onepass(batch_df, model_name)
+        prev = _latest()
+        if prev is None:
+            nodes = edges = canonical = None
+        else:
+            pdir = os.path.join(state_dir, f"epoch={prev}")
+            nodes = spark.read.parquet(os.path.join(pdir, "nodes"))
+            edges = spark.read.parquet(os.path.join(pdir, "edges"))
+            canonical = spark.read.parquet(os.path.join(pdir, "canonical"))
+        n, e, c = merge_graph(nodes, edges, canonical, delta)
+        n.write.mode("overwrite").parquet(os.path.join(edir, "nodes"))
+        e.write.mode("overwrite").parquet(os.path.join(edir, "edges"))
+        c.write.mode("overwrite").parquet(os.path.join(edir, "canonical"))
+        open(os.path.join(edir, "_COMPLETE"), "w").close()
+        _set_latest(epoch_id)
+
+    q = (
+        read_repo_stream(spark, input_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_graph_state(spark: SparkSession, state_dir: str):
+    """(nodes, edges, canonical) of the latest completed epoch."""
+    import os
+
+    latest = int(open(os.path.join(state_dir, "_LATEST")).read().strip())
+    edir = os.path.join(state_dir, f"epoch={latest}")
+    return (
+        spark.read.parquet(os.path.join(edir, "nodes")),
+        spark.read.parquet(os.path.join(edir, "edges")),
+        spark.read.parquet(os.path.join(edir, "canonical")),
+    )

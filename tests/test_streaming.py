@@ -133,3 +133,41 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     drain()
     got2 = [r.content_sha for r in spark.read.parquet(str(out)).collect()]
     assert sorted(got2) == sorted(got)
+
+
+def test_incremental_graph_stream_equals_batch(spark, tmp_path):
+    """Streamed per-micro-batch graph maintenance (dim evolution + merge)
+    converges to the one-shot materialization of the full corpus, and a
+    second drain with no new input changes nothing (replay-safe)."""
+    from kgforge.graph.materialize import materialize_graph
+    from kgforge.streaming import read_graph_state, run_incremental_graph
+
+    rows = gen_repo_rows(50)
+    inp = tmp_path / "in"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json_files(rows, inp, per_file=25)  # 2 files -> 2 micro-batches
+
+    run_incremental_graph(spark, str(inp), state, ckpt)
+    nodes_s, edges_s, _ = read_graph_state(spark, state)
+
+    full = extract_pipeline(spark.createDataFrame(rows), "fused")
+    nodes_f, edges_f = materialize_graph(full)
+
+    key_e = lambda r: (r.src, r.dst, r.pred, r.weight)  # noqa: E731
+    assert sorted(map(key_e, edges_s.collect())) == sorted(
+        map(key_e, edges_f.collect())
+    )
+    key_n = lambda r: (  # noqa: E731
+        r.canonical_id, r.ent_type, tuple(r.surface_forms), r.mention_count
+    )
+    assert sorted(map(key_n, nodes_s.collect())) == sorted(
+        map(key_n, nodes_f.collect())
+    )
+
+    # drain again with no new files: state unchanged
+    import os
+
+    latest_before = open(os.path.join(state, "_LATEST")).read()
+    run_incremental_graph(spark, str(inp), state, ckpt)
+    assert open(os.path.join(state, "_LATEST")).read() == latest_before
