@@ -1,0 +1,126 @@
+"""Relation-classifier seam (M4) — the REAL batched-inference path,
+code-complete behind the same import gate as OnnxEncoder.
+
+Mirrors the reference's second PLM pass (models/re_model.py:165-851):
+the input sequence carries TYPED entity markers (core/markers.py), one
+forward per Arrow micro-batch scores every candidate pair, argmax over
+(rel_num + 1) classes with 0 = NA.  The session contract:
+
+    run(None, {"input_ids": int64[b, s], "attention_mask": int64[b, s],
+               "pair_pos": int64[b, 2]})
+        -> [logits float32[b, rel_num + 1]]
+
+where pair_pos holds the marked-space start positions of the subject and
+object START markers (the reference pools marker embeddings for the pair
+head).  No onnxruntime wheel ships in this sandbox, so the live pipeline
+uses the surrogate; the batching/marker layout here is covered by
+stub-session tests (tests/test_markers.py).
+"""
+
+from __future__ import annotations
+
+from ..core.markers import insert_typed_markers
+from ..core.vocab import NUM_ENT_TYPES
+
+Mention = tuple[int, int, int]
+
+
+class OnnxRelClassifier:
+    PAD_TOKEN = "[PAD]"
+    UNK_TOKEN = "[UNK]"
+
+    def __init__(
+        self,
+        model_path: str | None = None,
+        vocab: dict[str, int] | None = None,
+        session=None,
+        max_seq_len: int = 402,
+    ):
+        if session is None:
+            try:
+                import onnxruntime  # noqa: F401
+            except ImportError as e:  # pragma: no cover - wheel absent here
+                raise NotImplementedError(
+                    "onnxruntime is not installed in this environment; "
+                    "OnnxRelClassifier is code-complete but can only run "
+                    "where the wheel exists. Use the surrogate instead."
+                ) from e
+            session = onnxruntime.InferenceSession(model_path)  # pragma: no cover
+        self.session = session
+        self.vocab = dict(vocab) if vocab else {}
+        self.max_seq_len = max_seq_len
+        # reserved ids (same contract as OnnxEncoder) + a marker block of
+        # 2 * NUM_ENT_TYPES ids appended after the vocab
+        for tok in (self.PAD_TOKEN, self.UNK_TOKEN):
+            if tok not in self.vocab:
+                self.vocab[tok] = (
+                    max(self.vocab.values()) + 1 if self.vocab else len(self.vocab)
+                )
+        self.pad_id = self.vocab[self.PAD_TOKEN]
+        self.unk_id = self.vocab[self.UNK_TOKEN]
+        self.marker_base = max(self.vocab.values()) + 1
+        self.embedding_rows = self.marker_base + 2 * NUM_ENT_TYPES
+
+    def _encode(self, marked: list[str]) -> list[int]:
+        from ..core.markers import marker_id
+
+        ids = []
+        for t in marked[: self.max_seq_len]:
+            if t.startswith("<E:") or t.startswith("</E:"):
+                from ..core.vocab import ENT_TYPES
+
+                is_end = t.startswith("</")
+                name = t.split(":", 1)[1].rstrip(">")
+                ids.append(marker_id(ENT_TYPES.index(name), is_end, self.marker_base))
+            else:
+                ids.append(self.vocab.get(t.lower(), self.unk_id))
+        assert all(i < self.embedding_rows for i in ids)
+        return ids
+
+    def classify_batch(
+        self,
+        token_lists: list[list[str]],
+        mention_lists: list[list[Mention]],
+        pairs: list[tuple[int, int, int]],  # (unit_ix, sub_ix, obj_ix)
+    ) -> list[int]:
+        """Return rel_id + 1 per pair (0 = NA), one forward for the batch."""
+        import numpy as np
+
+        if not pairs:
+            return []
+        marked_ids, marker_pos = [], []
+        for toks, ments in zip(token_lists, mention_lists):
+            marked, _pos, span_map = insert_typed_markers(toks, sorted(ments))
+            ids = self._encode(marked)
+            # start-marker slot = entity token start - 1 in marked space
+            pos = {
+                (s, e): span_map[(s, e)][0] - 1 for (s, e) in span_map
+            }
+            marked_ids.append(ids)
+            marker_pos.append(pos)
+        rows, pair_pos = [], []
+        for unit_ix, sub_ix, obj_ix in pairs:
+            ments = sorted(mention_lists[unit_ix])
+            sub, obj = ments[sub_ix], ments[obj_ix]
+            rows.append(marked_ids[unit_ix])
+            pair_pos.append(
+                [
+                    marker_pos[unit_ix][(sub[0], sub[1])],
+                    marker_pos[unit_ix][(obj[0], obj[1])],
+                ]
+            )
+        width = max(len(r) for r in rows)
+        input_ids = np.full((len(rows), width), self.pad_id, dtype=np.int64)
+        mask = np.zeros((len(rows), width), dtype=np.int64)
+        for i, r in enumerate(rows):
+            input_ids[i, : len(r)] = r
+            mask[i, : len(r)] = 1
+        (logits,) = self.session.run(
+            None,
+            {
+                "input_ids": input_ids,
+                "attention_mask": mask,
+                "pair_pos": np.asarray(pair_pos, dtype=np.int64),
+            },
+        )
+        return logits.argmax(axis=-1).tolist()  # W5 argmax; 0 = NA
