@@ -102,3 +102,25 @@ def test_incremental_with_dim_evolution_equals_full(spark):
     assert sorted(map(key_n, nodes_i.collect())) == sorted(map(key_n, nodes_f.collect()))
     key_e = lambda r: (r.src, r.dst, r.pred, r.weight)
     assert sorted(map(key_e, edges_i.collect())) == sorted(map(key_e, edges_f.collect()))
+
+
+def test_merge_graph_empty_delta_is_identity(spark):
+    """An empty micro-batch (e.g. a trigger with no new files) must leave
+    nodes/edges/canonical exactly unchanged."""
+    from kgforge.graph.merge import merge_graph
+
+    rows = gen_repo_rows(40)
+    t = extract_pipeline(spark.createDataFrame(rows), "fused").localCheckpoint(eager=True)
+    nodes, edges, can = merge_graph(None, None, None, t)
+    nodes, edges, can = (
+        nodes.localCheckpoint(eager=True),
+        edges.localCheckpoint(eager=True),
+        can.localCheckpoint(eager=True),
+    )
+    n2, e2, c2 = merge_graph(nodes, edges, can, t.limit(0))
+    key_n = lambda r: (r.canonical_id, r.ent_type, tuple(r.surface_forms), r.mention_count)  # noqa: E731
+    assert sorted(map(key_n, n2.collect())) == sorted(map(key_n, nodes.collect()))
+    key_e = lambda r: (r.src, r.dst, r.pred, r.weight)  # noqa: E731
+    assert sorted(map(key_e, e2.collect())) == sorted(map(key_e, edges.collect()))
+    key_c = lambda r: (r.entity_id, r.surface, r.ent_type, r.canonical_id)  # noqa: E731
+    assert sorted(map(key_c, c2.collect())) == sorted(map(key_c, can.collect()))
