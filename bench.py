@@ -111,6 +111,25 @@ def main() -> None:
             file=sys.stderr,
         )
 
+        # context-window variant (staged path + neighbor window): measures
+        # the feature's overhead vs the plain fused cascade above.
+        # Runs OUTSIDE the headline clock (t_all is frozen first) so the
+        # suite total stays apples-to-apples with r1.
+        t_frozen = time.monotonic()
+        plan_ctx = extract_pipeline(repos, "staged", context_window=1)
+        dt_ctx = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            n_ctx = plan_ctx.count()
+            dt_ctx = min(dt_ctx, time.monotonic() - t0)
+        timings["kg_pipeline_ctx1"] = round(dt_ctx, 3)
+        print(
+            f"# kg_pipeline_ctx1: {n_ctx} triples in {dt_ctx:.1f}s "
+            f"({dt_ctx / dt:.2f}x the fused plain pass)",
+            file=sys.stderr,
+        )
+        t_all += time.monotonic() - t_frozen  # exclude ctx leg from total
+
     total = round(time.monotonic() - t_all, 3)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
