@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..link.canonical import entity_vertices, lsh_candidate_pairs, normalize_surface
+from ..link.canonical import entity_vertices, lsh_candidate_pairs
 from ..link.cc import connected_components
 
 DEFAULT_SALT = 16

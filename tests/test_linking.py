@@ -12,11 +12,7 @@ from kgforge.graph.materialize import (
     build_nodes,
     canonical_entities,
 )
-from kgforge.link.canonical import (
-    entity_vertices,
-    lsh_candidate_pairs,
-    minhash_signature,
-)
+from kgforge.link.canonical import lsh_candidate_pairs, minhash_signature
 from kgforge.link.cc import connected_components
 
 
