@@ -49,9 +49,17 @@ def main() -> None:
 
     out = ["# Plan audit (executed plans at sf0.001, local[4])", "",
            "Every registered query: shuffle count (SinglePartition exchanges",
-           "called out — the only intended one is the final top-k rank of the",
-           "ANN queries, a k-row sort), explode nodes, Python/Arrow passes, and",
-           "per-scan ReadSchema width (column pruning evidence) + pushed filters.",
+           "called out), explode nodes, Python/Arrow passes, and per-scan",
+           "ReadSchema width (column pruning evidence) + pushed filters.",
+           "",
+           "SinglePartition triage: every remaining single-partition exchange",
+           "is the FINAL step of a global scalar aggregate — map-side partial",
+           "aggregation runs first, so the single reducer sees one",
+           "pre-aggregated row per upstream partition (the minimal plan for a",
+           "whole-table scalar). No full-data sort or window funnels through",
+           "one task anywhere: r1's global-rank windows were replaced by the",
+           "two-pass rank (functions/ranks.py) and the share-of-total window",
+           "by a broadcast total agg.",
            "",
            "| query | exchanges | generates | py-passes | scans |",
            "|---|---|---|---|---|"]
