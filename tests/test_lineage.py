@@ -93,3 +93,29 @@ def test_resume_rejects_config_change(spark, tmp_path):
     r3 = StageRunner(spark, wd, run_id="r3", config={"model": "b"})
     assert [r.tag for r in r3.run("s", build("b")).collect()] == ["b"]
     assert calls == ["a", "b"]
+
+
+def test_crash_mid_write_reruns_stage(spark, tmp_path):
+    """The _COMPLETE marker is written AFTER the data: a simulated crash
+    (data present, marker absent) must rebuild, not resume the torn
+    stage."""
+    from kgforge.lineage import StageRunner
+
+    wd = str(tmp_path / "wd")
+    r = StageRunner(spark, wd, config={"m": 1})
+    calls = []
+
+    def build(tag):
+        def f():
+            calls.append(tag)
+            return spark.createDataFrame([(tag,)], "tag string")
+        return f
+
+    r.run("s", build("v1"))
+    # simulate a crash that left data but no marker
+    import os
+
+    os.remove(os.path.join(wd, "s", "_COMPLETE"))
+    out = r.run("s", build("v2"))
+    assert calls == ["v1", "v2"]
+    assert [x.tag for x in out.collect()] == ["v2"]
