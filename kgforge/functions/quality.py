@@ -27,8 +27,10 @@ def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     reason = first failing rule in a fixed order ('too_short',
     'stopword_heavy', 'weird_tokens'), else 'ok' — deterministic and
-    SQL-mirrorable."""
-    toks = F.split(F.col(text_col), " ")
+    SQL-mirrorable.  Null text folds to '' (one empty token -> too_short):
+    a null document must NEVER pass the gate — with raw null every rule
+    predicate evaluates null and the CASE falls through to 'ok'."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(toks)
     stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     stop_ratio = stops / n
