@@ -131,7 +131,16 @@ Per-query timings at local[32], sf={r32["sf"]}:
 """ + "\n".join(f"| {k} | {v} |" for k, v in sorted(r32["queries"].items())) + "\n"
 
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    # Preserve hand-curated sections: everything from the first "## "
+    # heading onward survives regeneration (the generated part is only
+    # the header + scaling tables above it).
+    target = REPO / "BENCH" / "BASELINE.md"
+    if target.exists():
+        prev = target.read_text()
+        cut = prev.find("\n## ")
+        if cut != -1:
+            md = md + prev[cut:]
+    target.write_text(md)
     print(json.dumps({
         "efficiency_2_8": round(eff_2_8, 3),
         "efficiency_8_32": round(eff_8_32, 3),
