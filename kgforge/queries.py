@@ -2005,3 +2005,44 @@ def kg_two_hop(spark, sf_dir):
         F.count("*").alias("n_paths"),
         F.countDistinct("a_src").alias("n_src"),
     )
+
+
+@register(
+    "kg_ego_network",
+    _SQL_EDGES
+    + """
+    , deg AS (
+      SELECT v, SUM(d) AS degree FROM (
+        SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src
+        UNION ALL
+        SELECT dst, COUNT(*) FROM edges GROUP BY dst
+      ) GROUP BY v),
+    hub AS (SELECT v FROM deg ORDER BY degree DESC, v LIMIT 1)
+    SELECT e.pred,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT CASE WHEN e.src = h.v THEN e.dst ELSE e.src END)
+                AS BIGINT) AS n_neighbors
+    FROM edges e JOIN hub h ON e.src = h.v OR e.dst = h.v
+    GROUP BY e.pred
+    """,
+)
+def kg_ego_network(spark, sf_dir):
+    """Ego network of the highest-degree node (deterministic hub pick:
+    degree desc, id asc): per-predicate edge and distinct-neighbor counts
+    — hub inspection, the query that motivates the salting/skew handling."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
+        .groupBy("v")
+        .agg(F.sum("d").alias("degree"))
+    )
+    hub = deg.orderBy(F.desc("degree"), "v").limit(1).select("v")
+    ego = e.join(
+        F.broadcast(hub), (e.src == F.col("v")) | (e.dst == F.col("v"))
+    )
+    nbr = F.when(F.col("src") == F.col("v"), F.col("dst")).otherwise(F.col("src"))
+    return ego.groupBy("pred").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct(nbr).alias("n_neighbors"),
+    )

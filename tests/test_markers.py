@@ -76,3 +76,35 @@ def test_marker_id_arithmetic():
     base = 100
     assert marker_id(2, False, base) == 102
     assert marker_id(2, True, base) == 102 + NUM_ENT_TYPES
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _toks_and_mentions(draw):
+    n = draw(st.integers(1, 30))
+    toks = [draw(st.sampled_from(["a", "b", "c", "d"])) for _ in range(n)]
+    ments, cursor = [], 0
+    while cursor < n and len(ments) < 5:
+        s = draw(st.integers(cursor, n - 1))
+        e = draw(st.integers(s + 1, min(n, s + 3)))
+        if draw(st.booleans()):
+            ments.append((s, e, draw(st.integers(0, NUM_ENT_TYPES - 1))))
+        cursor = e
+    return toks, ments
+
+
+@settings(max_examples=60, deadline=None)
+@given(_toks_and_mentions())
+def test_marker_roundtrip_property(tm):
+    """strip(insert(x)) == x; pos_ids monotone per original token; span_map
+    slices reproduce the mention tokens — for arbitrary disjoint mentions."""
+    toks, ments = tm
+    marked, pos_ids, span_map = insert_typed_markers(toks, ments)
+    assert strip_markers(marked) == toks
+    assert len(marked) == len(toks) + 2 * len(ments) == len(pos_ids)
+    for (s, e), (ms, me) in span_map.items():
+        assert marked[ms:me] == toks[s:e]
+        assert marked[ms - 1].startswith("<E:") and marked[me].startswith("</E:")
