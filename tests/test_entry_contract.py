@@ -23,6 +23,13 @@ FAST_SUBSET = [
     "ann_cosine_topk",
     "token_counts",
     "doc_fingerprint",
+    # round-2 additions
+    "kg_context_units",
+    "kg_cross_mentions",
+    "kg_predict_json",
+    "ann_ivf_topk",
+    "text_quality_filter",
+    "kg_two_hop",
 ]
 
 
