@@ -631,9 +631,14 @@ def kg_f1_baseline(spark, sf_dir):
     SINGLE JOB: union-with-tag + one aggregation — no driver-side counts
     (the r1 version ran 3 actions, re-running the UDF cascade ~5x).  The
     semi-join semantics fall out of the per-key max(tag) agg:
-    n_correct = keys present on both sides."""
+    n_correct = keys present on both sides.
+
+    _doc_mentions_df is checkpointed: it feeds BOTH sides of the naive
+    self-join, and uncheckpointed the tagging pass runs once per side
+    (PLAN_AUDIT r2: py-passes=3 where 2 — one triples + one mentions
+    pass — suffice)."""
     gold = _kg_triples_df(spark, sf_dir).select("doc_id", "subj", "pred", "obj")
-    m = _doc_mentions_df(spark, sf_dir)
+    m = _doc_mentions_df(spark, sf_dir).localCheckpoint(eager=True)
     a = m.select("doc_id", "pos", F.col("surface").alias("subj"), F.col("ent_type").alias("ta"))
     b = m.select(
         "doc_id", F.col("pos").alias("pos_b"), F.col("surface").alias("obj"),
@@ -1726,9 +1731,11 @@ def q_cv_folds(spark, sf_dir):
 def kg_label_prf(spark, sf_dir):
     """Per-label P/R counters (A2/A4; reference utils/metrics.py simple
     label F1): the same single-job union-with-tag aggregation as
-    kg_f1_baseline, grouped by relation label."""
+    kg_f1_baseline, grouped by relation label.  _doc_mentions_df is
+    checkpointed for the same both-sides-of-the-self-join reason as
+    kg_f1_baseline."""
     gold = _kg_triples_df(spark, sf_dir).select("doc_id", "subj", "pred", "obj")
-    m = _doc_mentions_df(spark, sf_dir)
+    m = _doc_mentions_df(spark, sf_dir).localCheckpoint(eager=True)
     a = m.select("doc_id", "pos", F.col("surface").alias("subj"), F.col("ent_type").alias("ta"))
     b = m.select(
         "doc_id", F.col("pos").alias("pos_b"), F.col("surface").alias("obj"),
@@ -1966,8 +1973,11 @@ _SQL_EDGES = SQL_TRIPLES + """
 )
 def kg_degree_distribution(spark, sf_dir):
     """Degree histogram over the materialized graph — the first sanity
-    query on any KG (hub detection feeds the salting/skew story)."""
-    e = kg_edges(spark, sf_dir)
+    query on any KG (hub detection feeds the salting/skew story).
+    kg_edges is checkpointed: both degree branches (src, dst) consume it,
+    and without the checkpoint the whole extraction cascade re-runs per
+    branch (PLAN_AUDIT r2 showed py-passes=2 for this query alone)."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
         .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
