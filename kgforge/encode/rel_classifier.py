@@ -98,18 +98,27 @@ class OnnxRelClassifier:
             }
             marked_ids.append(ids)
             marker_pos.append(pos)
-        rows, pair_pos = [], []
-        for unit_ix, sub_ix, obj_ix in pairs:
+        # pair_pos indexes MARKED space, which _encode truncates to
+        # max_seq_len — a pair whose start marker fell past the truncation
+        # point would gather out of bounds (or garbage) at inference time.
+        # Such pairs are unclassifiable by construction: emit NA (0) for
+        # them and run the forward only over in-range pairs.
+        results = [0] * len(pairs)
+        rows, pair_pos, keep = [], [], []
+        for out_ix, (unit_ix, sub_ix, obj_ix) in enumerate(pairs):
             ments = sorted(mention_lists[unit_ix])
             sub, obj = ments[sub_ix], ments[obj_ix]
+            ps = marker_pos[unit_ix][(sub[0], sub[1])]
+            po = marker_pos[unit_ix][(obj[0], obj[1])]
+            if ps >= len(marked_ids[unit_ix]) or po >= len(marked_ids[unit_ix]):
+                continue  # marker truncated away -> NA
             rows.append(marked_ids[unit_ix])
-            pair_pos.append(
-                [
-                    marker_pos[unit_ix][(sub[0], sub[1])],
-                    marker_pos[unit_ix][(obj[0], obj[1])],
-                ]
-            )
+            pair_pos.append([ps, po])
+            keep.append(out_ix)
+        if not rows:
+            return results
         width = max(len(r) for r in rows)
+        assert all(p < width for pp in pair_pos for p in pp)
         input_ids = np.full((len(rows), width), self.pad_id, dtype=np.int64)
         mask = np.zeros((len(rows), width), dtype=np.int64)
         for i, r in enumerate(rows):
@@ -123,4 +132,6 @@ class OnnxRelClassifier:
                 "pair_pos": np.asarray(pair_pos, dtype=np.int64),
             },
         )
-        return logits.argmax(axis=-1).tolist()  # W5 argmax; 0 = NA
+        for out_ix, lbl in zip(keep, logits.argmax(axis=-1).tolist()):
+            results[out_ix] = lbl  # W5 argmax; 0 = NA
+        return results

@@ -173,6 +173,35 @@ def _prf(pred: DataFrame, gold: DataFrame, key_cols: list[str]) -> tuple[float, 
     return _f1_from_counts(row.n_pred, row.n_gold, row.n_correct)
 
 
+def _prf_raw(
+    pred: DataFrame, gold: DataFrame, key_cols: list[str]
+) -> tuple[float, float, float]:
+    """RAW-count micro-P/R/F1, matching the reference's saved-prediction
+    scorer exactly (evaluate_predictions, data/data_structures.py:405-421):
+    n_pred / n_gold are raw annotation counts and every predicted
+    annotation with a gold match counts — duplicates count multiple times,
+    unlike the set-based _prf.  Still ONE aggregation job: per-key raw
+    counts, then n_correct = sum of pred multiplicities on keys gold has."""
+    tagged = pred.select(*key_cols).withColumn("is_p", F.lit(1)).withColumn(
+        "is_g", F.lit(0)
+    ).unionByName(
+        gold.select(*key_cols).withColumn("is_p", F.lit(0)).withColumn("is_g", F.lit(1))
+    )
+    row = (
+        tagged.groupBy(*key_cols)
+        .agg(F.sum("is_p").alias("cnt_p"), F.sum("is_g").alias("cnt_g"))
+        .agg(
+            F.sum("cnt_p").alias("n_pred"),
+            F.sum("cnt_g").alias("n_gold"),
+            F.sum(
+                F.col("cnt_p") * (F.col("cnt_g") > 0).cast("int")
+            ).alias("n_correct"),
+        )
+        .collect()[0]
+    )
+    return _f1_from_counts(row.n_pred, row.n_gold, row.n_correct)
+
+
 def _f1_from_counts(n_pred: int, n_gold: int, n_correct: int):
     precision = n_correct / (n_pred + 1e-8)
     recall = n_correct / (n_gold + 1e-8)
@@ -400,8 +429,10 @@ def evaluate_saved(
     among correctly-predicted mentions; membership span-only).
 
     Returns ``{"ner": {...}, "relation": {...}, "strict_relation": {...}}``
-    with precision/recall/f1 each (compute_f1 semantics; set-deduped —
-    duplicate annotations count once)."""
+    with precision/recall/f1 each.  Counting is RAW, exactly as the
+    reference's evaluate_predictions (data/data_structures.py:405-421):
+    totals are raw annotation counts and each predicted annotation with a
+    gold match counts — duplicate annotations count multiple times."""
     import json as _json
 
     from .io.sources import overlay_predictions
@@ -433,17 +464,19 @@ def evaluate_saved(
         return flat.filter((F.col("who") == who) & (F.col("kind") == kind))
 
     ner_key = ["doc_key", "s", "e", "label"]
-    f1_n, p_n, r_n = _prf(side("pred", "ner"), side("gold", "ner"), ner_key)
+    f1_n, p_n, r_n = _prf_raw(side("pred", "ner"), side("gold", "ner"), ner_key)
 
     rel_key = ["doc_key", "s", "e", "os", "oe", "label"]
-    f1_r, p_r, r_r = _prf(side("pred", "rel"), side("gold", "rel"), rel_key)
+    f1_r, p_r, r_r = _prf_raw(side("pred", "rel"), side("gold", "rel"), rel_key)
 
-    # strict: relation matched + both arg SPANS among correct mentions
+    # strict: relation matched + both arg SPANS among correct mentions.
+    # Per-PREDICTION counting (raw pred multiplicity preserved through the
+    # semi-joins); gold/membership sides are set-semantic lookups.
     correct_ner = side("pred", "ner").join(
         side("gold", "ner").select(*ner_key), on=ner_key, how="left_semi"
     )
     matched_rel = (
-        side("pred", "rel").select(*rel_key).distinct()
+        side("pred", "rel").select(*rel_key)
         .join(side("gold", "rel").select(*rel_key).distinct(), on=rel_key, how="left_semi")
     )
     sub_ok = correct_ner.select("doc_key", "s", "e").distinct()
@@ -454,9 +487,9 @@ def evaluate_saved(
         sub_ok, on=["doc_key", "s", "e"], how="left_semi"
     ).join(obj_ok, on=["doc_key", "os", "oe"], how="left_semi")
     counts = (
-        side("pred", "rel").select(*rel_key).distinct()
+        side("pred", "rel").select(*rel_key)
         .withColumn("t", F.lit("p"))
-        .unionByName(side("gold", "rel").select(*rel_key).distinct().withColumn("t", F.lit("g")))
+        .unionByName(side("gold", "rel").select(*rel_key).withColumn("t", F.lit("g")))
         .unionByName(strict_hits.withColumn("t", F.lit("s")))
         .agg(
             F.sum(F.when(F.col("t") == "p", 1).otherwise(0)).alias("n_pred"),

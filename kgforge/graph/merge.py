@@ -98,6 +98,27 @@ def update_canonical(
         verts = new_verts
     verts = verts.localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(verts)
+    if existing_canonical is not None:
+        # Clusters must never split across epochs (documented contract,
+        # and what keeps the relabel map FUNCTIONAL on old_canonical_id):
+        # a band bucket that grows past MAX_BUCKET between epochs is
+        # excluded from pairing, which can drop a candidate edge that
+        # previously linked two members — CC would then split the old
+        # cluster, old->new would go one-to-many, and _relabel's left
+        # join would fan out history (silent count inflation).  Re-assert
+        # every existing cluster as explicit edges: canonical_id is the
+        # min member entity_id, i.e. itself a cluster vertex, so
+        # (canonical_id, member) edges keep the old cluster connected.
+        prior_edges = (
+            existing_canonical.select(
+                F.col("canonical_id").alias("src"),
+                F.col("entity_id").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("jaccard", F.lit(1.0))
+        )
+        cand = cand.unionByName(prior_edges)
     labels = connected_components(verts.select("entity_id").distinct(), cand)
     labels = labels.dropDuplicates(["entity_id"]).localCheckpoint(eager=True)
     canonical = verts.join(labels, on="entity_id")
@@ -119,6 +140,20 @@ def update_canonical(
             .filter(F.col("old_canonical_id") != F.col("new_canonical_id"))
             .distinct()
         )
+        # Fail loudly rather than fan out history: prior_edges above makes
+        # a split impossible, so a non-functional map here means a bug.
+        dup = (
+            relabel.groupBy("old_canonical_id")
+            .agg(F.countDistinct("new_canonical_id").alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise RuntimeError(
+                "update_canonical: relabel map is one-to-many (an existing "
+                "cluster split) — refusing to migrate history"
+            )
     return canonical, relabel
 
 

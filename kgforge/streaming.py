@@ -138,6 +138,26 @@ def streaming_first_seen(
     )
 
 
+def latest_complete_epoch(state_dir: str) -> int | None:
+    """Max N over ``state_dir/epoch=N/_COMPLETE`` markers (None if none).
+
+    This scan — not the _LATEST convenience file — is the authoritative
+    read: _COMPLETE is written atomically after an epoch's data, so the
+    scan can never name an epoch whose data is missing, and it cannot go
+    stale if a crash lands between _COMPLETE and the _LATEST update."""
+    import os
+
+    latest = None
+    if os.path.isdir(state_dir):
+        for name in os.listdir(state_dir):
+            marker = os.path.join(state_dir, name, "_COMPLETE")
+            if name.startswith("epoch=") and os.path.exists(marker):
+                n = int(name.split("=", 1)[1])
+                if latest is None or n > latest:
+                    latest = n
+    return latest
+
+
 def run_incremental_graph(
     spark: SparkSession,
     input_dir: str,
@@ -152,22 +172,21 @@ def run_incremental_graph(
 
     State layout (resume- and replay-safe):
       state_dir/epoch=N/{nodes,edges,canonical}/  + _COMPLETE marker
-      state_dir/_LATEST  -> N                      (atomic rename)
+      state_dir/_LATEST  -> N   (informational only — see below)
 
     The stream checkpoint gives at-least-once per micro-batch on restart;
     replays are absorbed by the epoch _COMPLETE marker (an already-merged
-    epoch is skipped, not merged twice).  Reading the previous epoch and
-    writing the next one never overwrites what is being read."""
+    epoch is skipped, not merged twice).  The AUTHORITATIVE latest epoch
+    is derived by scanning epoch=N dirs for _COMPLETE markers, never read
+    from _LATEST: a crash between writing _COMPLETE and updating _LATEST
+    would otherwise leave every later epoch merging from stale state —
+    that epoch's triples silently and permanently dropped.  Reading the
+    previous epoch and writing the next one never overwrites what is
+    being read."""
     import os
 
     from .extract.rel import extract_triples_onepass
     from .graph.merge import merge_graph
-
-    def _latest() -> int | None:
-        p = os.path.join(state_dir, "_LATEST")
-        if not os.path.exists(p):
-            return None
-        return int(open(p).read().strip())
 
     def _set_latest(epoch: int) -> None:
         tmp = os.path.join(state_dir, "_LATEST.tmp")
@@ -181,7 +200,7 @@ def run_incremental_graph(
         if os.path.exists(os.path.join(edir, "_COMPLETE")):
             return  # replayed batch after restart: already merged
         delta = extract_triples_onepass(batch_df, model_name)
-        prev = _latest()
+        prev = latest_complete_epoch(state_dir)
         if prev is None:
             nodes = edges = canonical = None
         else:
@@ -207,10 +226,13 @@ def run_incremental_graph(
 
 
 def read_graph_state(spark: SparkSession, state_dir: str):
-    """(nodes, edges, canonical) of the latest completed epoch."""
+    """(nodes, edges, canonical) of the latest completed epoch (derived
+    from the _COMPLETE markers; the _LATEST file is informational)."""
     import os
 
-    latest = int(open(os.path.join(state_dir, "_LATEST")).read().strip())
+    latest = latest_complete_epoch(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no completed epoch under {state_dir}")
     edir = os.path.join(state_dir, f"epoch={latest}")
     return (
         spark.read.parquet(os.path.join(edir, "nodes")),

@@ -69,3 +69,37 @@ def test_evaluate_saved_perfect_predictions(spark, files, tmp_path):
     scores = evaluate_saved(spark, gold_path, str(p))
     for key in ("ner", "relation", "strict_relation"):
         assert scores[key]["f1"] == 1.0, key
+
+
+def test_evaluate_saved_raw_duplicate_counting(spark, tmp_path):
+    """Reference evaluate_predictions counts RAW lengths and
+    per-prediction matches — duplicated annotations count every time
+    (recall can exceed 1.0).  Pin those exact semantics."""
+    gold = [
+        {
+            "doc_key": "d0",
+            "sentences": [["a", "b", "c"]],
+            "ner": [[[0, 0, "Method"], [2, 2, "Task"]]],
+            "relations": [[[0, 0, 2, 2, "USED-FOR"]]],
+        }
+    ]
+    pred = [
+        {
+            "doc_key": "d0",
+            "predicted_ner": [[[0, 0, "Method"], [0, 0, "Method"], [2, 2, "Task"]]],
+            "predicted_relations": [[[0, 0, 2, 2, "USED-FOR"], [0, 0, 2, 2, "USED-FOR"]]],
+        }
+    ]
+    g, p = tmp_path / "gold.jsonl", tmp_path / "pred.jsonl"
+    g.write_text("\n".join(json.dumps(d) for d in gold))
+    p.write_text("\n".join(json.dumps(d) for d in pred))
+    scores = evaluate_saved(spark, str(g), str(p))
+    # NER: n_pred=3 raw, n_gold=2, n_correct=3 (the dup counts twice)
+    assert scores["ner"]["precision"] == 1.0
+    assert scores["ner"]["recall"] == 1.5
+    # relations: n_pred=2 raw, n_gold=1, n_correct=2
+    assert scores["relation"]["precision"] == 1.0
+    assert scores["relation"]["recall"] == 2.0
+    # strict: both raw matched predictions have correct arg mentions
+    assert scores["strict_relation"]["precision"] == 1.0
+    assert scores["strict_relation"]["recall"] == 2.0

@@ -124,3 +124,46 @@ def test_merge_graph_empty_delta_is_identity(spark):
     assert sorted(map(key_e, e2.collect())) == sorted(map(key_e, edges.collect()))
     key_c = lambda r: (r.entity_id, r.surface, r.ent_type, r.canonical_id)  # noqa: E731
     assert sorted(map(key_c, c2.collect())) == sorted(map(key_c, can.collect()))
+
+
+def test_update_canonical_never_splits_clusters(spark):
+    """An existing cluster whose members would NOT be re-linked by LSH on
+    the accumulated dim (e.g. its band bucket later overflows MAX_BUCKET)
+    must stay one cluster: update_canonical re-asserts prior clusters as
+    CC edges, keeping the relabel map functional on old_canonical_id."""
+    from pyspark.sql import functions as F
+
+    from kgforge.graph.merge import update_canonical
+    from kgforge.link.canonical import entity_vertices
+
+    schema = (
+        "subj string, subj_type string, pred string, obj string, obj_type string"
+    )
+    # the two surfaces share no token shingles -> LSH alone never links them
+    t0 = spark.createDataFrame(
+        [("alpha net", "Method", "USED-FOR", "zq system", "Task")], schema
+    )
+    verts = entity_vertices(t0)
+    root = verts.agg(F.min("entity_id")).collect()[0][0]
+    existing = verts.withColumn("canonical_id", F.lit(root))
+
+    delta = spark.createDataFrame(
+        [("alpha net", "Method", "COMPARE", "beta curve", "Method")], schema
+    )
+    canonical, relabel = update_canonical(existing, delta)
+    # relabel is functional: no old id maps to two new ids
+    assert (
+        relabel.groupBy("old_canonical_id")
+        .agg(F.countDistinct("new_canonical_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
+    # the prior cluster is still ONE cluster in the evolved dim
+    n_ids = (
+        canonical.filter(F.col("surface").isin("alpha net", "zq system"))
+        .select("canonical_id")
+        .distinct()
+        .count()
+    )
+    assert n_ids == 1

@@ -108,3 +108,22 @@ def test_marker_roundtrip_property(tm):
     for (s, e), (ms, me) in span_map.items():
         assert marked[ms:me] == toks[s:e]
         assert marked[ms - 1].startswith("<E:") and marked[me].startswith("</E:")
+
+
+def test_rel_classifier_clamps_truncated_pairs():
+    """Pairs whose start marker falls past max_seq_len truncation are
+    classified NA instead of gathering out of bounds; in-range pairs in
+    the same batch still classify normally."""
+    toks = [f"w{i}" for i in range(10)]
+    vocab = {w: i + 2 for i, w in enumerate(toks)}
+    vocab["[PAD]"], vocab["[UNK]"] = 0, 1
+    probe = OnnxRelClassifier(session=_PairStub(0), vocab=vocab, max_seq_len=6)
+    probe.session = _PairStub(probe.marker_base)
+    ments = [(0, 1, 0), (2, 3, 1), (8, 9, 2)]
+    out = probe.classify_batch(
+        [toks], [ments],
+        pairs=[(0, 0, 1), (0, 0, 2), (0, 2, 1)],
+    )
+    assert out[0] == 0 % 7 + 1  # both markers in range -> real label
+    assert out[1] == 0          # obj marker truncated away -> NA
+    assert out[2] == 0          # sub marker truncated away -> NA

@@ -171,3 +171,45 @@ def test_incremental_graph_stream_equals_batch(spark, tmp_path):
     latest_before = open(os.path.join(state, "_LATEST")).read()
     run_incremental_graph(spark, str(inp), state, ckpt)
     assert open(os.path.join(state, "_LATEST")).read() == latest_before
+
+
+def test_incremental_graph_survives_stale_latest(spark, tmp_path):
+    """A crash between writing an epoch's _COMPLETE marker and updating the
+    _LATEST file must not drop that epoch's triples: the authoritative
+    latest epoch comes from scanning _COMPLETE markers, so later epochs
+    merge from the right state even when _LATEST is missing or stale."""
+    import os
+
+    from kgforge.graph.materialize import materialize_graph
+    from kgforge.streaming import (
+        latest_complete_epoch,
+        read_graph_state,
+        run_incremental_graph,
+    )
+
+    rows = gen_repo_rows(40)
+    inp = tmp_path / "in"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _write_json_files(rows[:20], inp, per_file=20)
+    run_incremental_graph(spark, str(inp), state, ckpt)
+    e0 = latest_complete_epoch(state)
+    assert e0 is not None
+    # simulate the crash window: epoch data + _COMPLETE exist, _LATEST gone
+    os.remove(os.path.join(state, "_LATEST"))
+
+    _write_json_files(rows[20:], inp, per_file=20, prefix="late")
+    run_incremental_graph(spark, str(inp), state, ckpt)
+    assert latest_complete_epoch(state) > e0
+
+    nodes_s, edges_s, _ = read_graph_state(spark, state)
+    full = extract_pipeline(spark.createDataFrame(rows), "fused")
+    nodes_f, edges_f = materialize_graph(full)
+    key_e = lambda r: (r.src, r.dst, r.pred, r.weight)  # noqa: E731
+    assert sorted(map(key_e, edges_s.collect())) == sorted(
+        map(key_e, edges_f.collect())
+    )
+    key_n = lambda r: (r.canonical_id, r.mention_count)  # noqa: E731
+    assert sorted(map(key_n, nodes_s.collect())) == sorted(
+        map(key_n, nodes_f.collect())
+    )
