@@ -161,7 +161,15 @@ def propagate_mentions(
     ±k neighbor units (same repo/path).  Returns the PROPAGATED mention
     rows: (repo, path, unit_id, start, end, surface, ent_type, src_unit).
 
-    mentions needs (repo, path, unit_id, surface, ent_type)."""
+    mentions needs (repo, path, unit_id, surface, ent_type).
+
+    The neighbor join is a pure EQUI-join (SURVEY §2.3 J9: self-join on
+    (doc_key, ix±δ)): each surface row explodes δ ∈ {−k..k}\\{0} into its
+    2k candidate neighbor unit_ids, then hash-joins on
+    (repo, path, unit_id).  The join OUTPUT is therefore bounded by
+    2k × distinct-surfaces — there is no band predicate left for the
+    planner to evaluate post-join, so a pathological mega-file (10k units
+    in one path) costs 2k × surfaces rows, not units × surfaces."""
     surf = mentions.select(
         "repo", "path",
         F.col("unit_id").alias("src_unit"),
@@ -171,13 +179,16 @@ def propagate_mentions(
         "repo", "path", "unit_id",
         F.split(F.trim("text"), "\\s+").alias("toks"),
     )
-    nb = (
-        u.join(surf, on=["repo", "path"])
-        .filter(
-            (F.abs(F.col("unit_id") - F.col("src_unit")) <= k)
-            & (F.col("unit_id") != F.col("src_unit"))
-        )
-        .withColumn("pat", F.split(F.trim("surface"), "\\s+"))
+    surf_nb = surf.withColumn(
+        "unit_id",
+        F.explode(
+            F.array(
+                *[F.col("src_unit") + F.lit(d) for d in range(-k, k + 1) if d != 0]
+            )
+        ),
+    )
+    nb = u.join(surf_nb, on=["repo", "path", "unit_id"]).withColumn(
+        "pat", F.split(F.trim("surface"), "\\s+")
     )
     hits = nb.withColumn(
         "positions", _subarray_positions(F.col("toks"), F.col("pat"))

@@ -188,3 +188,71 @@ def test_with_context_empty_and_null_neighbors(spark):
     assert got[1] == 2   # left neighbor 'a b'
     assert got[2] == 0   # left neighbor is empty -> zero tokens
     assert got[3] == 0   # left neighbor is null  -> zero tokens
+
+
+def test_propagate_equals_band_filter_formulation(spark, units):
+    """The δ-explode equi-join must produce exactly what the naive
+    (repo, path) join + |unit_id − src_unit| ≤ k band filter produces —
+    the fan-out fix changes the physical shape, never the rows."""
+    from pyspark.sql import functions as F
+
+    from kgforge.extract.context import _subarray_positions
+    from kgforge.extract.ner import explode_mentions, tag_mentions
+
+    toks_col = F.split(F.trim("text"), "\\s+")
+    mentions = explode_mentions(tag_mentions(units, "repos")).withColumn(
+        "surface",
+        F.array_join(
+            F.slice(toks_col, F.col("start") + 1, F.col("end") - F.col("start")),
+            " ",
+        ),
+    ).select("repo", "path", "unit_id", "surface", "ent_type")
+
+    for k in (1, 2):
+        got = propagate_mentions(units, mentions, k=k)
+
+        surf = mentions.select(
+            "repo", "path", F.col("unit_id").alias("src_unit"),
+            "surface", "ent_type",
+        ).distinct()
+        u = units.select(
+            "repo", "path", "unit_id", F.split(F.trim("text"), "\\s+").alias("toks")
+        )
+        nb = (
+            u.join(surf, on=["repo", "path"])
+            .filter(
+                (F.abs(F.col("unit_id") - F.col("src_unit")) <= k)
+                & (F.col("unit_id") != F.col("src_unit"))
+            )
+            .withColumn("pat", F.split(F.trim("surface"), "\\s+"))
+        )
+        want = (
+            nb.withColumn("positions", _subarray_positions(F.col("toks"), F.col("pat")))
+            .withColumn("start", F.explode("positions"))
+            .select(
+                "repo", "path", "unit_id",
+                F.col("start").cast("int").alias("start"),
+                (F.col("start") + F.size("pat")).cast("int").alias("end"),
+                "surface", "ent_type", "src_unit",
+            )
+        )
+        key = lambda r: (  # noqa: E731
+            r.repo, r.path, r.unit_id, r.start, r.end,
+            r.surface, r.ent_type, r.src_unit,
+        )
+        assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_propagate_plan_has_no_band_filter(spark, units):
+    """Pin the physical shape: the neighbor join is a 3-key equi-join with
+    no post-join abs() band predicate (the fan-out is bounded by the join
+    itself, not trimmed after the fact)."""
+    from pyspark.sql import functions as F
+
+    m = spark.createDataFrame(
+        [("r", "p", 1, "alpha", "Method")],
+        "repo string, path string, unit_id int, surface string, ent_type string",
+    )
+    plan = propagate_mentions(units, m, k=2)._jdf.queryExecution().sparkPlan().toString()
+    assert "abs(" not in plan
+    assert "unit_id" in plan  # the id is a JOIN key, not a filter input
