@@ -133,6 +133,137 @@ def extract_triples_fused_ctx(
     return ctx.mapInPandas(gen, TRIPLES_SCHEMA)
 
 
+def mentions_ctx(
+    units: DataFrame, model_name: str = "repos", k: int = 1
+) -> DataFrame:
+    """Context-widened TAGGING for the RELATIONAL path: detect mentions
+    over the ±k-widened token sequence (the model 'sees' neighbor context,
+    exactly as in extract_triples_fused_ctx), keep only mentions inside
+    the unit's own token range, re-based to unit-local positions.
+
+    Output schema == explode_mentions (repo, path, commit, unit_id,
+    content_sha, text, m_id, start, end, ent_type) so it composes with
+    cross_ner_mentions / pair_relational.  k=0 reproduces
+    explode_mentions(tag_mentions(units)) exactly (tested)."""
+    ctx = with_context(units, k)
+    schema = (
+        "repo string, path string, commit string, unit_id long,"
+        " content_sha string, text string, m_id int, start int, end int,"
+        " ent_type int"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.model import get_model
+        from ..core.surrogate import detect_mentions, tokenize
+
+        model = get_model(model_name)
+        cols = [
+            "repo", "path", "commit", "unit_id", "content_sha", "text",
+            "m_id", "start", "end", "ent_type",
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ctoks = tokenize(r.ctx_text or "")
+                off = int(r.n_left)
+                hi = off + len(tokenize(r.text or ""))
+                m_id = 0
+                for s, e, t in detect_mentions(ctoks, model):
+                    if off <= s and e <= hi:
+                        rows.append(
+                            (
+                                r.repo, r.path, r.commit, r.unit_id,
+                                r.content_sha, r.text,
+                                m_id, s - off, e - off, t,
+                            )
+                        )
+                        m_id += 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ctx.mapInPandas(gen, schema)
+
+
+def classify_mentions_fused(
+    mentions: DataFrame, model_name: str = "repos"
+) -> DataFrame:
+    """Merged mention rows (explode_mentions schema; ``text`` may be
+    context-widened with spans in the same space) -> triples in ONE Arrow
+    pass: mentions re-assemble per unit (one shuffle of small mention
+    structs on the unit key), then rank + classify in-process — the same
+    sentence-local math as pair_relational + classify_pairs (equivalence
+    tested) without shuffling n² scored pair rows or re-tokenizing the
+    widened text once per pair.  The scale path for the combined
+    context-window × cross-NER mode."""
+    key = ["repo", "path", "unit_id"]
+    per_unit = mentions.groupBy(*key).agg(
+        F.first("commit").alias("commit"),
+        F.first("content_sha").alias("content_sha"),
+        F.first("text").alias("text"),
+        F.collect_list(F.struct("start", "end", "ent_type")).alias("ments"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.model import get_model
+        from ..core.surrogate import classify_relation, rank_pairs, tokenize
+
+        model = get_model(model_name)
+        cols = [f.name for f in TRIPLES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                toks = tokenize(r.text or "")
+                ments = sorted(
+                    (int(m["start"]), int(m["end"]), int(m["ent_type"]))
+                    for m in r.ments
+                )
+                seen = set()
+                for sub, obj, _s in rank_pairs(toks, ments, model):
+                    rel_plus1, score = classify_relation(toks, sub, obj, model)
+                    if rel_plus1 == 0:
+                        continue
+                    kt = (
+                        " ".join(toks[sub[0] : sub[1]]),
+                        " ".join(toks[obj[0] : obj[1]]),
+                        rel_plus1 - 1, sub[2], obj[2],
+                    )
+                    if kt in seen:
+                        continue
+                    seen.add(kt)
+                    rows.append(
+                        (
+                            r.repo, r.path, r.commit, int(r.unit_id),
+                            kt[0], REL_TYPES[kt[2]], kt[1],
+                            ENT_TYPES[kt[3]], ENT_TYPES[kt[4]],
+                            score, r.content_sha,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    from .rel import TRIPLE_KEY
+
+    return per_unit.mapInPandas(gen, TRIPLES_SCHEMA).dropDuplicates(TRIPLE_KEY)
+
+
+def rebase_to_ctx(units: DataFrame, mentions: DataFrame, k: int) -> DataFrame:
+    """Shift unit-local mention spans into the ±k context-widened token
+    space and swap ``text`` for ``ctx_text``, so downstream pair scoring
+    and relation classification see the same widened window the tagger
+    saw — the reference builds ONE widened sample per sentence that all
+    heads consume (data/utils.py:84-191).  Surfaces are unchanged: the
+    shifted span slices the same tokens out of ctx_text."""
+    ctx = with_context(units, k).select(
+        "repo", "path", "unit_id", "ctx_text", "n_left"
+    )
+    return mentions.join(ctx, on=["repo", "path", "unit_id"]).select(
+        "repo", "path", "commit", "unit_id", "content_sha",
+        F.col("ctx_text").alias("text"),
+        "m_id",
+        (F.col("start") + F.col("n_left")).cast("int").alias("start"),
+        (F.col("end") + F.col("n_left")).cast("int").alias("end"),
+        "ent_type",
+    )
+
+
 def _subarray_positions(toks_col, pat_col) -> F.Column:
     """All 0-based start positions where ``pat_col`` occurs as a contiguous
     subarray of ``toks_col`` (F13 / reference find_subarray_position:

@@ -36,13 +36,41 @@ def extract_pipeline(
 
     context_window=k > 0 tags each unit together with its ±k neighbor
     sentences (reference config.yaml:34 context_window, data/utils.py:
-    84-116); implies the staged path (the window needs the unit table).
-    k=0 is bit-identical to the plain pipeline (tested).
+    84-116); without cross_ner it implies the staged fused-ctx path (the
+    window needs the unit table).  k=0 is bit-identical to the plain
+    pipeline (tested).
+
+    context_window + cross_ner COMPOSE (reference applies both flags in
+    the same sample-construction pass, data/utils.py:84-116 window +
+    165-191 cross-NER): the relational path tags over the context-widened
+    tokens (mentions_ctx), propagates detected surfaces to ±1 neighbor
+    units, then re-bases the merged mention set back into context space
+    so pair scoring and relation classification see the same widened
+    window the tagger saw.  cross_ner with k=0 reproduces the plain
+    cross-NER relational output exactly (tested).
     """
-    if cross_ner and (strategy != "relational" or context_window > 0):
-        raise ValueError("cross_ner requires strategy='relational' and "
-                         "context_window=0 (mentions must be materialized "
-                         "to propagate)")
+    if cross_ner and strategy != "relational":
+        raise ValueError("cross_ner requires strategy='relational' "
+                         "(mentions must be materialized to propagate)")
+    if cross_ner:
+        from .context import cross_ner_mentions, mentions_ctx, rebase_to_ctx
+
+        units = extract_units(repos)
+        if context_window > 0:
+            # combined mode: widened tagging, unit-local propagation, then
+            # classification over the SAME widened window — fused (one
+            # Arrow pass per unit) because the per-pair relational UDF
+            # would re-tokenize the 2k+1-wide text once per candidate pair
+            from .context import classify_mentions_fused
+
+            mentions = mentions_ctx(units, model_name, k=context_window)
+            mentions = cross_ner_mentions(units, mentions, k=1)
+            mentions = rebase_to_ctx(units, mentions, k=context_window)
+            return classify_mentions_fused(mentions, model_name)
+        mentions = explode_mentions(tag_mentions(units, model_name))
+        mentions = cross_ner_mentions(units, mentions, k=1)
+        pairs = pair_relational(mentions, model_name)
+        return classify_pairs(pairs, model_name)
     if context_window > 0:
         from .context import extract_triples_fused_ctx
 
@@ -56,12 +84,6 @@ def extract_pipeline(
     if strategy == "relational":
         tagged = tag_mentions(units, model_name)
         mentions = explode_mentions(tagged)
-        if cross_ner:
-            # reference use_cross_ner (data/utils.py:165-191): neighbor
-            # surfaces merged into the mention set before pairing
-            from .context import cross_ner_mentions
-
-            mentions = cross_ner_mentions(units, mentions, k=1)
         pairs = pair_relational(mentions, model_name)
         return classify_pairs(pairs, model_name)
     raise ValueError(f"unknown strategy: {strategy}")

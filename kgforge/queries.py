@@ -1617,6 +1617,41 @@ def kg_cross_mentions(spark, sf_dir):
     ).agg(F.countDistinct("src_unit").alias("n_sources"))
 
 
+@register(
+    "kg_ctx_cross",
+    SQL_TRIPLES
+    + "SELECT doc_id, subj, pred, obj, subj_type, obj_type FROM triples",
+)
+def kg_ctx_cross(spark, sf_dir):
+    """The COMBINED context_window=1 + cross_ner relational cascade
+    (reference applies both flags in one sample-construction pass,
+    data/utils.py:84-116 + 165-191): tag over ±1-widened tokens
+    (mentions_ctx), propagate surfaces to neighbor units, re-base the
+    merged mention set into context space, pair + classify over the
+    widened text.  On the single-token docs lexicon widened tagging
+    cannot change in-unit mentions and every propagated surface
+    occurrence is already a local mention, so the output must EXACTLY
+    equal the plain kg_triples oracle — which is precisely what pins the
+    merge + n_left re-basing bookkeeping (any off-by-one shifts spans
+    and changes triples)."""
+    from .extract.context import (
+        classify_mentions_fused,
+        cross_ner_mentions,
+        mentions_ctx,
+        rebase_to_ctx,
+    )
+
+    units = _docs_as_ctx_units(spark, sf_dir)
+    m = mentions_ctx(units, "docs", k=1)
+    m = cross_ner_mentions(units, m, k=1)
+    m = rebase_to_ctx(units, m, k=1)
+    t = classify_mentions_fused(m, "docs")
+    return t.select(
+        F.col("unit_id").cast("bigint").alias("doc_id"),
+        "subj", "pred", "obj", "subj_type", "obj_type",
+    ).distinct()
+
+
 # ---------- pred-overlay loader (S2), predict JSON sink (S9), CV folds
 # (S5), per-label F1 (A2/A4) ----------
 

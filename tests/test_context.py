@@ -256,3 +256,70 @@ def test_propagate_plan_has_no_band_filter(spark, units):
     plan = propagate_mentions(units, m, k=2)._jdf.queryExecution().sparkPlan().toString()
     assert "abs(" not in plan
     assert "unit_id" in plan  # the id is a JOIN key, not a filter input
+
+
+def test_mentions_ctx_k0_equals_plain_tagging(spark, units):
+    """mentions_ctx at k=0 must reproduce explode_mentions(tag_mentions)
+    exactly — same rows, same m_id assignment."""
+    from kgforge.extract.context import mentions_ctx
+    from kgforge.extract.ner import explode_mentions, tag_mentions
+
+    key = lambda r: (  # noqa: E731
+        r.repo, r.path, r.unit_id, r.m_id, r.start, r.end, r.ent_type,
+    )
+    plain = sorted(map(key, explode_mentions(tag_mentions(units)).collect()))
+    ctx0 = sorted(map(key, mentions_ctx(units, k=0).collect()))
+    assert plain == ctx0 and len(plain) > 0
+
+
+def test_ctx_cross_composition(spark):
+    """context_window and cross_ner COMPOSE on the relational path
+    (reference default-ish config: both flags in one pass).  k=0 with
+    cross_ner reproduces today's cross-NER output exactly; k=1 runs the
+    widened tagging + propagation + re-based classification end-to-end."""
+    from kgforge.extract.pipeline import extract_pipeline
+
+    repos = spark.createDataFrame(gen_repo_rows(80)).localCheckpoint(eager=True)
+    crossed = sorted(
+        map(_key, extract_pipeline(repos, "relational", cross_ner=True).collect())
+    )
+    combined_k0 = sorted(
+        map(
+            _key,
+            extract_pipeline(
+                repos, "relational", cross_ner=True, context_window=0
+            ).collect(),
+        )
+    )
+    assert combined_k0 == crossed and len(crossed) > 0
+
+    combined = extract_pipeline(
+        repos, "relational", cross_ner=True, context_window=1
+    )
+    rows = combined.collect()
+    assert len(rows) > 0
+    # spans/surfaces re-based correctly: every subj/obj surface occurs in
+    # its own unit's text (propagation adds occurrences, never imports
+    # out-of-unit surfaces)
+    u = extract_units(repos)
+    unit_text = {(r.repo, r.path, r.unit_id): f" {r.text} " for r in u.collect()}
+    for r in rows:
+        txt = unit_text[(r.repo, r.path, r.unit_id)]
+        assert f" {r.subj} " in txt and f" {r.obj} " in txt
+
+
+def test_classify_mentions_fused_equals_relational(spark, units):
+    """The fused rank+classify over a supplied mention set must equal the
+    oracle-checked pair_relational + classify_pairs program on the same
+    mentions — two physical strategies, one semantics."""
+    from kgforge.extract.context import classify_mentions_fused
+    from kgforge.extract.ner import explode_mentions, tag_mentions
+    from kgforge.extract.pairs import pair_relational
+    from kgforge.extract.rel import classify_pairs
+
+    mentions = explode_mentions(tag_mentions(units)).localCheckpoint(eager=True)
+    relational = sorted(
+        map(_key, classify_pairs(pair_relational(mentions)).collect())
+    )
+    fused = sorted(map(_key, classify_mentions_fused(mentions).collect()))
+    assert relational == fused and len(fused) > 0
