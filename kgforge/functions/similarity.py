@@ -168,6 +168,57 @@ def near_dup_pairs_explode(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Seeded deterministic k-means centroids (cid, cv): hash-init +
+    ``rounds`` Lloyd iterations, all SQL-mirrorable.
+
+    Init: the ``n_centroids`` vectors with the smallest
+    ``md5(cast(vec_id as string))`` — a deterministic pseudo-random seed
+    identical in Spark and DuckDB.  Each Lloyd round assigns every vector
+    to its nearest centroid by round(cos, 6) (tie: lowest cid) and
+    recomputes centroids as the per-dimension mean.  Empty clusters
+    simply drop out (deterministic on both engines).
+
+    Scale shape: per round, ONE broadcast crossJoin (centroids are tiny)
+    + a max_by per vector + a per-dimension avg aggregation over
+    n_centroids groups — the vector table is never shuffled.  The init
+    global sort is over (md5, vec_id) and Catalyst executes the limit as
+    TakeOrdered (no single-task full sort); at extreme scale you would
+    seed from a sample, which changes nothing downstream."""
+    e = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
+    if dim is None:
+        dim = len(e.select("v").first()[0])
+    seeds = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(r.v)) for i, r in enumerate(seeds)], "cid int, cv array<double>"
+    )
+    mean_vec = F.array(
+        *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
+    ).alias("cv")
+    for _ in range(rounds):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid",
+            F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.max_by(F.col("cid"), F.struct(F.col("cc"), -F.col("cid"))).alias("cid"),
+            F.first("v").alias("v"),
+        )
+        cents = assigned.groupBy("cid").agg(mean_vec)
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -175,23 +226,31 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probe: int = 2,
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize vectors to their nearest centroid
-    (deterministic centroid set: the first ``n_centroids`` vec_ids after
-    the query), probe the query's ``n_probe`` nearest inverted lists, and
-    exact-rank only within the probed lists.
+    """IVF-style ANN: coarse-quantize vectors to their nearest centroid,
+    probe the query's ``n_probe`` nearest inverted lists, and exact-rank
+    only within the probed lists.
+
+    ``centroids`` (cid, cv) injects a learned set (see kmeans_centroids);
+    the default is the deterministic surrogate (the first ``n_centroids``
+    vec_ids after the query).  Recall@k of either choice vs the exact
+    scan is measured by the ann_ivf_recall query.
 
     At scale the assignment is one broadcast crossJoin (centroids are tiny
     by definition) + a max_by per vector — no shuffle of the vector table;
     the probe step scans ~n_probe/n_centroids of the data.  Ties broken on
     centroid id; ranks on round(cos, 6) + vec_id, as everywhere."""
     e = embeddings.select("vec_id", _as_double(F.col(vec_col)).alias("v"))
-    cents = F.broadcast(
-        e.filter(
-            (F.col("vec_id") > query_vec_id)
-            & (F.col("vec_id") <= query_vec_id + n_centroids)
-        ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
+    if centroids is not None:
+        cents = F.broadcast(centroids.select("cid", "cv"))
+    else:
+        cents = F.broadcast(
+            e.filter(
+                (F.col("vec_id") > query_vec_id)
+                & (F.col("vec_id") <= query_vec_id + n_centroids)
+            ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
     scored = e.crossJoin(cents).select(
         "vec_id", "v", "cid",
         F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),

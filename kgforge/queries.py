@@ -1915,6 +1915,82 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _sql_kmeans_round(src_assign: str, src_cents: str, out_assign: str, out_cents: str) -> str:
+    """One unrolled Lloyd round: assign (nearest centroid by round(cos,6),
+    tie lowest cid) + per-dimension mean recompute."""
+    return f"""
+    {out_assign} AS (SELECT vec_id, v, cid FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+      FROM {src_assign} e, {src_cents} c) WHERE rn = 1),
+    {out_cents} AS (SELECT cid, list(m ORDER BY i) AS cv FROM (
+      SELECT cid, i, AVG(x) AS m FROM (
+        SELECT cid, UNNEST(v) AS x, generate_subscripts(v, 1) AS i
+        FROM {out_assign})
+      GROUP BY cid, i) GROUP BY cid)"""
+
+
+_SQL_IVF_RECALL = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    init AS (SELECT cid, cv FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             v AS cv
+      FROM e) WHERE cid < 8),
+    {_sql_kmeans_round('e', 'init', 'a1', 'c1')},
+    {_sql_kmeans_round('e', 'c1', 'a2', 'c2')},
+    assigned AS (SELECT vec_id, v, cid FROM (
+      SELECT e.vec_id, e.v, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+      FROM e, c2 c) WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT c.cid FROM c2 c, q
+              ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid LIMIT 2),
+    ivf AS (SELECT vec_id FROM (
+      SELECT a.vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(list_cosine_similarity(a.v, q.qv), 6) DESC,
+                                a.vec_id) AS rnk
+      FROM assigned a JOIN probe p ON a.cid = p.cid, q WHERE a.vec_id <> 0)
+      WHERE rnk <= 10),
+    exact AS (SELECT vec_id FROM (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                e.vec_id) AS rnk
+      FROM e, q WHERE e.vec_id <> 0) WHERE rnk <= 10)
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM exact JOIN ivf USING (vec_id)) AS BIGINT) AS n_hits,
+           ROUND((SELECT COUNT(*) FROM exact JOIN ivf USING (vec_id)) / 10.0, 4)
+             AS recall_at_10
+"""
+
+
+@register("ann_ivf_recall", _SQL_IVF_RECALL)
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@10 of IVF ANN vs the exact cosine scan — the one number an
+    ANN user needs (r2 VERDICT: IVF recall was unmeasured).  Centroids are
+    seeded deterministic k-means (md5 hash-init + 2 Lloyd rounds,
+    kmeans_centroids) instead of the first-n surrogate; probing 2 of 8
+    lists scans ~1/4 of the vectors."""
+    from .functions.similarity import cosine_topk, ivf_topk, kmeans_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    # checkpointed: centroids feed both the assignment and the probe branch
+    cents = kmeans_centroids(e, n_centroids=8, rounds=2, dim=64).localCheckpoint(
+        eager=True
+    )
+    ivf = ivf_topk(e, query_vec_id=0, k=10, n_probe=2, centroids=cents).select(
+        "vec_id"
+    )
+    exact = cosine_topk(e, query_vec_id=0, k=10).select("vec_id")
+    hits = exact.join(ivf, on="vec_id", how="left_semi")
+    return hits.agg(F.count("*").alias("n")).select(
+        F.lit(10).cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n_hits"),
+        F.round(F.col("n") / 10.0, 4).alias("recall_at_10"),
+    )
+
+
 @register(
     "text_quality_filter",
     f"""

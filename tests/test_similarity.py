@@ -107,3 +107,25 @@ def test_quality_filter_accounting(spark):
     assert got[4] == (False, "weird_tokens")
     stats = {r.reason: r.n_docs for r in drop_stats(f).collect()}
     assert sum(stats.values()) == 4 and stats["ok"] == 1
+
+
+def test_kmeans_centroids_deterministic(spark):
+    """Hash-seeded Lloyd rounds are fully deterministic: same centroids on
+    repeated calls, dim preserved, at most n_centroids clusters."""
+    import random
+
+    from kgforge.functions.similarity import ivf_topk, kmeans_centroids
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    c1 = sorted((r.cid, tuple(r.cv)) for r in kmeans_centroids(e, 4, rounds=2, dim=8).collect())
+    c2 = sorted((r.cid, tuple(r.cv)) for r in kmeans_centroids(e, 4, rounds=2, dim=8).collect())
+    assert c1 == c2
+    assert 0 < len(c1) <= 4
+    assert all(len(cv) == 8 for _, cv in c1)
+
+    cents = kmeans_centroids(e, 4, rounds=2, dim=8).localCheckpoint(eager=True)
+    got = ivf_topk(e, query_vec_id=0, k=5, n_probe=2, centroids=cents).collect()
+    assert len(got) == 5
+    assert [r.rnk for r in got] == [1, 2, 3, 4, 5]
