@@ -2054,6 +2054,66 @@ def token_counts_bpe(spark, sf_dir):
     )
 
 
+def _sql_bpe_round(prev_w: str, p: str, t: str, w: str) -> str:
+    """One unrolled BPE training round: weighted adjacent-pair counts ->
+    top pair (cnt desc, lexicographic tie) -> greedy left-to-right fold
+    rewrite (lambda references the round's top pair correlated)."""
+    struct_expr = "{'a': syms[i], 'b': syms[i+1]}"
+    return f"""
+    {p} AS (
+      SELECT (u).a AS a, (u).b AS b, SUM(cnt) AS pair_count FROM (
+        SELECT cnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+                           i -> {struct_expr})) AS u
+        FROM {prev_w} WHERE len(syms) >= 2)
+      GROUP BY 1, 2),
+    {t} AS (SELECT a, b, pair_count FROM {p}
+            ORDER BY pair_count DESC, a, b LIMIT 1),
+    {w} AS (
+      SELECT w.cnt, list_reduce(
+        list_transform(w.syms, s -> [s]),
+        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a AND x[1] = t.b
+                    THEN list_concat(list_slice(acc, 1, len(acc) - 1), [t.a || t.b])
+                    ELSE list_concat(acc, x) END) AS syms
+      FROM {prev_w} w, {t} t)"""
+
+
+_SQL_BPE_MERGES = (
+    r"""
+    WITH words AS (
+      SELECT tok, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+        FROM documents) GROUP BY tok),
+    w0 AS (SELECT cnt, list_transform(generate_series(1, strlen(tok)),
+                                      i -> tok[i]) AS syms
+           FROM words),"""
+    + ",".join(
+        _sql_bpe_round(f"w{r}", f"p{r + 1}", f"t{r + 1}", f"w{r + 1}")
+        for r in range(5)
+    )
+    + """
+    SELECT * FROM ("""
+    + " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, CAST(pair_count AS BIGINT) AS pair_count FROM t{r + 1}"
+        for r in range(5)
+    )
+    + ")"
+)
+
+
+@register("bpe_merges", _SQL_BPE_MERGES)
+def bpe_merges(spark, sf_dir):
+    """REAL BPE merge training (functions/bpe.train_bpe_merges) over the
+    GPT-2-style pre-tokens of the documents corpus: 5 rounds of
+    count-top-pair-and-fuse, each round one vocab-table aggregation + one
+    fold rewrite (the DuckDB oracle unrolls the identical 5 rounds).
+    token_counts_bpe remains the pre-tokenization COUNT stage; this query
+    is the merge-table stage that makes it an actual trained tokenizer."""
+    from .functions.bpe import pretoken_counts, train_bpe_merges
+
+    return train_bpe_merges(pretoken_counts(_docs(spark, sf_dir)), n_merges=5)
+
+
 # ---------- KG consumption queries (what a graph user runs after
 # materialization: degree profile, multi-hop traversal) ----------
 
