@@ -45,7 +45,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from kgforge.fixtures import gen_repo_rows
-    from kgforge.queries import QUERIES
+    from kgforge.queries import ALL_QUERIES as QUERIES
     from kgforge.session import get_spark
 
     spark = get_spark("kgforge-bench", master=f"local[{args.cores}]",

@@ -54,7 +54,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # sweep EVERYTHING — the 50 driver-contract queries plus the
+    # EXTRA registry (demoted from the driver view by the 50-row
+    # snapshot cap, still fully oracle-checked here)
+    from kgforge.queries import ALL_ORACLES, ALL_QUERIES
+
+    qs, oracles = dict(ALL_QUERIES), dict(ALL_ORACLES)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    from kgforge.queries import QUERIES
+    from kgforge.queries import ALL_QUERIES as QUERIES
     from kgforge.session import get_spark
 
     spark = get_spark("plan-audit", master="local[4]", shuffle_partitions=8)

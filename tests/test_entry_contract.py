@@ -30,6 +30,10 @@ FAST_SUBSET = [
     "ann_ivf_topk",
     "text_quality_filter",
     "kg_two_hop",
+    # round-3 additions
+    "kg_ctx_cross",
+    "ann_ivf_recall",
+    "bpe_merges",
 ]
 
 
@@ -52,18 +56,27 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_has_callable_and_most_have_oracles():
+    from kgforge.queries import ALL_ORACLES, ALL_QUERIES
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 25
+    # the driver's correctness snapshot records at most 50 rows (r01:
+    # 40/40 registered; r02: exactly the first 50 of 56) — the contract
+    # exposes exactly the core set so every registered query gets a row
+    assert len(qs) <= 50
     assert set(oracles) <= set(qs)
-    # r2: every registered query has a DuckDB oracle (multimodal_features
-    # gained one — scalar sha-derived feature bytes + hex-nibble mirror)
+    # every registered query has a DuckDB oracle
     assert set(qs) - set(oracles) == set()
+    # the EXTRA registry keeps its oracles too, and never overlaps
+    assert set(ALL_QUERIES) >= set(qs)
+    assert set(ALL_ORACLES) == set(ALL_QUERIES)
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)
 def test_oracle_parity_subset(spark, duck, name):
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    from kgforge.queries import ALL_ORACLES as oracles
+    from kgforge.queries import ALL_QUERIES as qs
     df = qs[name](spark, SF_DIR)
     spark_cols = [c.lower() for c in df.columns]
     spark_rows = [tuple(r) for r in df.collect()]
