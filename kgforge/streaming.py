@@ -100,28 +100,62 @@ def windowed_triple_counts(
 def streaming_first_seen(
     keyed_stream: DataFrame,
     key_cols: list[str] | None = None,
+    ttl_ms: int | None = None,
+    ts_col: str = "event_time",
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Cross-micro-batch EXACT dedup: emit each key the first time it is
     ever seen, suppress all later arrivals — the streaming counterpart of
     the exact-dedup modality (a custom stateful operator via
     applyInPandasWithState; state = one empty marker per key, so state
-    size is O(distinct keys), the minimum any exact dedup can hold)."""
+    size is O(distinct keys), the minimum any exact dedup can hold).
+
+    ``ttl_ms=None`` (default) keeps exact-forever semantics — state grows
+    with distinct keys, inherent to exact first-seen.  ``ttl_ms=N`` opts
+    into BOUNDED-horizon dedup with EVENT-TIME eviction: the stream is
+    watermarked on ``ts_col``, every arrival pushes the key's timeout
+    timestamp to its latest event time + N ms, and once the watermark
+    passes that deadline the key is evicted with a ``first_seen=false``
+    marker row — never a silent state drop, so
+    ``COUNT(*) WHERE NOT first_seen`` is the evicted-key counter.  A key
+    arriving again after eviction re-emits ``first_seen=true`` (by
+    construction: its state is gone).  Suppressed duplicate arrivals
+    still emit nothing.
+
+    Event-time (not processing-time) timeouts are deliberate: they are
+    deterministic under replay, and a processing-time timeout makes
+    ``shouldRunAnotherBatch`` always true, so ``availableNow`` drains
+    would never terminate."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.types import StructType
 
     keys = key_cols or ["content_sha"]
     out_schema = ", ".join(f"{k} string" for k in keys) + ", first_seen boolean"
     state_schema = "seen boolean"
+    if ttl_ms is not None:
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+        keyed_stream = keyed_stream.withWatermark(ts_col, watermark_delay)
+    else:
+        timeout_conf = GroupStateTimeout.NoTimeout
 
     def fn(key, pdf_iter, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            # bounded-horizon eviction: surface the drop, free the state
+            state.remove()
+            yield pd.DataFrame([{**dict(zip(keys, key)), "first_seen": False}])
+            return
         if not state.exists:
             state.update((True,))
             emit = True
         else:
             emit = False
-        for _ in pdf_iter:  # drain (values unused: key identity is the event)
-            pass
+        max_ts = None
+        for pdf in pdf_iter:
+            if ttl_ms is not None and len(pdf):
+                m = pdf[ts_col].max()
+                max_ts = m if max_ts is None or m > max_ts else max_ts
+        if ttl_ms is not None and max_ts is not None:
+            state.setTimeoutTimestamp(int(max_ts.timestamp() * 1000) + ttl_ms)
         if emit:
             yield pd.DataFrame([{**dict(zip(keys, key)), "first_seen": True}])
         else:
@@ -134,7 +168,7 @@ def streaming_first_seen(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

@@ -213,3 +213,59 @@ def test_incremental_graph_survives_stale_latest(spark, tmp_path):
     assert sorted(map(key_n, nodes_s.collect())) == sorted(
         map(key_n, nodes_f.collect())
     )
+
+
+def test_streaming_first_seen_ttl_bounded_state(spark, tmp_path):
+    """Bounded-horizon dedup (ttl_ms, event-time): once the watermark
+    passes an idle key's last event time + TTL the key is evicted with a
+    first_seen=false marker (the evicted-key counter - no silent state
+    loss), and a later re-arrival re-emits first_seen=true, proving the
+    state was actually freed.  Fully deterministic: driven by event
+    times, no wall-clock sleeps."""
+    import json
+
+    from kgforge.streaming import streaming_first_seen
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    inp.mkdir()
+
+    def write(rows, name):
+        with open(inp / f"{name}.json", "w") as f:
+            for sha, ts in rows:
+                f.write(json.dumps({"content_sha": sha, "event_time": ts}) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("content_sha string, event_time timestamp")
+            .format("json").load(str(inp))
+        )
+        q = (
+            streaming_first_seen(stream, ttl_ms=60_000)
+            .writeStream.format("parquet")
+            .option("path", str(out)).outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    write([("A", "2026-01-01T00:00:00"), ("B", "2026-01-01T00:00:00")], "b0")
+    drain()
+    got = {(r.content_sha, r.first_seen) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("A", True), ("B", True)}
+
+    # event time jumps past A's deadline (00:01:00); B re-arrives in the
+    # same batch (data is processed before timeouts -> timer refreshed,
+    # suppressed, NOT evicted), C is new
+    write([("B", "2026-01-01T00:10:00"), ("C", "2026-01-01T00:10:00")], "b1")
+    drain()
+    got = {(r.content_sha, r.first_seen) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("A", True), ("B", True), ("C", True), ("A", False)}
+    evicted = [r for r in spark.read.parquet(str(out)).collect() if not r.first_seen]
+    assert len(evicted) == 1  # exactly one eviction, attributable to A
+
+    # A re-arrives after eviction: state really was freed -> True again
+    write([("A", "2026-01-01T00:11:00")], "b2")
+    drain()
+    rows = spark.read.parquet(str(out)).collect()
+    a_true = [r for r in rows if r.content_sha == "A" and r.first_seen]
+    assert len(a_true) == 2
