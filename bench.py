@@ -141,6 +141,15 @@ def main() -> None:
         "cores": int(args.cores),
         "triples_per_sec": triples_per_sec,
     }
+    # attach the stored paired r2-vs-head study (scripts/bench_ab.py:
+    # alternating same-session legs, per-query best-of-N) so the per-round
+    # bench record carries round-over-round numbers this jittery host's
+    # single-shot runs cannot provide; commit ids inside date the study
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "ab_r2_r3.json")
+    if os.path.exists(ab_path):
+        with open(ab_path) as f:
+            result["paired_vs_r2"] = json.load(f)
     spark.stop()
     print(json.dumps(result))
 
