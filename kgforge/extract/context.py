@@ -134,7 +134,8 @@ def extract_triples_fused_ctx(
 
 
 def mentions_ctx(
-    units: DataFrame, model_name: str = "repos", k: int = 1
+    units: DataFrame, model_name: str = "repos", k: int = 1,
+    ctx: DataFrame | None = None,
 ) -> DataFrame:
     """Context-widened TAGGING for the RELATIONAL path: detect mentions
     over the ±k-widened token sequence (the model 'sees' neighbor context,
@@ -144,8 +145,13 @@ def mentions_ctx(
     Output schema == explode_mentions (repo, path, commit, unit_id,
     content_sha, text, m_id, start, end, ent_type) so it composes with
     cross_ner_mentions / pair_relational.  k=0 reproduces
-    explode_mentions(tag_mentions(units)) exactly (tested)."""
-    ctx = with_context(units, k)
+    explode_mentions(tag_mentions(units)) exactly (tested).
+
+    ``ctx`` injects a pre-computed (ideally checkpointed) with_context
+    frame so the window shuffle is paid once when rebase_to_ctx also
+    needs it (the combined pipeline mode)."""
+    if ctx is None:
+        ctx = with_context(units, k)
     schema = (
         "repo string, path string, commit string, unit_id long,"
         " content_sha string, text string, m_id int, start int, end int,"
@@ -244,16 +250,20 @@ def classify_mentions_fused(
     return per_unit.mapInPandas(gen, TRIPLES_SCHEMA).dropDuplicates(TRIPLE_KEY)
 
 
-def rebase_to_ctx(units: DataFrame, mentions: DataFrame, k: int) -> DataFrame:
+def rebase_to_ctx(
+    units: DataFrame, mentions: DataFrame, k: int,
+    ctx: DataFrame | None = None,
+) -> DataFrame:
     """Shift unit-local mention spans into the ±k context-widened token
     space and swap ``text`` for ``ctx_text``, so downstream pair scoring
     and relation classification see the same widened window the tagger
     saw — the reference builds ONE widened sample per sentence that all
     heads consume (data/utils.py:84-191).  Surfaces are unchanged: the
-    shifted span slices the same tokens out of ctx_text."""
-    ctx = with_context(units, k).select(
-        "repo", "path", "unit_id", "ctx_text", "n_left"
-    )
+    shifted span slices the same tokens out of ctx_text.  ``ctx`` as in
+    mentions_ctx."""
+    if ctx is None:
+        ctx = with_context(units, k)
+    ctx = ctx.select("repo", "path", "unit_id", "ctx_text", "n_left")
     return mentions.join(ctx, on=["repo", "path", "unit_id"]).select(
         "repo", "path", "commit", "unit_id", "content_sha",
         F.col("ctx_text").alias("text"),

@@ -60,12 +60,17 @@ def extract_pipeline(
             # combined mode: widened tagging, unit-local propagation, then
             # classification over the SAME widened window — fused (one
             # Arrow pass per unit) because the per-pair relational UDF
-            # would re-tokenize the 2k+1-wide text once per candidate pair
-            from .context import classify_mentions_fused
+            # would re-tokenize the 2k+1-wide text once per candidate pair.
+            # The context window is computed ONCE and checkpointed: both
+            # the tagging stage and the re-basing join consume it.
+            from .context import classify_mentions_fused, with_context
 
-            mentions = mentions_ctx(units, model_name, k=context_window)
+            ctx = with_context(units, context_window).localCheckpoint(
+                eager=True
+            )
+            mentions = mentions_ctx(units, model_name, k=context_window, ctx=ctx)
             mentions = cross_ner_mentions(units, mentions, k=1)
-            mentions = rebase_to_ctx(units, mentions, k=context_window)
+            mentions = rebase_to_ctx(units, mentions, k=context_window, ctx=ctx)
             return classify_mentions_fused(mentions, model_name)
         mentions = explode_mentions(tag_mentions(units, model_name))
         mentions = cross_ner_mentions(units, mentions, k=1)

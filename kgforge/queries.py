@@ -1639,12 +1639,15 @@ def kg_ctx_cross(spark, sf_dir):
         cross_ner_mentions,
         mentions_ctx,
         rebase_to_ctx,
+        with_context,
     )
 
     units = _docs_as_ctx_units(spark, sf_dir)
-    m = mentions_ctx(units, "docs", k=1)
+    # window computed once, checkpointed: tagging + re-basing both use it
+    ctx = with_context(units, 1).localCheckpoint(eager=True)
+    m = mentions_ctx(units, "docs", k=1, ctx=ctx)
     m = cross_ner_mentions(units, m, k=1)
-    m = rebase_to_ctx(units, m, k=1)
+    m = rebase_to_ctx(units, m, k=1, ctx=ctx)
     t = classify_mentions_fused(m, "docs")
     return t.select(
         F.col("unit_id").cast("bigint").alias("doc_id"),

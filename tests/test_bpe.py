@@ -51,3 +51,57 @@ def test_pretoken_counts_pattern(spark):
     got = {r.tok: r.cnt for r in pretoken_counts(docs).collect()}
     assert got["hello"] == 3 and got["world"] == 1
     assert got["42"] == 1 and got[","] == 1 and got["!"] == 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _bpe_reference(words: dict[str, int], n_merges: int):
+    """Plain-python classic BPE trainer (the algorithm the Spark fold
+    mirrors): weighted adjacent-pair counts with overlaps, top pair by
+    (count desc, left, right), greedy left-to-right rewrite."""
+    syms = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + words[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w, s in syms.items():
+            out: list[str] = []
+            for t in s:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            syms[w] = out
+    return merges
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 4),
+)
+def test_train_bpe_matches_reference_property(spark, words, n_merges):
+    """The distributed fold trainer equals a plain-python classic BPE on
+    arbitrary small vocabularies (counts, tie-breaks, greedy rewrite,
+    early stop)."""
+    from kgforge.functions.bpe import train_bpe_merges
+
+    w = spark.createDataFrame(list(words.items()), "tok string, cnt long")
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in train_bpe_merges(w, n_merges=n_merges).orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_reference(words, n_merges)

@@ -129,3 +129,31 @@ def test_kmeans_centroids_deterministic(spark):
     got = ivf_topk(e, query_vec_id=0, k=5, n_probe=2, centroids=cents).collect()
     assert len(got) == 5
     assert [r.rnk for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """Probing ALL inverted lists must reproduce the exact brute-force
+    top-k (IVF's correctness envelope: recall -> 1 as n_probe ->
+    n_centroids), with either centroid choice."""
+    import random
+
+    from kgforge.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = [r.vec_id for r in cosine_topk(e, query_vec_id=0, k=10).collect()]
+
+    full_default = ivf_topk(e, query_vec_id=0, k=10, n_centroids=4, n_probe=4)
+    assert [r.vec_id for r in full_default.collect()] == exact
+
+    cents = kmeans_centroids(e, 4, rounds=2, dim=8).localCheckpoint(eager=True)
+    n_lists = cents.count()
+    full_kmeans = ivf_topk(
+        e, query_vec_id=0, k=10, n_probe=n_lists, centroids=cents
+    )
+    assert [r.vec_id for r in full_kmeans.collect()] == exact
