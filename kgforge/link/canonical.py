@@ -151,12 +151,20 @@ def lsh_candidate_pairs(
     vertices: DataFrame,
     jaccard_threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = MAX_BUCKET,
+    involving: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH: same (ent_type, band_id, band_key) bucket -> candidate
     pair -> verify char-shingle Jaccard.  Returns (src, dst, jaccard) with
     src < dst.  Buckets larger than ``max_bucket`` are excluded (guard
     against O(bucket^2) blowup); their count is visible via
-    ``lsh_bucket_stats``."""
+    ``lsh_bucket_stats``.
+
+    ``involving`` (a 1-column ``entity_id`` frame) restricts output to
+    pairs with AT LEAST ONE endpoint in the set, and — the point — only
+    buckets CONTAINING such an endpoint are paired at all, so the
+    quadratic within-bucket work scales with the delta's bucket
+    neighborhood instead of the full accumulated dim (incremental
+    re-linking, graph/merge.update_canonical)."""
     bands = _bands(vertices)
     keycols = ["ent_type", "band_id", "band_key"]
     sizes = bands.groupBy(*keycols).agg(F.count("*").alias("bucket_size"))
@@ -164,17 +172,32 @@ def lsh_candidate_pairs(
         sizes.filter(F.col("bucket_size") <= max_bucket).drop("bucket_size"),
         on=keycols,
     )
+    if involving is not None:
+        new_ids = involving.select("entity_id").distinct().withColumn(
+            "is_new", F.lit(True)
+        )
+        bands = bands.join(new_ids, on="entity_id", how="left").withColumn(
+            "is_new", F.coalesce("is_new", F.lit(False))
+        )
+        hot = bands.filter("is_new").select(*keycols).distinct()
+        bands = bands.join(hot, on=keycols)
+        extra_a, extra_b = [F.col("is_new").alias("new_a")], [
+            F.col("is_new").alias("new_b")
+        ]
+    else:
+        extra_a = extra_b = []
     a = bands.select(
-        *keycols, F.col("entity_id").alias("src"), F.col("shingles").alias("sh_a")
+        *keycols, F.col("entity_id").alias("src"),
+        F.col("shingles").alias("sh_a"), *extra_a,
     )
     b = bands.select(
-        *keycols, F.col("entity_id").alias("dst"), F.col("shingles").alias("sh_b")
+        *keycols, F.col("entity_id").alias("dst"),
+        F.col("shingles").alias("sh_b"), *extra_b,
     )
-    cand = (
-        a.join(b, on=keycols)
-        .filter(F.col("src") < F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+    cand = a.join(b, on=keycols).filter(F.col("src") < F.col("dst"))
+    if involving is not None:
+        cand = cand.filter(F.col("new_a") | F.col("new_b"))
+    cand = cand.dropDuplicates(["src", "dst"])
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

@@ -167,3 +167,34 @@ def test_update_canonical_never_splits_clusters(spark):
         .count()
     )
     assert n_ids == 1
+
+
+def test_update_canonical_incremental_equals_full(spark):
+    """Incremental re-linking (delta-neighborhood LSH + sub-CC) is EXACT:
+    chained over random batches it produces the same canonical dim as the
+    full O(dim) recompute, which equals the one-shot link over the union."""
+    from kgforge.extract.pipeline import extract_pipeline
+    from kgforge.fixtures import gen_repo_rows
+    from kgforge.graph.merge import update_canonical
+
+    rows = gen_repo_rows(90)
+    batches = [rows[:30], rows[30:60], rows[60:]]
+
+    def triples(rs):
+        return extract_pipeline(
+            spark.createDataFrame(rs), "fused"
+        ).localCheckpoint(eager=True)
+
+    can_inc = can_full = None
+    for rs in batches:
+        t = triples(rs)
+        can_inc, _ = update_canonical(can_inc, t, relink="incremental")
+        can_inc = can_inc.localCheckpoint(eager=True)
+        can_full, _ = update_canonical(can_full, t, relink="full")
+        can_full = can_full.localCheckpoint(eager=True)
+
+    one_shot, _ = update_canonical(None, triples(rows))
+    key = lambda r: (r.surface, r.ent_type, r.canonical_id)  # noqa: E731
+    inc = sorted(map(key, can_inc.collect()))
+    assert inc == sorted(map(key, can_full.collect()))
+    assert inc == sorted(map(key, one_shot.collect()))
