@@ -96,20 +96,44 @@ def update_canonical(
     bound.  ``relink="full"`` forces the O(dim) recompute.
 
     Returns (canonical, relabel_map)."""
-    from ..link.canonical import entity_vertices, lsh_candidate_pairs
+    from ..link.canonical import (
+        entity_vertices,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
     from ..link.cc import connected_components
 
     cols = ["surface", "ent_type", "norm", "entity_id"]
-    new_verts = entity_vertices(delta_triples).select(*cols)
+    sig_cols = cols + ["shingles", "sig"]
+    # signatures/shingles are deterministic in the surface — compute them
+    # for the DELTA only and carry the dim's persisted ones forward
+    # (minhash_signature is idempotent); the canonical frame returned
+    # below keeps both columns, so state round-trips cache them
+    new_verts = minhash_signature(entity_vertices(delta_triples).select(*cols))
     if existing_canonical is not None:
-        verts = (
-            existing_canonical.select(*cols)
-            .unionByName(new_verts)
+        old = minhash_signature(existing_canonical.select(
+            *(sig_cols if "sig" in existing_canonical.columns
+              and "shingles" in existing_canonical.columns else cols)
+        )).select(*sig_cols)
+        # dim extension WITHOUT a full-dim shuffle: the old dim is already
+        # unique on (surface, ent_type) — anti-join the (tiny) delta
+        # against the dim's keys and append.  A dropDuplicates over the
+        # union would shuffle every wide row (shingles + sig arrays) of
+        # the accumulated dim once per epoch.
+        new_only = (
+            new_verts.select(*sig_cols)
+            .join(
+                existing_canonical.select("surface", "ent_type"),
+                on=["surface", "ent_type"], how="left_anti",
+            )
             .dropDuplicates(["surface", "ent_type"])
+            .localCheckpoint(eager=True)
         )
+        verts = old.unionByName(new_only)
     else:
-        verts = new_verts
-    verts = verts.localCheckpoint(eager=True)
+        verts = new_verts.select(*sig_cols).dropDuplicates(
+            ["surface", "ent_type"]
+        ).localCheckpoint(eager=True)
     if existing_canonical is not None:
         # Clusters must never split across epochs (documented contract,
         # and what keeps the relabel map FUNCTIONAL on old_canonical_id):
@@ -131,13 +155,19 @@ def update_canonical(
             .withColumn("jaccard", F.lit(1.0))
         )
     if existing_canonical is not None and relink == "incremental":
-        old_ids = existing_canonical.select("entity_id").distinct()
+        # new ENTITY ids (a new surface can share its normalized entity_id
+        # with an old surface — that id is not new to the link graph)
         new_ids = (
-            verts.select("entity_id").distinct()
-            .join(old_ids, on="entity_id", how="left_anti")
+            new_only.select("entity_id").distinct()
+            .join(
+                existing_canonical.select("entity_id").distinct(),
+                on="entity_id", how="left_anti",
+            )
             .localCheckpoint(eager=True)
         )
-        cand = lsh_candidate_pairs(verts, involving=new_ids).localCheckpoint(
+        from ..link.canonical import lsh_candidate_pairs_delta
+
+        cand = lsh_candidate_pairs_delta(verts, new_only).localCheckpoint(
             eager=True
         )
         # components the delta touches: new ids + old endpoints of new

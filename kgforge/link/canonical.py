@@ -103,7 +103,14 @@ def entity_vertices(triples: DataFrame) -> DataFrame:
 
 
 def minhash_signature(df: DataFrame, text_col: str = "norm") -> DataFrame:
-    """Add ``shingles: array<string>`` and ``sig: array<bigint>``."""
+    """Add ``shingles: array<string>`` and ``sig: array<bigint>``.
+
+    Idempotent: rows that already carry both columns are returned as-is —
+    signatures are deterministic in (norm), so a dim that PERSISTS them
+    (graph/merge.update_canonical does) never recomputes them for old
+    surfaces; per-epoch signature cost is the delta's, not the dim's."""
+    if "sig" in df.columns and "shingles" in df.columns:
+        return df
     sh = shingles(F.col(text_col))
     hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
 
@@ -144,6 +151,61 @@ def lsh_bucket_stats(vertices: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("bucket_size"))
         .groupBy("bucket_size")
         .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+def lsh_candidate_pairs_delta(
+    all_verts: DataFrame,
+    new_verts: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Candidate pairs with at least one endpoint from ``new_verts``,
+    touching only the DELTA'S buckets — the per-epoch shape of
+    incremental re-linking (graph/merge.update_canonical).
+
+    The new vertices' bands pick the hot bucket keys (tiny, broadcast);
+    ONE map-side filter pass over the dim's bands keeps hot-bucket
+    members (no full-dim shuffle — with persisted signatures banding is
+    pure slicing); bucket-cap counting and quadratic pairing then run on
+    that small member set only.  Bucket sizes are exact: every member of
+    a hot bucket survives the key filter, so the within-filter count
+    equals the global count the full path caps on.  Output semantics
+    equal lsh_candidate_pairs(all, involving=new-ids) up to extra pairs
+    between old vertices that share a hot bucket — which the incremental
+    caller tolerates by construction (old–old verdicts are already
+    reflected in the prior clusters)."""
+    keycols = ["ent_type", "band_id", "band_key"]
+    hot = _bands(new_verts).select(*keycols).distinct()
+    members = _bands(all_verts).join(F.broadcast(hot), on=keycols)
+    sizes = members.groupBy(*keycols).agg(F.count("*").alias("bucket_size"))
+    members = members.join(
+        sizes.filter(F.col("bucket_size") <= max_bucket).drop("bucket_size"),
+        on=keycols,
+    )
+    new_ids = new_verts.select("entity_id").distinct()
+    b = members.join(F.broadcast(new_ids), on="entity_id").select(
+        *keycols, F.col("entity_id").alias("bid"), F.col("shingles").alias("sh_b")
+    )
+    a = members.select(
+        *keycols, F.col("entity_id").alias("aid"), F.col("shingles").alias("sh_a")
+    )
+    cand = (
+        a.join(b, on=keycols)
+        .filter(F.col("aid") != F.col("bid"))
+        .select(
+            F.least("aid", "bid").alias("src"),
+            F.greatest("aid", "bid").alias("dst"),
+            "sh_a", "sh_b",
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
+        .select("src", "dst", "jaccard")
     )
 
 

@@ -134,3 +134,51 @@ def test_case_variant_surfaces_no_duplicate_fanout(spark):
     # the canonical join must not fan out triples
     linked = attach_canonical_ids(t, can)
     assert linked.count() == t.count()
+
+
+def test_lsh_delta_pairs_match_involving(spark):
+    """The delta-bucket pairing (one map-side pass over the dim) produces
+    exactly the involving-filtered pairs for new-endpoint pairs; any
+    extra old-old rows it emits share a hot bucket (tolerated by the
+    incremental caller: old-old verdicts already live in prior clusters)."""
+    from pyspark.sql import functions as F
+
+    from kgforge.extract.pipeline import extract_pipeline
+    from kgforge.fixtures import gen_repo_rows
+    from kgforge.link.canonical import (
+        entity_vertices,
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_delta,
+        minhash_signature,
+    )
+
+    rows = gen_repo_rows(80)
+    ta = extract_pipeline(spark.createDataFrame(rows[:50]), "fused")
+    tb = extract_pipeline(spark.createDataFrame(rows[50:]), "fused")
+    old = minhash_signature(entity_vertices(ta)).localCheckpoint(eager=True)
+    new = (
+        minhash_signature(entity_vertices(tb))
+        .join(
+            old.select("surface", "ent_type"),
+            on=["surface", "ent_type"], how="left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    allv = old.unionByName(new.select(*old.columns))
+    new_ids = {r.entity_id for r in new.select("entity_id").distinct().collect()} - {
+        r.entity_id for r in old.select("entity_id").distinct().collect()
+    }
+
+    key = lambda r: (r.src, r.dst, round(r.jaccard, 6))  # noqa: E731
+    inv = lsh_candidate_pairs(
+        allv, involving=spark.createDataFrame(
+            [(i,) for i in new_ids], "entity_id bigint"
+        )
+    )
+    delta = lsh_candidate_pairs_delta(allv, new)
+    inv_set = {key(r) for r in inv.collect()}
+    delta_new = {
+        key(r) for r in delta.collect()
+        if r.src in new_ids or r.dst in new_ids
+    }
+    assert inv_set == delta_new and len(inv_set) > 0
