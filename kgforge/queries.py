@@ -2080,7 +2080,7 @@ def _sql_bpe_round(prev_w: str, p: str, t: str, w: str) -> str:
       FROM {prev_w} w, {t} t)"""
 
 
-_SQL_BPE_MERGES = (
+_SQL_BPE_CTES = (
     r"""
     WITH words AS (
       SELECT tok, COUNT(*) AS cnt FROM (
@@ -2093,6 +2093,10 @@ _SQL_BPE_MERGES = (
         _sql_bpe_round(f"w{r}", f"p{r + 1}", f"t{r + 1}", f"w{r + 1}")
         for r in range(5)
     )
+)
+
+_SQL_BPE_MERGES = (
+    _SQL_BPE_CTES
     + """
     SELECT * FROM ("""
     + " UNION ALL ".join(
@@ -2115,6 +2119,37 @@ def bpe_merges(spark, sf_dir):
     from .functions.bpe import pretoken_counts, train_bpe_merges
 
     return train_bpe_merges(pretoken_counts(_docs(spark, sf_dir)), n_merges=5)
+
+
+@register(
+    "bpe_tokenize_counts",
+    _SQL_BPE_CTES
+    + """
+    SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+      SELECT cnt, unnest(syms) AS sym FROM w5)
+    GROUP BY sym
+    """,
+)
+def bpe_tokenize_counts(spark, sf_dir):
+    """The trained tokenizer APPLIED end-to-end: train 5 BPE merges over
+    the corpus pre-tokens, replay them with apply_bpe (pure-expression
+    fold), and count corpus occurrences per merged symbol — the
+    full-circle proof that bpe_merges produces a usable tokenizer (the
+    oracle re-derives the same vocabulary from its own unrolled training
+    rounds)."""
+    from .functions.bpe import apply_bpe, pretoken_counts, train_bpe_merges
+
+    words = pretoken_counts(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in train_bpe_merges(words, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    toks = apply_bpe(words, merges)
+    return (
+        toks.select("cnt", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("cnt").alias("n"))
+    )
 
 
 # ---------- KG consumption queries (what a graph user runs after
@@ -2232,6 +2267,93 @@ def kg_ego_network(spark, sf_dir):
     )
 
 
+_SQL_PAGERANK = _SQL_EDGES + """
+    , de AS (SELECT DISTINCT src, dst FROM edges),
+    verts AS (SELECT src AS v FROM de UNION SELECT dst FROM de),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM de GROUP BY src),
+    pr0 AS (SELECT v, 1.0 / n AS pr FROM verts, nn),
+    dang1 AS (SELECT COALESCE(SUM(p.pr), 0) AS dang FROM pr0 p
+      LEFT JOIN od ON p.v = od.src WHERE od.src IS NULL),
+    c1 AS (SELECT de.dst AS v, SUM(p.pr / od.deg) AS s
+      FROM de JOIN pr0 p ON de.src = p.v JOIN od ON de.src = od.src
+      GROUP BY de.dst),
+    pr1 AS (
+      SELECT verts.v,
+             0.15 / nn.n + 0.85 * (COALESCE(c1.s, 0) + dang1.dang / nn.n) AS pr
+      FROM verts CROSS JOIN nn CROSS JOIN dang1
+      LEFT JOIN c1 ON verts.v = c1.v),
+    dang2 AS (SELECT COALESCE(SUM(p.pr), 0) AS dang FROM pr1 p
+      LEFT JOIN od ON p.v = od.src WHERE od.src IS NULL),
+    c2 AS (SELECT de.dst AS v, SUM(p.pr / od.deg) AS s
+      FROM de JOIN pr1 p ON de.src = p.v JOIN od ON de.src = od.src
+      GROUP BY de.dst),
+    pr2 AS (
+      SELECT verts.v,
+             0.15 / nn.n + 0.85 * (COALESCE(c2.s, 0) + dang2.dang / nn.n) AS pr
+      FROM verts CROSS JOIN nn CROSS JOIN dang2
+      LEFT JOIN c2 ON verts.v = c2.v),
+    dang3 AS (SELECT COALESCE(SUM(p.pr), 0) AS dang FROM pr2 p
+      LEFT JOIN od ON p.v = od.src WHERE od.src IS NULL),
+    c3 AS (SELECT de.dst AS v, SUM(p.pr / od.deg) AS s
+      FROM de JOIN pr2 p ON de.src = p.v JOIN od ON de.src = od.src
+      GROUP BY de.dst),
+    pr3 AS (
+      SELECT verts.v,
+             0.15 / nn.n + 0.85 * (COALESCE(c3.s, 0) + dang3.dang / nn.n) AS pr
+      FROM verts CROSS JOIN nn CROSS JOIN dang3
+      LEFT JOIN c3 ON verts.v = c3.v),
+    final AS (SELECT v, pr FROM pr3)
+    SELECT v, ROUND(pr, 8) AS pr FROM final
+"""
+
+@register("kg_pagerank", _SQL_PAGERANK)
+def kg_pagerank(spark, sf_dir):
+    """PageRank over the materialized KG (3 power iterations, d=0.85,
+    dangling mass redistributed uniformly) — the entity-importance
+    primitive a KG consumer ranks hubs with.  Same iterative-join shape
+    as the CC loop: per round one contribution shuffle on the edge key +
+    one tiny dangling aggregate; the oracle unrolls the identical three
+    rounds.  Plain joins, no UDF; round(…, 8) absorbs cross-engine float
+    summation order."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    de = e.select("src", "dst").distinct().localCheckpoint(eager=True)
+    verts = (
+        de.select(F.col("src").alias("v"))
+        .unionByName(de.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    od = de.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    pr = verts.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(3):
+        dangling = (
+            pr.join(od, pr.v == od.src, "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            de.join(pr.withColumnRenamed("v", "src"), on="src")
+            .join(od, on="src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        pr = (
+            verts.join(contrib, on="v", how="left")
+            .select(
+                "v",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(0.85)
+                    * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("v", F.round("pr", 8).alias("pr"))
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -2268,6 +2390,8 @@ EXTRA_NAMES = [
     "dedup_minhash_bucket_stats",
     "token_counts",
     "multimodal_bytes",
+    "bpe_tokenize_counts",
+    "kg_pagerank",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
