@@ -1058,6 +1058,72 @@ def dedup_simhash(spark, sf_dir):
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+_SQL_SIMHASH_SIG = f"""
+    WITH {SQL_SHINGLES},
+    hashed AS (SELECT doc_id, {sql_charfold('sh')} AS h FROM shingle),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+      FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bal > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS s
+      FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    _SQL_SIMHASH_SIG
+    + """
+    , chunks AS (
+      SELECT doc_id, s, k.k AS k, CAST((s // (1 << (4 * k.k))) % 16 AS BIGINT) AS val
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS k) k),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb
+      FROM chunks a JOIN chunks b
+        ON a.k = b.k AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: hamming distance <= 3 on the 16-bit
+    signatures, found by the standard pigeonhole bucket join — split the
+    signature into 4 nibble chunks; any pair within distance 3 agrees
+    exactly on at least one chunk, so candidates come from equi-joins on
+    (chunk_ix, chunk_value) and only candidates pay the exact
+    bit_count(xor) verify.  Completes the SimHash modality (the
+    dedup_simhash query emits signatures only).  Scale note: production
+    SimHash is 64-bit with 8-bit chunks — same plan, 256-way buckets; the
+    16-bit/4-nibble layout here mirrors the oracle-checkable signature."""
+    sig = dedup_simhash(spark, sf_dir).withColumnRenamed("simhash", "s")
+    ks = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    chunks = sig.crossJoin(ks).select(
+        "doc_id", "s", "k",
+        F.expr("CAST(shiftright(s, 4 * k) & 15 AS BIGINT)").alias("val"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "k", "val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), "k", "val"
+    )
+    cand = (
+        a.join(b, on=["k", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sa", "doc_b", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+    )
+
+
 # Document-frequency ceiling for the inverted-index self-join: one hot
 # shingle shared by d documents contributes d^2/2 candidate pairs, so the
 # join is quadratic in the hottest key.  Shingles above the cap are
@@ -2392,6 +2458,7 @@ EXTRA_NAMES = [
     "multimodal_bytes",
     "bpe_tokenize_counts",
     "kg_pagerank",
+    "dedup_simhash_pairs",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
