@@ -2420,6 +2420,100 @@ def kg_pagerank(spark, sf_dir):
     return pr.select("v", F.round("pr", 8).alias("pr"))
 
 
+_PACK_CAP = 128  # token budget per packed sequence (context-window bin)
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents),
+    st(lang, rn, doc_id, n, bin, fill) AS (
+      SELECT lang, rn, doc_id, n, CAST(0 AS BIGINT), n FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.lang, d.rn, d.doc_id, d.n,
+             CASE WHEN st.fill + d.n <= {_PACK_CAP} THEN st.bin ELSE st.bin + 1 END,
+             CASE WHEN st.fill + d.n <= {_PACK_CAP} THEN st.fill + d.n ELSE d.n END
+      FROM st JOIN d ON d.lang = st.lang AND d.rn = st.rn + 1)
+    SELECT doc_id, lang, CAST(bin AS BIGINT) AS bin_id, n AS n_tokens FROM st
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence PACKING for LLM training: greedy first-fit-in-order of
+    documents into fixed token-budget bins (capacity {cap}), the step
+    that turns a curated corpus into dense context windows.  Distributed
+    shape: packing is parallel ACROSS strata (lang here; shards at
+    scale) and sequential WITHIN a stratum — one applyInPandas per
+    group, deterministic by doc_id order.  A document longer than the
+    budget gets its own (overflowing) bin, never silently truncated.
+    The oracle replays the identical fold as a linear recursive CTE."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bin_id, fill, out_bin, out_n = 0, None, [], []
+        for t in pdf["text"]:
+            n = len((t or "").split())
+            if fill is None:           # first doc opens bin 0
+                fill = n
+            elif fill + n <= _PACK_CAP:
+                fill += n
+            else:
+                bin_id += 1
+                fill = n
+            out_bin.append(bin_id)
+            out_n.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "lang": pdf["lang"].values,
+                "bin_id": out_bin,
+                "n_tokens": out_n,
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        pack, "doc_id bigint, lang string, bin_id bigint, n_tokens bigint"
+    )
+
+
+pack_sequences.__doc__ = pack_sequences.__doc__.format(cap=_PACK_CAP)
+
+
+@register(
+    "sample_stratified",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (training-data curation): per
+    stratum (lang), the 10 documents with the smallest
+    md5(cast(doc_id)) — a seeded uniform draw identical across engines
+    and partitionings, the same hash-ordering trick kmeans_centroids
+    uses for seeding.  Per-stratum quota instead of a global fraction,
+    so rare strata are never starved."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -2459,6 +2553,8 @@ EXTRA_NAMES = [
     "bpe_tokenize_counts",
     "kg_pagerank",
     "dedup_simhash_pairs",
+    "pack_sequences",
+    "sample_stratified",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
