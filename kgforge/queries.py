@@ -2514,6 +2514,131 @@ def sample_stratified(spark, sf_dir):
     )
 
 
+_CHUNK_W, _CHUNK_S = 64, 48  # window / stride (16-token overlap)
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    ix AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0,
+               GREATEST((n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}, 0))) AS i
+      FROM d)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_ix,
+           CAST(len(list_slice(toks, i * {_CHUNK_S} + 1,
+                               LEAST(i * {_CHUNK_S} + {_CHUNK_W}, n))) AS BIGINT)
+             AS n_toks,
+           {sql_charfold(f"array_to_string(list_slice(toks, i * {_CHUNK_S} + 1, LEAST(i * {_CHUNK_S} + {_CHUNK_W}, n)), ' ')")}
+             AS chunk_hash
+    FROM ix
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Overlapping context-window CHUNKING (window 64 tokens, stride 48):
+    the step before packing/embedding that splits long documents into
+    model-sized pieces without losing boundary context.  Pure
+    higher-order expressions — per doc, explode ceil((n−W)/S)+1 window
+    starts and slice; every doc yields at least one chunk.  Chunk
+    content is compared via the charfold hash (cross-engine exact)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    extra = F.greatest(
+        F.floor((n - F.lit(_CHUNK_W) + F.lit(_CHUNK_S - 1)) / F.lit(_CHUNK_S)),
+        F.lit(0),
+    ).cast("int")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks.alias("toks"), n.alias("n"),
+        F.explode(F.sequence(F.lit(0), extra)).alias("i"),
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("i") * _CHUNK_S + 1,
+        F.least(F.col("i") * _CHUNK_S + _CHUNK_W, F.col("n"))
+        - F.col("i") * _CHUNK_S,
+    )
+    return d.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_ix"),
+        F.size(sl).cast("bigint").alias("n_toks"),
+        charfold(F.array_join(sl, " ")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH {SQL_TOK},
+    q AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n,
+             len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the'))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
+             list_aggregate(list_transform(string_split(text, ' '),
+                                           t -> CAST(strlen(t) AS DOUBLE)), 'sum')
+               / len(string_split(text, ' ')) AS ml
+      FROM documents),
+    kept AS (
+      SELECT doc_id, lang, CAST(n AS BIGINT) AS n FROM q
+      WHERE NOT (n < 5) AND NOT (sr > 0.6) AND NOT (ml < 2.0 OR ml > 12.0)),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM((pos + 1) * ({sql_charfold("tok")} % 1000003)) % {MOD} AS BIGINT)
+               AS fingerprint
+      FROM tok GROUP BY doc_id),
+    uniq AS (
+      SELECT k.* FROM (
+        SELECT k.*, ROW_NUMBER() OVER (
+          PARTITION BY fp.fingerprint ORDER BY k.doc_id) AS rn
+        FROM kept k JOIN fp ON k.doc_id = fp.doc_id) k
+      WHERE rn = 1)
+    SELECT q.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(COUNT(u.doc_id) AS BIGINT) AS n_unique,
+           CAST(COALESCE(SUM(u.n), 0) AS BIGINT) AS n_tokens_final
+    FROM q
+    LEFT JOIN kept k ON q.doc_id = k.doc_id
+    LEFT JOIN uniq u ON q.doc_id = u.doc_id
+    GROUP BY q.lang
+    """,
+)
+def curation_funnel(spark, sf_dir):
+    """The end-to-end curation FUNNEL per stratum: raw corpus → quality
+    gate (functions/quality.quality_flags) → exact dedup (first doc per
+    positional fingerprint among the kept) → final token mass.  One
+    query tells the data engineer what each stage costs per language —
+    the attributable-drops story (quality reasons via
+    text_quality_filter, dedup survivors here) composed into the
+    headline numbers a curation run reports."""
+    from .functions.quality import quality_flags
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    q = quality_flags(d).select("doc_id", "lang", "n_tokens", "keep")
+    fp = doc_fingerprint(spark, sf_dir)
+    kept = q.filter("keep").join(fp, on="doc_id")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("n_tokens").alias("n_final"))
+    )
+    return (
+        q.join(uniq, on="doc_id", how="left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.count("n_final").alias("n_unique"),
+            F.coalesce(F.sum("n_final"), F.lit(0)).cast("bigint")
+              .alias("n_tokens_final"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -2555,6 +2680,8 @@ EXTRA_NAMES = [
     "dedup_simhash_pairs",
     "pack_sequences",
     "sample_stratified",
+    "chunk_documents",
+    "curation_funnel",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -34,6 +34,8 @@ FAST_SUBSET = [
     "kg_ctx_cross",
     "ann_ivf_recall",
     "bpe_merges",
+    "kg_pagerank",
+    "curation_funnel",
 ]
 
 
