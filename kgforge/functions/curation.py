@@ -1,0 +1,119 @@
+"""Training-data curation building blocks shared by the oracle queries
+(kgforge/queries.py: curation_funnel, pack_sequences) and the
+spark-submit deliverable (jobs/curate_job.py): quality gate → exact
+dedup → sequence packing, every drop attributable.
+
+All pieces are strata-parallel: the quality gate and fingerprint are
+row-local expressions; dedup shuffles once on the fingerprint; packing
+is sequential only WITHIN a stratum (one applyInPandas group per
+stratum — shards at scale), parallel across them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PACK_CAP = 128  # default token budget per packed sequence
+
+
+def fingerprint_col(text_col: str = "text") -> F.Column:
+    """Order-sensitive positional rolling hash of the whitespace tokens —
+    the exact-dedup key (same arithmetic as the doc_fingerprint oracle
+    query; charfold is deterministic across engines)."""
+    from ..queries import MOD, charfold  # lazy: queries lazily imports us
+
+    toks = F.split(F.col(text_col), " ")
+    terms = F.transform(
+        toks,
+        lambda t, i: (i + 1) * (charfold(t) % F.lit(1000003)),
+    )
+    return (
+        F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, v: a + v)
+        % F.lit(MOD)
+    ).cast("bigint")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the smallest-doc_id representative per fingerprint (adds the
+    ``fingerprint`` column; survivors only)."""
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        df.withColumn("fingerprint", fingerprint_col(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    cap: int = PACK_CAP,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit-in-order packing into token-budget bins, parallel
+    across strata, sequential within (deterministic by doc_id order).
+    Over-budget documents get their own overflowing bin — never silent
+    truncation.  Returns (doc_id, <strata>, bin_id, n_tokens)."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bin_id, fill, out_bin, out_n = 0, None, [], []
+        for t in pdf[text_col]:
+            n = len((t or "").split())
+            if fill is None:  # first doc opens bin 0
+                fill = n
+            elif fill + n <= cap:
+                fill += n
+            else:
+                bin_id += 1
+                fill = n
+            out_bin.append(bin_id)
+            out_n.append(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                strata_col: pdf[strata_col].values,
+                "bin_id": out_bin,
+                "n_tokens": out_n,
+            }
+        )
+
+    return df.groupBy(strata_col).applyInPandas(
+        pack, f"doc_id bigint, {strata_col} string, bin_id bigint, n_tokens bigint"
+    )
+
+
+def curate(
+    docs: DataFrame, pack_cap: int = PACK_CAP, strata_col: str = "lang"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Full funnel: docs(doc_id, <strata>, text) ->
+    (curated, packed, stats).
+
+    curated — quality-passing, fingerprint-deduped rows (+ n_tokens,
+    fingerprint); packed — bin assignment over the curated set; stats —
+    per-stratum (n_raw, n_kept, n_unique, n_tokens_final), the
+    attributable-drop report."""
+    from .quality import quality_flags
+
+    q = quality_flags(docs).localCheckpoint(eager=True)
+    kept = q.filter("keep")
+    curated = dedup_exact(kept).localCheckpoint(eager=True)
+    packed = pack_bins(curated, cap=pack_cap, strata_col=strata_col)
+    uniq_ids = curated.select("doc_id", F.lit(1).alias("__u"))
+    stats = (
+        q.join(uniq_ids, on="doc_id", how="left")
+        .groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum(F.coalesce("__u", F.lit(0)).cast("bigint")).alias("n_unique"),
+            F.coalesce(
+                F.sum(F.when(F.col("__u").isNotNull(), F.col("n_tokens"))),
+                F.lit(0),
+            ).cast("bigint").alias("n_tokens_final"),
+        )
+    )
+    return curated, packed, stats

@@ -2446,39 +2446,14 @@ def pack_sequences(spark, sf_dir):
     that turns a curated corpus into dense context windows.  Distributed
     shape: packing is parallel ACROSS strata (lang here; shards at
     scale) and sequential WITHIN a stratum — one applyInPandas per
-    group, deterministic by doc_id order.  A document longer than the
-    budget gets its own (overflowing) bin, never silently truncated.
-    The oracle replays the identical fold as a linear recursive CTE."""
-    import pandas as pd
+    group, deterministic by doc_id order (functions/curation.pack_bins,
+    shared with jobs/curate_job.py).  A document longer than the budget
+    gets its own (overflowing) bin, never silently truncated.  The
+    oracle replays the identical fold as a linear recursive CTE."""
+    from .functions.curation import pack_bins
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        bin_id, fill, out_bin, out_n = 0, None, [], []
-        for t in pdf["text"]:
-            n = len((t or "").split())
-            if fill is None:           # first doc opens bin 0
-                fill = n
-            elif fill + n <= _PACK_CAP:
-                fill += n
-            else:
-                bin_id += 1
-                fill = n
-            out_bin.append(bin_id)
-            out_n.append(n)
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "lang": pdf["lang"].values,
-                "bin_id": out_bin,
-                "n_tokens": out_n,
-            }
-        )
-
-    return d.groupBy("lang").applyInPandas(
-        pack, "doc_id bigint, lang string, bin_id bigint, n_tokens bigint"
-    )
+    return pack_bins(d, cap=_PACK_CAP)
 
 
 pack_sequences.__doc__ = pack_sequences.__doc__.format(cap=_PACK_CAP)
@@ -2608,37 +2583,17 @@ def chunk_documents(spark, sf_dir):
 )
 def curation_funnel(spark, sf_dir):
     """The end-to-end curation FUNNEL per stratum: raw corpus → quality
-    gate (functions/quality.quality_flags) → exact dedup (first doc per
-    positional fingerprint among the kept) → final token mass.  One
-    query tells the data engineer what each stage costs per language —
-    the attributable-drops story (quality reasons via
-    text_quality_filter, dedup survivors here) composed into the
-    headline numbers a curation run reports."""
-    from .functions.quality import quality_flags
+    gate → exact dedup (first doc per positional fingerprint among the
+    kept) → final token mass (functions/curation.curate, shared with the
+    spark-submit jobs/curate_job.py).  One query tells the data engineer
+    what each stage costs per language — the attributable-drops story
+    (quality reasons via text_quality_filter, dedup survivors here)
+    composed into the headline numbers a curation run reports."""
+    from .functions.curation import curate
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    q = quality_flags(d).select("doc_id", "lang", "n_tokens", "keep")
-    fp = doc_fingerprint(spark, sf_dir)
-    kept = q.filter("keep").join(fp, on="doc_id")
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    uniq = (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("n_tokens").alias("n_final"))
-    )
-    return (
-        q.join(uniq, on="doc_id", how="left")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_raw"),
-            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
-            F.count("n_final").alias("n_unique"),
-            F.coalesce(F.sum("n_final"), F.lit(0)).cast("bigint")
-              .alias("n_tokens_final"),
-        )
-    )
-
-
+    _curated, _packed, stats = curate(d, pack_cap=_PACK_CAP)
+    return stats
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------

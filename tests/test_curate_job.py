@@ -1,0 +1,68 @@
+"""jobs/curate_job.py end-to-end in-process: funnel outputs, packing
+invariants, drop attribution, JSON summary."""
+
+import json
+import sys
+
+
+def test_curate_job_main(spark, tmp_path, capsys, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.curate_job import main
+
+    rows = []
+    # 3 strata; include quality-failing and duplicate docs so every
+    # funnel stage does real work
+    for i in range(60):
+        lang = ["en", "de", "fr"][i % 3]
+        if i % 10 == 0:
+            text = "tiny"                        # too_short -> dropped
+        elif i % 10 == 1:
+            text = "the a the a the a the a"     # stopword_heavy -> dropped
+        elif i % 10 == 2:
+            text = "duplicate body of this document kept once"  # dup group
+        else:
+            text = f"unique document number {i} with enough plain tokens here"
+        rows.append({"doc_id": i, "lang": lang, "text": text})
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(inp / "part-0.parquet"))
+
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py",
+        "--input", str(inp),
+        "--output", str(tmp_path / "out"),
+        "--pack-cap", "32",
+        "--run-id", "c-test",
+    ])
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["run_id"] == "c-test"
+    assert summary["n_raw"] == 60
+    # 12 quality-dropped (tiny + stopword per stratum decade)
+    assert summary["n_kept"] == 48
+    # 6 'duplicate body' docs collapse to 1 (identical text -> one
+    # fingerprint survivor across strata)
+    assert summary["n_unique"] == 48 - 5
+    assert summary["n_bins"] >= 3  # at least one bin per stratum
+
+    out = tmp_path / "out"
+    curated = spark.read.parquet(str(out / "curated"))
+    assert curated.count() == summary["n_unique"]
+    packed = spark.read.parquet(str(out / "packed"))
+    # packing invariant: per (stratum, bin), token sum <= cap unless the
+    # bin holds a single over-budget doc
+    from pyspark.sql import functions as F
+
+    bins = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").alias("s"), F.count("*").alias("c")
+    )
+    bad = bins.filter((F.col("s") > 32) & (F.col("c") > 1)).count()
+    assert bad == 0
+    reasons = {
+        r.reason: r.n for r in spark.read.parquet(str(out / "reasons")).collect()
+    }
+    assert reasons["too_short"] == 6 and reasons["stopword_heavy"] == 6
+    assert reasons["ok"] == 48
