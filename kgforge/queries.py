@@ -2594,6 +2594,52 @@ def curation_funnel(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     _curated, _packed, stats = curate(d, pack_cap=_PACK_CAP)
     return stats
+@register(
+    "ann_multi_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+    cos AS (
+      SELECT q.qid, c.vec_id,
+             list_cosine_similarity(c.v, q.qv) AS cs
+      FROM c, q)
+    SELECT qid, vec_id, ROUND(cs, 4) AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY ROUND(cs, 6) DESC, vec_id) AS rnk
+          FROM cos)
+    WHERE rnk <= 5
+    """,
+)
+def ann_multi_topk(spark, sf_dir):
+    """BATCHED retrieval — the realistic serving shape: a query SET
+    (vec_id < 5, broadcast) against the corpus (vec_id >= 5), exact
+    top-5 per query.  One scan of the corpus computes all Q cosines per
+    row (broadcast crossJoin + fold — vectors travel whole); the
+    per-query rank filter compiles to WindowGroupLimit (Spark 3.5+),
+    so each input partition pre-truncates to its local top-k before the
+    single shuffle on qid — no partition ever sorts the full corpus per
+    query."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from .functions.similarity import cosine_fold
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    cos = c.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", cosine_fold(F.col("qv"), F.col("v")).alias("cs")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("cs", 6)), "vec_id")
+    return (
+        cos.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", F.round("cs", 4).alias("cos_sim"), "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -2637,6 +2683,7 @@ EXTRA_NAMES = [
     "sample_stratified",
     "chunk_documents",
     "curation_funnel",
+    "ann_multi_topk",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -157,3 +157,17 @@ def test_ivf_full_probe_equals_exact(spark):
         e, query_vec_id=0, k=10, n_probe=n_lists, centroids=cents
     )
     assert [r.vec_id for r in full_kmeans.collect()] == exact
+
+
+def test_multi_topk_plan_window_group_limit(spark):
+    """Pin the batched-retrieval physical shape: the per-query rank
+    filter compiles to Partial+Final WindowGroupLimit, so every input
+    partition pre-truncates to its local top-k before the qid shuffle —
+    no partition sorts the full corpus per query."""
+    from kgforge.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["ann_multi_topk"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
