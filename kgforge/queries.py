@@ -2640,6 +2640,70 @@ def ann_multi_topk(spark, sf_dir):
     )
 
 
+@register(
+    "kg_reach_bfs",
+    _SQL_EDGES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , sym AS (SELECT src AS a, dst AS b FROM edges
+              UNION SELECT dst, src FROM edges),
+    deg AS (
+      SELECT v, SUM(d) AS degree FROM (
+        SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src
+        UNION ALL
+        SELECT dst, COUNT(*) FROM edges GROUP BY dst
+      ) GROUP BY v),
+    hub AS (SELECT v FROM deg ORDER BY degree DESC, v LIMIT 1),
+    reach(v, dist) AS (
+      SELECT v, 0 FROM hub
+      UNION
+      SELECT sym.b, reach.dist + 1
+      FROM reach JOIN sym ON reach.v = sym.a
+      WHERE reach.dist < 3)
+    SELECT v, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY v
+    """,
+)
+def kg_reach_bfs(spark, sf_dir):
+    """3-hop BFS reachability from the deterministic hub (degree desc,
+    id asc): (vertex, min hop distance) — the neighborhood-expansion
+    primitive behind subgraph extraction and GNN sampling.  Iterative
+    frontier joins (one shuffle per hop on the edge key + an anti-join
+    against the visited set), localCheckpoint per hop — the CC-loop
+    shape; BFS frontier distance IS the min distance, matching the
+    oracle's recursive-CTE min over all ≤3-hop walks."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
+        .groupBy("v")
+        .agg(F.sum("d").alias("degree"))
+    )
+    hub = deg.orderBy(F.desc("degree"), "v").limit(1).select("v")
+    visited = hub.withColumn("dist", F.lit(0).cast("bigint")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for d in range(1, 4):
+        frontier = (
+            sym.join(
+                frontier.select(F.col("v").alias("a")), on="a"
+            )
+            .select(F.col("b").alias("v"))
+            .distinct()
+            .join(visited.select("v"), on="v", how="left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -2684,6 +2748,7 @@ EXTRA_NAMES = [
     "chunk_documents",
     "curation_funnel",
     "ann_multi_topk",
+    "kg_reach_bfs",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
