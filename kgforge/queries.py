@@ -2704,6 +2704,97 @@ def kg_reach_bfs(spark, sf_dir):
     return visited
 
 
+@register(
+    "kg_negative_samples",
+    SQL_TRIPLES
+    + f"""
+    , t AS (SELECT DISTINCT subj, pred, obj, subj_type, obj_type FROM triples),
+    pool AS (
+      SELECT obj_type, obj,
+             ROW_NUMBER() OVER (PARTITION BY obj_type ORDER BY obj) - 1 AS idx
+      FROM (SELECT DISTINCT obj_type, obj FROM t)),
+    n AS (SELECT obj_type, COUNT(*) AS n FROM pool GROUP BY obj_type),
+    picks AS (
+      SELECT t.subj, t.pred, t.obj, t.obj_type,
+             k.k AS k,
+             {sql_charfold("t.subj || '|' || t.pred || '|' || t.obj || '|' || CAST(k.k AS VARCHAR)")} % n.n AS idx
+      FROM t JOIN n ON t.obj_type = n.obj_type,
+           (SELECT unnest(generate_series(1, 2)) AS k) k)
+    SELECT p.subj, p.pred, p.obj, pool.obj AS neg_obj, CAST(p.k AS BIGINT) AS k
+    FROM picks p JOIN pool ON p.obj_type = pool.obj_type AND p.idx = pool.idx
+    WHERE pool.obj <> p.obj
+    """,
+)
+def kg_negative_samples(spark, sf_dir):
+    """Type-consistent NEGATIVE sampling for link-prediction training —
+    the KG→training-data bridge: per distinct triple, 2 corrupted tails
+    drawn deterministically from the same-type entity pool
+    (hash(triple, k) mod pool size → rank lookup), accidental true
+    tails filtered.  Distributed shape: the pool is a per-type ranked
+    dim (tiny, broadcastable); corruption is one equi-join on
+    (type, idx) — no shuffle of the triple table beyond it.  Seeded hash
+    = identical samples across engines, partitionings, and reruns."""
+    t = _kg_triples_df(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_type"
+    ).distinct().localCheckpoint(eager=True)
+    w = Window.partitionBy("obj_type").orderBy("obj")
+    pool = (
+        t.select("obj_type", "obj").distinct()
+        .withColumn("idx", F.row_number().over(w) - 1)
+        .localCheckpoint(eager=True)
+    )
+    n = pool.groupBy("obj_type").agg(F.count("*").alias("n"))
+    ks = spark.range(1, 3).select(F.col("id").cast("int").alias("k"))
+    picks = (
+        t.join(F.broadcast(n), on="obj_type")
+        .crossJoin(F.broadcast(ks))
+        .withColumn(
+            "idx",
+            charfold(
+                F.concat_ws("|", "subj", "pred", "obj", F.col("k").cast("string"))
+            )
+            % F.col("n"),
+        )
+    )
+    neg = picks.join(
+        pool.withColumnRenamed("obj", "neg_obj"), on=["obj_type", "idx"]
+    )
+    return neg.filter(F.col("neg_obj") != F.col("obj")).select(
+        "subj", "pred", "obj", "neg_obj", F.col("k").cast("bigint").alias("k")
+    )
+
+
+@register(
+    "kg_edge_split",
+    _SQL_EDGES
+    + f"""
+    , assigned AS (
+      SELECT src, dst, pred,
+             CASE WHEN {sql_charfold("src || '|' || pred || '|' || dst")} % 10 < 8
+                  THEN 'train'
+                  WHEN {sql_charfold("src || '|' || pred || '|' || dst")} % 10 = 8
+                  THEN 'valid' ELSE 'test' END AS split
+      FROM edges)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM assigned GROUP BY split
+    """,
+)
+def kg_edge_split(spark, sf_dir):
+    """Deterministic 80/10/10 edge split for link-prediction training:
+    hash(src|pred|dst) mod 10 — stable under any partitioning, reruns,
+    and engine (the companion of kg_negative_samples; together they turn
+    the materialized KG into a training dataset).  Row-local expression,
+    no shuffle beyond the count."""
+    e = kg_edges(spark, sf_dir)
+    h = charfold(F.concat_ws("|", "src", "pred", "dst")) % 10
+    split = (
+        F.when(h < 8, "train").when(h == 8, "valid").otherwise("test")
+    )
+    return e.select(split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_edges")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -2749,6 +2840,8 @@ EXTRA_NAMES = [
     "curation_funnel",
     "ann_multi_topk",
     "kg_reach_bfs",
+    "kg_negative_samples",
+    "kg_edge_split",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
