@@ -119,6 +119,12 @@ def main() -> None:
         q = summary["queries"][n]
         lines.append(f"| {n} | {q['r2']} | {q['head']} | {q['ratio']} |")
     (REPO / "BENCH" / "AB_r2_r3.md").write_text("\n".join(lines) + "\n")
+    # leave no checkout behind: the worktree doubles the repo's on-disk
+    # source tree (and any filesystem LoC count) if it lingers
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", str(WORKTREE)],
+        cwd=REPO, check=False,
+    )
     print(json.dumps(summary))
 
 
