@@ -61,6 +61,7 @@ def main() -> None:
     stats.write.mode("overwrite").parquet(f"{args.output}/stats")
     reasons = (
         quality_flags(docs)
+        .filter(F.col("reason") != "ok")  # drop-reason histogram: drops only
         .groupBy("reason")
         .agg(F.count("*").alias("n"))
     )
@@ -75,10 +76,10 @@ def main() -> None:
     n_bins = packed.select(args.strata, "bin_id").distinct().count()
     summary = {
         "run_id": args.run_id,
-        "n_raw": int(agg.r),
-        "n_kept": int(agg.k),
-        "n_unique": int(agg.u),
-        "n_tokens_final": int(agg.t),
+        "n_raw": int(agg.r or 0),  # empty input -> all-NULL agg row
+        "n_kept": int(agg.k or 0),
+        "n_unique": int(agg.u or 0),
+        "n_tokens_final": int(agg.t or 0),
         "n_bins": n_bins,
         "pack_cap": args.pack_cap,
         "wall_sec": round(time.monotonic() - t0, 1),

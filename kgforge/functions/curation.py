@@ -62,7 +62,10 @@ def pack_bins(
         pdf = pdf.sort_values("doc_id")
         bin_id, fill, out_bin, out_n = 0, None, [], []
         for t in pdf[text_col]:
-            n = len((t or "").split())
+            # single-space split, NOT .split(): must agree with
+            # quality_flags / fingerprint_col and the recursive-CTE
+            # oracle (empty text -> 1 token, runs keep empty tokens)
+            n = len((t or "").split(" "))
             if fill is None:  # first doc opens bin 0
                 fill = n
             elif fill + n <= cap:

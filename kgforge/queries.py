@@ -2152,7 +2152,7 @@ _SQL_BPE_CTES = (
       SELECT tok, COUNT(*) AS cnt FROM (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
         FROM documents) GROUP BY tok),
-    w0 AS (SELECT cnt, list_transform(generate_series(1, strlen(tok)),
+    w0 AS (SELECT cnt, list_transform(generate_series(1, length(tok)),
                                       i -> tok[i]) AS syms
            FROM words),"""
     + ",".join(
@@ -2708,7 +2708,7 @@ def kg_reach_bfs(spark, sf_dir):
     "kg_negative_samples",
     SQL_TRIPLES
     + f"""
-    , t AS (SELECT DISTINCT subj, pred, obj, subj_type, obj_type FROM triples),
+    , t AS (SELECT DISTINCT subj, pred, obj, obj_type FROM triples),
     pool AS (
       SELECT obj_type, obj,
              ROW_NUMBER() OVER (PARTITION BY obj_type ORDER BY obj) - 1 AS idx

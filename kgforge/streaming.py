@@ -129,6 +129,13 @@ def streaming_first_seen(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # applyInPandasWithState hands tz-NAIVE pandas timestamps rendered in
+    # the session timezone; capture it driver-side so the eviction
+    # deadline is epoch-correct for ANY session tz (not just the UTC that
+    # kgforge.session.get_spark pins).
+    session_tz = keyed_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
     keys = key_cols or ["content_sha"]
     out_schema = ", ".join(f"{k} string" for k in keys) + ", first_seen boolean"
     state_schema = "seen boolean"
@@ -155,6 +162,8 @@ def streaming_first_seen(
                 m = pdf[ts_col].max()
                 max_ts = m if max_ts is None or m > max_ts else max_ts
         if ttl_ms is not None and max_ts is not None:
+            if max_ts.tzinfo is None:
+                max_ts = max_ts.tz_localize(session_tz)
             state.setTimeoutTimestamp(int(max_ts.timestamp() * 1000) + ttl_ms)
         if emit:
             yield pd.DataFrame([{**dict(zip(keys, key)), "first_seen": True}])

@@ -65,4 +65,34 @@ def test_curate_job_main(spark, tmp_path, capsys, monkeypatch):
         r.reason: r.n for r in spark.read.parquet(str(out / "reasons")).collect()
     }
     assert reasons["too_short"] == 6 and reasons["stopword_heavy"] == 6
-    assert reasons["ok"] == 48
+    assert "ok" not in reasons  # drop-reason histogram excludes kept rows
+
+
+def test_curate_job_empty_input(spark, tmp_path, capsys, monkeypatch):
+    """Empty input table: the job still writes its outputs and prints an
+    all-zero summary instead of dying on the all-NULL aggregate row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.curate_job import main
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("text", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pylist([], schema=schema),
+                   str(inp / "part-0.parquet"))
+
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py",
+        "--input", str(inp),
+        "--output", str(tmp_path / "out"),
+        "--run-id", "c-empty",
+    ])
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_raw"] == 0 and summary["n_kept"] == 0
+    assert summary["n_unique"] == 0 and summary["n_tokens_final"] == 0
+    assert summary["n_bins"] == 0

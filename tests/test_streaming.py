@@ -269,3 +269,51 @@ def test_streaming_first_seen_ttl_bounded_state(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     a_true = [r for r in rows if r.content_sha == "A" and r.first_seen]
     assert len(a_true) == 2
+
+
+def test_streaming_first_seen_ttl_non_utc_session(spark, tmp_path):
+    """TTL eviction must be timezone-safe: with a non-UTC session
+    timezone (Tokyo, +9h, no DST) the naive pandas timestamps the state
+    fn receives are session-local; treating them as UTC would push every
+    deadline 9h into the future and silently disable eviction.  Same
+    event script as the UTC test — same evictions expected."""
+    import json
+
+    from kgforge.streaming import streaming_first_seen
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    inp.mkdir()
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        def write(rows, name):
+            with open(inp / f"{name}.json", "w") as f:
+                for sha, ts in rows:
+                    f.write(json.dumps(
+                        {"content_sha": sha, "event_time": ts}) + "\n")
+
+        def drain():
+            stream = (
+                spark.readStream
+                .schema("content_sha string, event_time timestamp")
+                .format("json").load(str(inp))
+            )
+            q = (
+                streaming_first_seen(stream, ttl_ms=60_000)
+                .writeStream.format("parquet")
+                .option("path", str(out)).outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+
+        write([("A", "2026-01-01T00:00:00")], "b0")
+        drain()
+        # watermark jumps 10 min past A's 1-min deadline -> A evicted
+        write([("C", "2026-01-01T00:10:00")], "b1")
+        drain()
+        got = {(r.content_sha, r.first_seen)
+               for r in spark.read.parquet(str(out)).collect()}
+        assert got == {("A", True), ("C", True), ("A", False)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
