@@ -949,25 +949,50 @@ def dedup_minhash_pairs(spark, sf_dir):
     contribute d^2/2 candidates (r1 VERDICT symmetry nit); the cap is
     mirrored in the oracle and its drops are observable via
     lsh_bucket_stats on the production path."""
-    # sig feeds two band joins, sh feeds two inverted-index joins + counts:
+    # sig feeds the band join, sh feeds two inverted-index joins + counts:
     # checkpoint once instead of recomputing the shingle expressions 5x
     sig = _minhash_df(spark, sf_dir).localCheckpoint(eager=True)
     sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
 
-    def _band(cols):
-        hot = (
-            sig.groupBy(*cols).agg(F.count("*").alias("n"))
-            .filter(F.col("n") > 64).select(*cols)
+    # ONE banded self-join (r3 VERDICT #6): signatures explode to
+    # (band, k0, k1) rows — band 1 = (s0,s1), band 2 = (s2,s3) — so hot-
+    # bucket exclusion, the self-join, and the pair dedup each happen once
+    # over the union'd band rows instead of once per band (the shape
+    # link/canonical.lsh_candidate_pairs already has).  Same rows as the
+    # two-pass form: per-band equality is the (band,k0,k1) key, and the
+    # trailing distinct is the old UNION's dedup.  Oracle unchanged.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("s0").alias("k0"), F.col("s1").alias("k1"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.col("s2").alias("k0"), F.col("s3").alias("k1"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k0", "bk.k1")
+    hot = (
+        bands.groupBy("band", "k0", "k1").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 64).select("band", "k0", "k1")
+    )
+    kept = bands.join(F.broadcast(hot), on=["band", "k0", "k1"], how="left_anti")
+    cand = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k0") == F.col("b.k0"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        kept = sig.join(F.broadcast(hot), on=list(cols), how="left_anti")
-        cond = (F.col("a.doc_id") < F.col("b.doc_id"))
-        for c in cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        return kept.alias("a").join(kept.alias("b"), cond).select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-
-    cand = _band(["s0", "s1"]).unionByName(_band(["s2", "s3"])).distinct()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # shared-shingle count: inverted-index join on the shingle
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
