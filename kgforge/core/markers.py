@@ -80,3 +80,38 @@ def insert_typed_markers(
 def strip_markers(marked: list[str]) -> list[str]:
     """Inverse of insertion (marker tokens removed)."""
     return [t for t in marked if not (t.startswith("<E:") or t.startswith("</E:"))]
+
+
+# --- per-pair suffix triplet (reference re_model.py:364-366, 401-412) ------
+
+MASK_TOKEN = "[MASK]"
+
+
+def pair_suffix(
+    sub_type: int, obj_type: int, refine: bool = False
+) -> tuple[list[str], int, int, int]:
+    """The reference's per-candidate-pair suffix triplet appended to the
+    relation-stage sequence (re_model.py:401-412):
+
+    * default (``use_rel_refine`` off): ``[MASK, <E:sub>, <E:obj>]``
+    * refine  (``use_rel_refine`` on):  ``[<E:sub>, MASK, <E:obj>]``
+      — the subject marker leads and the MASK sits between the pair.
+
+    Returns ``(tokens, sub_slot, obj_slot, mask_slot)`` with slot indexes
+    RELATIVE to the triplet, so a caller appending it at offset ``off``
+    gathers at ``off + slot`` regardless of layout."""
+    s, o = start_marker(sub_type), start_marker(obj_type)
+    if refine:
+        return [s, MASK_TOKEN, o], 0, 2, 1
+    return [MASK_TOKEN, s, o], 1, 2, 0
+
+
+def pair_suffix_pos_ids(
+    sub_pos: int, obj_pos: int, mask_pos: int = 0, refine: bool = False
+) -> list[int]:
+    """Position ids for the suffix triplet, mirroring its token order
+    (re_model.py:403-405 vs 409-411: the MASK slot carries ``mask_pos``,
+    marker slots duplicate their entity's start position)."""
+    if refine:
+        return [sub_pos, mask_pos, obj_pos]
+    return [mask_pos, sub_pos, obj_pos]

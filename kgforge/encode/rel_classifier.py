@@ -28,6 +28,7 @@ Mention = tuple[int, int, int]
 class OnnxRelClassifier:
     PAD_TOKEN = "[PAD]"
     UNK_TOKEN = "[UNK]"
+    MASK_TOKEN = "[MASK]"
 
     def __init__(
         self,
@@ -35,7 +36,38 @@ class OnnxRelClassifier:
         vocab: dict[str, int] | None = None,
         session=None,
         max_seq_len: int = 402,
+        length_mode: str = "clamp",
+        pair_layout: str | None = None,
     ):
+        # length_mode governs pairs whose markers land past max_seq_len:
+        #   "clamp"  — truncate the marked sequence and emit NA for any
+        #              pair whose start marker was cut (bounded memory;
+        #              recall-lossy on long sentences);
+        #   "extend" — the reference's TEST-TIME behavior
+        #              (re_model.py:212, 364-366): grow the padded width
+        #              to the batch's longest marked sequence instead of
+        #              dropping pairs — no NA-clamping, memory scales
+        #              with the batch's longest unit.
+        # clamp-mode output is a pointwise subset of extend-mode output
+        # (equal label or NA), pinned by tests/test_markers.py.
+        if length_mode not in ("clamp", "extend"):
+            raise ValueError(f"length_mode must be clamp|extend: {length_mode}")
+        self.length_mode = length_mode
+        # pair_layout selects where pair_pos gathers from:
+        #   None            — the in-sentence start markers (default);
+        #   "suffix"        — append the reference's per-pair triplet
+        #                     [MASK, <E:sub>, <E:obj>] (re_model.py:407-412)
+        #                     and gather its marker slots;
+        #   "suffix_refine" — the use_rel_refine order
+        #                     [<E:sub>, MASK, <E:obj>] (re_model.py:401-406).
+        # Both suffix layouts classify every pair (the suffix is never
+        # truncated) and produce identical labels for a marker-type-driven
+        # head — pinned by tests/test_markers.py layout-parity tests.
+        if pair_layout not in (None, "suffix", "suffix_refine"):
+            raise ValueError(
+                f"pair_layout must be None|suffix|suffix_refine: {pair_layout}"
+            )
+        self.pair_layout = pair_layout
         if session is None:
             try:
                 import onnxruntime  # noqa: F401
@@ -51,13 +83,14 @@ class OnnxRelClassifier:
         self.max_seq_len = max_seq_len
         # reserved ids (same contract as OnnxEncoder) + a marker block of
         # 2 * NUM_ENT_TYPES ids appended after the vocab
-        for tok in (self.PAD_TOKEN, self.UNK_TOKEN):
+        for tok in (self.PAD_TOKEN, self.UNK_TOKEN, self.MASK_TOKEN):
             if tok not in self.vocab:
                 self.vocab[tok] = (
                     max(self.vocab.values()) + 1 if self.vocab else len(self.vocab)
                 )
         self.pad_id = self.vocab[self.PAD_TOKEN]
         self.unk_id = self.vocab[self.UNK_TOKEN]
+        self.mask_id = self.vocab[self.MASK_TOKEN]
         self.marker_base = max(self.vocab.values()) + 1
         self.embedding_rows = self.marker_base + 2 * NUM_ENT_TYPES
 
@@ -65,7 +98,8 @@ class OnnxRelClassifier:
         from ..core.markers import marker_id
 
         ids = []
-        for t in marked[: self.max_seq_len]:
+        cut = marked[: self.max_seq_len] if self.length_mode == "clamp" else marked
+        for t in cut:
             if t.startswith("<E:") or t.startswith("</E:"):
                 from ..core.vocab import ENT_TYPES
 
@@ -76,6 +110,24 @@ class OnnxRelClassifier:
                 ids.append(self.vocab.get(t.lower(), self.unk_id))
         assert all(i < self.embedding_rows for i in ids)
         return ids
+
+    def _suffix_ids(self, toks: list[str]) -> list[int]:
+        """Encode a pair_suffix triplet: MASK -> mask_id, markers -> the
+        marker id block (start markers only appear in suffixes)."""
+        from ..core.markers import MASK_TOKEN, marker_id
+        from ..core.vocab import ENT_TYPES
+
+        out = []
+        for t in toks:
+            if t == MASK_TOKEN:
+                out.append(self.mask_id)
+            else:
+                is_end = t.startswith("</")
+                name = t.split(":", 1)[1].rstrip(">")
+                out.append(
+                    marker_id(ENT_TYPES.index(name), is_end, self.marker_base)
+                )
+        return out
 
     def classify_batch(
         self,
@@ -98,16 +150,33 @@ class OnnxRelClassifier:
             }
             marked_ids.append(ids)
             marker_pos.append(pos)
-        # pair_pos indexes MARKED space, which _encode truncates to
-        # max_seq_len — a pair whose start marker fell past the truncation
-        # point would gather out of bounds (or garbage) at inference time.
-        # Such pairs are unclassifiable by construction: emit NA (0) for
-        # them and run the forward only over in-range pairs.
+        # pair_pos indexes MARKED space.  In clamp mode _encode truncates
+        # to max_seq_len, so a pair whose start marker fell past the cut
+        # would gather out of bounds (or garbage) at inference time: emit
+        # NA (0) for it and run the forward only over in-range pairs.  In
+        # extend mode nothing is truncated, so this guard never fires and
+        # every pair classifies (the reference's test-time behavior).
         results = [0] * len(pairs)
         rows, pair_pos, keep = [], [], []
         for out_ix, (unit_ix, sub_ix, obj_ix) in enumerate(pairs):
             ments = sorted(mention_lists[unit_ix])
             sub, obj = ments[sub_ix], ments[obj_ix]
+            if self.pair_layout is not None:
+                # per-pair suffix triplet: the row is the (possibly
+                # truncated) unit plus the pair's own marker triplet, and
+                # pair_pos gathers inside the suffix — never truncated,
+                # so every pair classifies in either suffix layout
+                from ..core.markers import pair_suffix
+
+                toks, sub_slot, obj_slot, _mask_slot = pair_suffix(
+                    sub[2], obj[2],
+                    refine=(self.pair_layout == "suffix_refine"),
+                )
+                base = marked_ids[unit_ix]
+                rows.append(base + self._suffix_ids(toks))
+                pair_pos.append([len(base) + sub_slot, len(base) + obj_slot])
+                keep.append(out_ix)
+                continue
             ps = marker_pos[unit_ix][(sub[0], sub[1])]
             po = marker_pos[unit_ix][(obj[0], obj[1])]
             if ps >= len(marked_ids[unit_ix]) or po >= len(marked_ids[unit_ix]):

@@ -127,3 +127,121 @@ def test_rel_classifier_clamps_truncated_pairs():
     assert out[0] == 0 % 7 + 1  # both markers in range -> real label
     assert out[1] == 0          # obj marker truncated away -> NA
     assert out[2] == 0          # sub marker truncated away -> NA
+
+
+def test_rel_classifier_extend_mode_classifies_long_pairs():
+    """length_mode='extend' (reference re_model.py:212, 364-366): the
+    padded width grows to the batch's longest marked sequence, so the
+    pairs clamp mode maps to NA get real labels."""
+    toks = [f"w{i}" for i in range(10)]
+    vocab = {w: i + 2 for i, w in enumerate(toks)}
+    vocab["[PAD]"], vocab["[UNK]"] = 0, 1
+    probe = OnnxRelClassifier(
+        session=_PairStub(0), vocab=vocab, max_seq_len=6, length_mode="extend"
+    )
+    probe.session = _PairStub(probe.marker_base)
+    ments = [(0, 1, 0), (2, 3, 1), (8, 9, 2)]
+    out = probe.classify_batch(
+        [toks], [ments],
+        pairs=[(0, 0, 1), (0, 0, 2), (0, 2, 1)],
+    )
+    assert out[0] == 0 % 7 + 1  # unchanged vs clamp
+    assert out[1] == 0 % 7 + 1  # sub type 0, obj type 2 -> real label now
+    assert out[2] == 2 % 7 + 1  # sub type 2, obj type 1 -> real label now
+
+
+def test_rel_classifier_invalid_length_mode():
+    with pytest.raises(ValueError):
+        OnnxRelClassifier(session=_PairStub(0), vocab={"[PAD]": 0}, length_mode="grow")
+
+
+def test_pair_suffix_layout_parity_table():
+    """r3 VERDICT #4 — both suffix layouts of re_model.py:401-412, pinned
+    as a table: token order, slot indexes, and pos_ids order."""
+    from kgforge.core.markers import MASK_TOKEN, pair_suffix, pair_suffix_pos_ids
+
+    sub_t, obj_t = 0, 1
+    s, o = f"<E:{ENT_TYPES[sub_t]}>", f"<E:{ENT_TYPES[obj_t]}>"
+    #  layout   | tokens              | sub | obj | mask | pos_ids(5,9,m=2)
+    table = {
+        False: ([MASK_TOKEN, s, o], 1, 2, 0, [2, 5, 9]),
+        True:  ([s, MASK_TOKEN, o], 0, 2, 1, [5, 2, 9]),
+    }
+    for refine, (toks, sub_slot, obj_slot, mask_slot, pos) in table.items():
+        assert pair_suffix(sub_t, obj_t, refine=refine) == (
+            toks, sub_slot, obj_slot, mask_slot
+        )
+        assert pair_suffix_pos_ids(5, 9, mask_pos=2, refine=refine) == pos
+        # the slot indexes really address the tokens they claim to
+        assert toks[sub_slot] == s and toks[obj_slot] == o
+        assert toks[mask_slot] == MASK_TOKEN
+
+
+def test_rel_classifier_suffix_layouts_classify_identically():
+    """Both suffix layouts gather the same (sub, obj) marker ids through
+    pair_pos, so a marker-driven head labels identically — while the fed
+    input_ids genuinely differ in order (captured via a recording stub).
+    Suffix rows are never truncated: pairs clamp mode NA'd get labels."""
+    toks = [f"w{i}" for i in range(10)]
+    vocab = {w: i + 3 for i, w in enumerate(toks)}
+    vocab["[PAD]"], vocab["[UNK]"], vocab["[MASK]"] = 0, 1, 2
+    ments = [(0, 1, 0), (2, 3, 1), (8, 9, 2)]
+    pairs = [(0, 0, 1), (0, 0, 2), (0, 2, 1)]
+
+    class _Recorder(_PairStub):
+        def run(self, _out, feeds):
+            self.fed = feeds["input_ids"].copy()
+            return super().run(_out, feeds)
+
+    outs, fed = {}, {}
+    for layout in ("suffix", "suffix_refine"):
+        probe = OnnxRelClassifier(
+            session=_PairStub(0), vocab=vocab,
+            max_seq_len=6, pair_layout=layout,
+        )
+        rec = _Recorder(probe.marker_base)
+        probe.session = rec
+        outs[layout] = probe.classify_batch([toks], [ments], pairs)
+        fed[layout] = rec.fed
+    assert outs["suffix"] == outs["suffix_refine"]
+    assert outs["suffix"] == [0 % 7 + 1, 0 % 7 + 1, 2 % 7 + 1]  # no NA clamps
+    # default: [..., MASK, sub, obj]; refine: [..., sub, MASK, obj]
+    mask_id, base = 2, probe.marker_base
+    assert fed["suffix"][0, -3:].tolist() == [mask_id, base + 0, base + 1]
+    assert fed["suffix_refine"][0, -3:].tolist() == [base + 0, mask_id, base + 1]
+
+
+def test_rel_classifier_invalid_pair_layout():
+    with pytest.raises(ValueError):
+        OnnxRelClassifier(
+            session=_PairStub(0), vocab={"[PAD]": 0}, pair_layout="prefix"
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(_toks_and_mentions(), st.integers(4, 20))
+def test_rel_classifier_clamp_subset_of_extend_property(tm, max_len):
+    """Property (r3 VERDICT #3): for every pair, clamp-mode output is NA
+    or equal to extend-mode output — clamping only ever LOSES triples,
+    never changes a label."""
+    toks, ments = tm
+    if len(ments) < 2:
+        return
+    vocab = {w: i + 2 for i, w in enumerate(sorted(set(toks)))}
+    vocab["[PAD]"], vocab["[UNK]"] = 0, 1
+    pairs = [
+        (0, i, j)
+        for i in range(len(ments))
+        for j in range(len(ments))
+        if i != j
+    ]
+    outs = {}
+    for mode in ("clamp", "extend"):
+        probe = OnnxRelClassifier(
+            session=_PairStub(0), vocab=vocab,
+            max_seq_len=max_len, length_mode=mode,
+        )
+        probe.session = _PairStub(probe.marker_base)
+        outs[mode] = probe.classify_batch([toks], [ments], pairs)
+    for c, e in zip(outs["clamp"], outs["extend"]):
+        assert c == 0 or c == e
