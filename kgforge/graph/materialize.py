@@ -104,21 +104,60 @@ def attach_canonical_ids(
 
 
 def build_edges(
-    linked_triples: DataFrame, n_provenance: int = 3, salt: int = DEFAULT_SALT
+    linked_triples: DataFrame,
+    n_provenance: int = 3,
+    salt: int = DEFAULT_SALT,
+    hot_threshold_rows: int = 10_000,
+    hot_sample: float = 0.01,
 ) -> DataFrame:
     """(src, dst, pred) edges with weight + bounded provenance sample.
 
     Two-phase salted aggregation: partial agg keyed (key, salt) bounds hot
     (hub, hub, pred) keys; provenance kept as a deterministic min-k sample
     (sort_array + slice) so output is parallelism-invariant.
+
+    SELECTIVE salting (measured, BENCH/SKEW.md): salting every key
+    multiplies the partial stage's group count by ``salt``, which slows
+    the balanced part of the corpus more than the straggler it removes —
+    so a seeded ``hot_sample`` fraction is counted per key first and only
+    keys whose estimated full count exceeds ``hot_threshold_rows`` get
+    salted; cold keys keep ``_salt = 0`` (single group, map-side combine
+    as before).  The hot-key set is tiny by construction (few mega-repo
+    hubs), so it broadcasts.  Which keys get salted affects only the
+    PLAN; the output is salt-invariant (tests/test_salting.py).
+    ``hot_threshold_rows=0`` disables detection and salts everything
+    (the bench's salted-all leg).
+
+    The min-k slice is applied ALREADY AT THE PARTIAL STAGE: global min-k
+    equals min-k over per-salt min-ks, so the final agg per hot key merges
+    ``salt`` arrays of k structs instead of the key's full provenance set
+    — without this the final sort_array over a hub key's entire
+    provenance re-concentrates the skew the salt just split.
     """
-    with_salt = linked_triples.withColumn(
-        "_salt", F.pmod(F.xxhash64("repo", "path", "unit_id"), F.lit(salt))
-    )
+    row_salt = F.pmod(F.xxhash64("repo", "path", "unit_id"), F.lit(salt))
+    if salt > 1 and hot_threshold_rows > 0:
+        hot = (
+            linked_triples.sample(fraction=hot_sample, seed=7)
+            .groupBy("src", "dst", "pred")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= max(1, int(hot_threshold_rows * hot_sample)))
+            .select("src", "dst", "pred", F.lit(True).alias("_hot"))
+        )
+        with_salt = (
+            linked_triples.join(F.broadcast(hot), on=["src", "dst", "pred"], how="left")
+            .withColumn(
+                "_salt",
+                F.when(F.col("_hot"), row_salt).otherwise(F.lit(0).cast("bigint")),
+            )
+            .drop("_hot")
+        )
+    else:
+        with_salt = linked_triples.withColumn("_salt", row_salt)
     partial = with_salt.groupBy("src", "dst", "pred", "_salt").agg(
         F.count("*").alias("w"),
-        F.sort_array(
-            F.collect_set(F.struct("repo", "path", "unit_id"))
+        F.slice(
+            F.sort_array(F.collect_set(F.struct("repo", "path", "unit_id"))),
+            1, n_provenance,
         ).alias("prov"),
     )
     final = partial.groupBy("src", "dst", "pred").agg(
