@@ -103,6 +103,27 @@ def attach_canonical_ids(
     return t
 
 
+def detect_hot_edge_keys(
+    linked_triples: DataFrame,
+    hot_threshold_rows: int = 10_000,
+    hot_sample: float = 0.01,
+) -> DataFrame:
+    """Estimate which (src, dst, pred) keys exceed ``hot_threshold_rows``
+    from a seeded ``hot_sample`` fraction — the skew detector feeding
+    build_edges' selective salting.  Returns (src, dst, pred, _hot=true);
+    tiny by construction (few mega-repo hubs), so callers broadcast it.
+    Detection is an OPTIMIZATION only: a missed hot key degrades to the
+    unsalted plan for that key, a false positive costs one extra
+    per-salt group — the output is identical either way."""
+    return (
+        linked_triples.sample(fraction=hot_sample, seed=7)
+        .groupBy("src", "dst", "pred")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= max(1, int(hot_threshold_rows * hot_sample)))
+        .select("src", "dst", "pred", F.lit(True).alias("_hot"))
+    )
+
+
 def build_edges(
     linked_triples: DataFrame,
     n_provenance: int = 3,
@@ -136,13 +157,7 @@ def build_edges(
     """
     row_salt = F.pmod(F.xxhash64("repo", "path", "unit_id"), F.lit(salt))
     if salt > 1 and hot_threshold_rows > 0:
-        hot = (
-            linked_triples.sample(fraction=hot_sample, seed=7)
-            .groupBy("src", "dst", "pred")
-            .agg(F.count("*").alias("_c"))
-            .filter(F.col("_c") >= max(1, int(hot_threshold_rows * hot_sample)))
-            .select("src", "dst", "pred", F.lit(True).alias("_hot"))
-        )
+        hot = detect_hot_edge_keys(linked_triples, hot_threshold_rows, hot_sample)
         with_salt = (
             linked_triples.join(F.broadcast(hot), on=["src", "dst", "pred"], how="left")
             .withColumn(

@@ -1966,6 +1966,135 @@ def dedup_resolve_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_fuse_modalities",
+    _sql_minhash().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , hot1 AS (SELECT s0, s1 FROM sig GROUP BY s0, s1 HAVING COUNT(*) > 64),
+    hot2 AS (SELECT s2, s3 FROM sig GROUP BY s2, s3 HAVING COUNT(*) > 64),
+    k1 AS (SELECT s.* FROM sig s ANTI JOIN hot1 h ON s.s0 = h.s0 AND s.s1 = h.s1),
+    k2 AS (SELECT s.* FROM sig s ANTI JOIN hot2 h ON s.s2 = h.s2 AND s.s3 = h.s3),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM k1 a JOIN k1 b ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM k2 a JOIN k2 b ON a.s2 = b.s2 AND a.s3 = b.s3 AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN shingle sa ON sa.doc_id = c.doc_a
+      JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY 1, 2
+    ),
+    mdup AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+      JOIN counts na ON c.doc_a = na.doc_id
+      JOIN counts nb ON c.doc_b = nb.doc_id
+      WHERE s.shared / (na.n + nb.n - s.shared + 1e-12) >= 0.5
+    ),
+    bits AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS bal
+      FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+      GROUP BY doc_id, b.bit),
+    ssig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN bal > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS s
+      FROM bits GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id, s, k.k AS k, CAST((s // (1 << (4 * k.k))) % 16 AS BIGINT) AS val
+      FROM ssig, (SELECT unnest(generate_series(0, 3)) AS k) k),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb
+      FROM chunks a JOIN chunks b
+        ON a.k = b.k AND a.val = b.val AND a.doc_id < b.doc_id),
+    spairs AS (SELECT doc_a, doc_b FROM scand WHERE bit_count(xor(sa, sb)) <= 1),
+    fedges AS (SELECT doc_a, doc_b, 'minhash' AS modality FROM mdup
+               UNION ALL SELECT doc_a, doc_b, 'simhash' FROM spairs),
+    e2 AS (SELECT DISTINCT doc_a, doc_b FROM fedges),
+    verts AS (SELECT doc_a AS v FROM e2 UNION SELECT doc_b FROM e2),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM e2 UNION SELECT doc_b, doc_a FROM e2),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS keep_doc FROM reach GROUP BY a),
+    clus AS (SELECT keep_doc, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             FROM labels GROUP BY keep_doc),
+    emod AS (SELECT DISTINCT l.keep_doc, e.modality
+             FROM fedges e JOIN labels l ON e.doc_a = l.doc_id),
+    mods AS (SELECT keep_doc, string_agg(modality, ',' ORDER BY modality) AS modalities
+             FROM emod GROUP BY keep_doc)
+    SELECT c.keep_doc, c.cluster_size,
+           CAST(c.cluster_size - 1 AS BIGINT) AS n_dropped, m.modalities
+    FROM clus c JOIN mods m ON c.keep_doc = m.keep_doc
+    """,
+)
+def dedup_fuse_modalities(spark, sf_dir):
+    """CROSS-MODALITY dedup fusion — what a production curation pipeline
+    actually runs: verified near-dup pairs from MULTIPLE detectors
+    (MinHash-LSH Jaccard >= 0.5 and SimHash hamming <= 3 here) union into
+    one evidence graph, connected components resolve it to one retained
+    representative per cluster, and each cluster records WHICH modalities
+    contributed (the audit trail for threshold tuning: a cluster found
+    only by simhash is the kind a jaccard-only pipeline silently misses).
+    The simhash leg is tightened to hamming <= 1 here: on a 16-bit
+    signature, hamming <= 3 matches ~1% of RANDOM pairs (1350 noise pairs
+    at sf0.01 — measured), and graph fusion amplifies pair noise into
+    one giant cluster; <= 1 is ~0.03% (production 64-bit simhash keeps
+    <= 3, where random mass is ~1e-15 — same plan, wider signature).
+    Distributed shape: each modality's pair generation stays bucketed as
+    before (nothing all-pairs), the union is edge-count-sized, CC is the
+    real pointer-jumping loop (link/cc.py), and modality attribution is
+    one groupBy over edges joined to labels.  Oracle: both modalities'
+    SQL rebuilt over the SHARED shingle/charfold base + recursive-CTE
+    transitive closure + string_agg attribution."""
+    from .link.cc import connected_components
+
+    pm = dedup_minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("minhash").alias("modality")
+    )
+    ps = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .filter(F.col("hamming") <= 1)
+        .select("doc_a", "doc_b", F.lit("simhash").alias("modality"))
+    )
+    edges = pm.unionByName(ps).localCheckpoint(eager=True)
+    pairs = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).distinct()
+    verts = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(verts, pairs, vertex_col="doc_id")
+    labels = labels.localCheckpoint(eager=True)  # feeds clus + attribution
+    clus = labels.groupBy(F.col("canonical_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    mods = (
+        edges.join(labels.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
+        .groupBy("canonical_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("modality")), ",").alias(
+                "modalities"
+            )
+        )
+    )
+    return clus.join(mods, on="canonical_id").select(
+        F.col("canonical_id").alias("keep_doc"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        "modalities",
+    )
+
+
 # ---------- IVF ANN, quality filter, BPE-ish tokenizer (round 2) ----------
 
 @register(
@@ -2972,6 +3101,10 @@ EXTRA_NAMES = [
     "kg_negative_samples",
     "kg_edge_split",
     "ann_ivf_recall_uniform",
+    # r4: demoted to make room for dedup_fuse_modalities — monitoring twin
+    # of dedup_ngram_jaccard's cap accounting (df_caps drops also appear
+    # in that query's output)
+    "dedup_shingle_df_caps",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
