@@ -145,10 +145,14 @@ def main() -> None:
     # alternating same-session legs, per-query best-of-N) so the per-round
     # bench record carries round-over-round numbers this jittery host's
     # single-shot runs cannot provide; commit ids inside date the study
-    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH", "ab_r2_r3.json")
-    if os.path.exists(ab_path):
-        with open(ab_path) as f:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    ab_latest = os.path.join(bench_dir, "ab_latest.json")
+    ab_legacy = os.path.join(bench_dir, "ab_r2_r3.json")
+    if os.path.exists(ab_latest):
+        with open(ab_latest) as f:
+            result["paired_vs_base"] = json.load(f)
+    elif os.path.exists(ab_legacy):
+        with open(ab_legacy) as f:
             result["paired_vs_r2"] = json.load(f)
     spark.stop()
     print(json.dumps(result))

@@ -1,10 +1,11 @@
-"""Paired A/B benchmark: round-2 final code vs the working tree, run
-ALTERNATED in one wall-clock session (r2 VERDICT #5: single-shot suite
-numbers cannot prove round-over-round deltas on this time-shared host —
-its wall swings 17-60s across identical runs, dwarfing real changes).
+"""Paired A/B benchmark: a BASE commit (default: the previous round's
+final code) vs the working tree, run ALTERNATED in one wall-clock
+session (r2 VERDICT #5: single-shot suite numbers cannot prove
+round-over-round deltas on this time-shared host — its wall swings
+17-60s across identical runs, dwarfing real changes).
 
 Methodology (same reasoning as scripts/bench_scaling.py):
-  * The r2 code is checked out into a git worktree (.ab_worktree/r2,
+  * The base code is checked out into a git worktree (.ab_worktree/base,
     gitignored); each side runs `python bench.py --skip-repos` in its own
     subprocess/JVM so both sides execute EXACTLY their own code.
   * Legs alternate A,B,A,B,... so slow host phases hit both sides
@@ -12,10 +13,11 @@ Methodology (same reasoning as scripts/bench_scaling.py):
   * One Spark JVM alive at a time (sequential legs) — concurrent JVMs
     time-share cores and poison every number.
 
-Writes BENCH/ab_r2_r3.json (machine-readable; bench.py attaches it to
-its one-line JSON as `paired_vs_r2`) and BENCH/AB_r2_r3.md (the table).
+Writes BENCH/ab_<tag>.json (+ a BENCH/ab_latest.json copy that
+bench.py attaches to its one-line JSON as `paired_vs_base`) and
+BENCH/AB_<tag>.md (the table).
 
-Usage: python scripts/bench_ab.py [passes] [r2_commit]
+Usage: python scripts/bench_ab.py [passes] [base_commit] [tag]
 """
 
 from __future__ import annotations
@@ -27,8 +29,8 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-R2_COMMIT = "4f25682"
-WORKTREE = REPO / ".ab_worktree" / "r2"
+BASE_COMMIT = "d9dc731"  # r3 final
+WORKTREE = REPO / ".ab_worktree" / "base"
 
 
 def ensure_worktree(commit: str) -> Path:
@@ -53,7 +55,8 @@ def run_leg(cwd: Path, sf_dir: str, cores: str) -> dict:
 
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    commit = sys.argv[2] if len(sys.argv) > 2 else R2_COMMIT
+    commit = sys.argv[2] if len(sys.argv) > 2 else BASE_COMMIT
+    tag = sys.argv[3] if len(sys.argv) > 3 else "r3_r4"
     sf_dir = "/root/testdata/sf0.1"
     cores = "32"
     wt = ensure_worktree(commit)
@@ -62,9 +65,9 @@ def main() -> None:
         capture_output=True, text=True, check=True,
     ).stdout.strip()
 
-    legs: dict[str, list[dict]] = {"r2": [], "head": []}
+    legs: dict[str, list[dict]] = {"base": [], "head": []}
     for p in range(passes):
-        for side, cwd in (("r2", wt), ("head", REPO)):
+        for side, cwd in (("base", wt), ("head", REPO)):
             t0 = time.time()
             res = run_leg(cwd, sf_dir, cores)
             legs[side].append(res)
@@ -80,45 +83,46 @@ def main() -> None:
             for n in names
         }
 
-    b2, bh = best("r2"), best("head")
+    b2, bh = best("base"), best("head")
     common = [n for n in b2 if n in bh]
     summary = {
         "method": f"interleaved best-of-{passes}, alternating subprocess legs,"
                   " one JVM at a time, sf0.1 local[32], --skip-repos",
-        "r2_commit": commit,
+        "base_commit": commit,
         "head_commit": head,
-        "suite_best_r2": round(min(l["value"] for l in legs["r2"]), 3),
+        "suite_best_base": round(min(l["value"] for l in legs["base"]), 3),
         "suite_best_head": round(min(l["value"] for l in legs["head"]), 3),
         "queries": {
             n: {
-                "r2": b2[n], "head": bh[n],
+                "base": b2[n], "head": bh[n],
                 "ratio": round(bh[n] / b2[n], 3) if b2[n] else None,
             }
             for n in common
         },
     }
     summary["suite_ratio"] = round(
-        summary["suite_best_head"] / summary["suite_best_r2"], 3
+        summary["suite_best_head"] / summary["suite_best_base"], 3
     )
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH" / "ab_r2_r3.json").write_text(json.dumps(summary, indent=2))
+    (REPO / "BENCH" / f"ab_{tag}.json").write_text(json.dumps(summary, indent=2))
+    (REPO / "BENCH" / "ab_latest.json").write_text(json.dumps(summary, indent=2))
 
     lines = [
-        "# Paired r2 vs r3 benchmark (same-session, interleaved)",
+        f"# Paired benchmark {tag} (same-session, interleaved)",
         "",
         f"- method: {summary['method']}",
-        f"- r2 = `{commit}`, head = `{head}`",
-        f"- headline suite best-of-{passes}: r2 {summary['suite_best_r2']}s, "
+        f"- base = `{commit}`, head = `{head}`",
+        f"- headline suite best-of-{passes}: base {summary['suite_best_base']}s, "
         f"head {summary['suite_best_head']}s, ratio "
-        f"**{summary['suite_ratio']}** (head/r2; <1 = faster)",
+        f"**{summary['suite_ratio']}** (head/base; <1 = faster)",
         "",
-        "| query | r2 best (s) | head best (s) | ratio |",
+        "| query | base best (s) | head best (s) | ratio |",
         "|---|---|---|---|",
     ]
     for n in common:
         q = summary["queries"][n]
-        lines.append(f"| {n} | {q['r2']} | {q['head']} | {q['ratio']} |")
-    (REPO / "BENCH" / "AB_r2_r3.md").write_text("\n".join(lines) + "\n")
+        lines.append(f"| {n} | {q['base']} | {q['head']} | {q['ratio']} |")
+    (REPO / "BENCH" / f"AB_{tag}.md").write_text("\n".join(lines) + "\n")
     # leave no checkout behind: the worktree doubles the repo's on-disk
     # source tree (and any filesystem LoC count) if it lingers
     subprocess.run(
