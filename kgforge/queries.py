@@ -1224,6 +1224,137 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "doc_winnowing",
+    f"""
+    WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS arr
+                    FROM documents WHERE len(string_split(text, ' ')) >= 6),
+    kg AS (
+      SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+             {sql_charfold("arr[i.i] || ' ' || arr[i.i + 1] || ' ' || arr[i.i + 2]")} AS h
+      FROM tokarr, (SELECT unnest(generate_series(1, len(arr) - 2)) AS i) i),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nk
+      FROM kg)
+    SELECT DISTINCT doc_id, CAST(mh AS BIGINT) AS fp
+    FROM win WHERE pos <= nk - 3
+    """,
+)
+def doc_winnowing(spark, sf_dir):
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm — the classic source-code near-dup/plagiarism
+    fingerprint, exactly the corpus this pipeline reads): hash every
+    3-token k-gram, slide a window of w=4 consecutive k-grams, keep each
+    window's MINIMUM hash; distinct selected hashes are the document's
+    fingerprints.  Guarantees: any shared token run of length >= k+w-1
+    (6) produces at least one shared fingerprint, and density is ~2/(w+1)
+    of the k-grams — a tunable sketch between full-shingle Jaccard
+    (exact, large) and MinHash (fixed-size, probabilistic).  All
+    row-local expressions: k-gram hashing and window minima fold inside
+    one projection over the token array (no shuffle until the final
+    distinct); docs shorter than k+w-1 have no full window and are
+    excluded on both engines."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("toks"))
+    d = d.filter(F.size("toks") >= 6)
+    toks = F.col("toks")
+    kh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: charfold(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    d = d.select("doc_id", kh.alias("kh"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("kh") - 3),
+        lambda s: F.array_min(F.slice(F.col("kh"), s, 4)),
+    )
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+        .select("doc_id", F.col("fp").cast("bigint").alias("fp"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    n AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sized AS (
+      SELECT p.doc_a, p.doc_b, p.shared, na.n AS na, nb.n AS nb
+      FROM pair p
+      JOIN n na ON p.doc_a = na.doc_id
+      JOIN n nb ON p.doc_b = nb.doc_id)
+    SELECT doc_a AS contained, doc_b AS container,
+           CAST(na AS BIGINT) AS n_contained, CAST(nb AS BIGINT) AS n_container
+    FROM sized WHERE shared = na
+    UNION ALL
+    SELECT doc_b, doc_a, CAST(nb AS BIGINT), CAST(na AS BIGINT)
+    FROM sized WHERE shared = nb
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Shingle-set CONTAINMENT detection — the asymmetric dedup case
+    near-dup Jaccard misses: a short document fully contained in a longer
+    one (quoted excerpt, vendored file, doc-in-concatenation) can have
+    arbitrarily low Jaccard yet is still a duplicate for training
+    purposes.  contained ⊆ container iff shared-shingle count equals the
+    contained side's distinct-shingle count; equal sets emit both
+    directions (symmetric exact-dup evidence).  Same DF-capped inverted
+    index as dedup_ngram_jaccard (containment judged on the capped
+    shingle universe, cap drops observable via dedup_shingle_df_caps) —
+    one index self-join, no all-pairs work."""
+    raw = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    hot = (
+        raw.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP).select("sh")
+    )
+    sh = raw.join(F.broadcast(hot), on="sh", how="left_anti")
+    pair = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sized = (
+        pair.join(
+            n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            on="doc_a",
+        ).join(
+            n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            on="doc_b",
+        )
+    )
+    fwd = sized.filter(F.col("shared") == F.col("na")).select(
+        F.col("doc_a").alias("contained"), F.col("doc_b").alias("container"),
+        F.col("na").cast("bigint").alias("n_contained"),
+        F.col("nb").cast("bigint").alias("n_container"),
+    )
+    rev = sized.filter(F.col("shared") == F.col("nb")).select(
+        F.col("doc_b").alias("contained"), F.col("doc_a").alias("container"),
+        F.col("nb").cast("bigint").alias("n_contained"),
+        F.col("na").cast("bigint").alias("n_container"),
+    )
+    return fwd.unionByName(rev)
+
+
+@register(
     "dedup_shingle_df_caps",
     f"""
     WITH {SQL_SHINGLES},
@@ -3105,6 +3236,11 @@ EXTRA_NAMES = [
     # of dedup_ngram_jaccard's cap accounting (df_caps drops also appear
     # in that query's output)
     "dedup_shingle_df_caps",
+    # r4: new sketch/containment ops — EXTRA (driver slots full; their
+    # operator families are driver-covered by doc_fingerprint +
+    # dedup_ngram_jaccard), swept by the local 74/74 harness
+    "doc_winnowing",
+    "dedup_containment",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
