@@ -1282,6 +1282,86 @@ def doc_winnowing(spark, sf_dir):
     )
 
 
+_SQL_WINNOW_FP = f"""
+    tokarr AS (SELECT doc_id, string_split(text, ' ') AS arr
+               FROM documents WHERE len(string_split(text, ' ')) >= 6),
+    kg AS (
+      SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+             {sql_charfold("arr[i.i] || ' ' || arr[i.i + 1] || ' ' || arr[i.i + 2]")} AS h
+      FROM tokarr, (SELECT unnest(generate_series(1, len(arr) - 2)) AS i) i),
+    win AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS nk
+      FROM kg),
+    wfp AS (SELECT DISTINCT doc_id, CAST(mh AS BIGINT) AS fp
+            FROM win WHERE pos <= nk - 3)"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    f"""
+    WITH {_SQL_WINNOW_FP},
+    hotfp AS (SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) > {NGRAM_DF_CAP}),
+    keptfp AS (SELECT w.* FROM wfp w ANTI JOIN hotfp h ON w.fp = h.fp),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM keptfp GROUP BY doc_id),
+    pair AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM keptfp a JOIN keptfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(p.shared / (na.n + nb.n - p.shared + 1e-12), 4) AS jaccard
+    FROM pair p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id
+    WHERE p.shared / (na.n + nb.n - p.shared + 1e-12) >= 0.5
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Near-dup pairs over WINNOWING fingerprints (Jaccard >= 0.5 on the
+    selected-hash sets) — the pairing step that makes doc_winnowing a
+    complete dedup modality, and the cheap one: the inverted index joins
+    ~2/(w+1) of the k-grams instead of all shingles (vs
+    dedup_ngram_jaccard), with the same DF cap guarding hot fingerprints
+    (a ubiquitous code idiom's minimum hash) from quadratic bucket
+    blowup.  Winnowing's guarantee makes the sketch sound for dedup: any
+    shared run of >= k+w-1 tokens shares at least one fingerprint, so
+    heavily-overlapping documents cannot silently miss the index."""
+    fps = doc_winnowing(spark, sf_dir).localCheckpoint(eager=True)
+    hot = (
+        fps.groupBy("fp").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP).select("fp")
+    )
+    kept = fps.join(F.broadcast(hot), on="fp", how="left_anti")
+    pair = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    n = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    j = (
+        pair.join(
+            n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            on="doc_a",
+        )
+        .join(
+            n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            on="doc_b",
+        )
+        .withColumn(
+            "jac",
+            F.col("shared")
+            / (F.col("na") + F.col("nb") - F.col("shared") + F.lit(1e-12)),
+        )
+    )
+    return j.filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
+    )
+
+
 @register(
     "dedup_containment",
     f"""
@@ -3241,6 +3321,7 @@ EXTRA_NAMES = [
     # dedup_ngram_jaccard), swept by the local 74/74 harness
     "doc_winnowing",
     "dedup_containment",
+    "dedup_winnow_pairs",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
