@@ -138,9 +138,19 @@ def run_kg_pipeline(
     model_name: str = "repos",
     context_window: int = 0,
     cross_ner: bool = False,
+    edge_salt: int | None = None,
+    hot_threshold_rows: int | None = None,
 ) -> dict[str, DataFrame]:
     """The full checkpointed pipeline: repos -> triples -> canonical ->
-    nodes/edges, each stage resumable."""
+    nodes/edges, each stage resumable.
+
+    ``edge_salt`` / ``hot_threshold_rows`` tune build_edges' selective
+    skew salting (defaults: DEFAULT_SALT=16 with 10k-row hot detection;
+    hot_threshold_rows=0 salts every key, edge_salt=1 disables).  They
+    are part of the lineage config, so changing them invalidates the
+    cached edges stage rather than silently reusing a differently-salted
+    plan's output (output is salt-invariant, but the manifest records
+    what actually ran)."""
     from .extract.pipeline import extract_pipeline
     from .graph.materialize import (
         attach_canonical_ids,
@@ -157,6 +167,8 @@ def run_kg_pipeline(
             "model_name": model_name,
             "context_window": context_window,
             "cross_ner": cross_ner,
+            "edge_salt": edge_salt,
+            "hot_threshold_rows": hot_threshold_rows,
         },
     )
     triples = runner.run(
@@ -174,7 +186,12 @@ def run_kg_pipeline(
         .join(mention_counts(linked), on="canonical_id", how="left")
         .fillna(0, subset=["mention_count"]),
     )
-    edges = runner.run("edges", lambda: build_edges(linked))
+    edge_kw = {}
+    if edge_salt is not None:
+        edge_kw["salt"] = edge_salt
+    if hot_threshold_rows is not None:
+        edge_kw["hot_threshold_rows"] = hot_threshold_rows
+    edges = runner.run("edges", lambda: build_edges(linked, **edge_kw))
     return {
         "triples": triples,
         "canonical": canonical,
