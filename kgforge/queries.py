@@ -1421,6 +1421,10 @@ def dedup_containment(spark, sf_dir):
             on="doc_b",
         )
     )
+    # candidate-pair-sized (tiny vs the index); both union branches read
+    # it — without this the fwd/rev filters recompute the whole inverted
+    # index subtree (plan audit: 14 exchanges -> 7)
+    sized = sized.localCheckpoint(eager=True)
     fwd = sized.filter(F.col("shared") == F.col("na")).select(
         F.col("doc_a").alias("contained"), F.col("doc_b").alias("container"),
         F.col("na").cast("bigint").alias("n_contained"),
