@@ -2534,6 +2534,74 @@ def ann_ivf_recall(spark, sf_dir):
 
 
 @register(
+    "ann_sq8_recall",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (SELECT vec_id, v,
+                  greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                           / 127.0, 1e-12) AS s
+           FROM e),
+    qv AS (SELECT vec_id, v,
+                  list_transform(v, x -> floor(x / s + 0.5) * s) AS xh
+           FROM sc),
+    q AS (SELECT v AS qv, xh AS qxh FROM qv WHERE vec_id = 0),
+    approx AS (SELECT vec_id FROM (
+      SELECT a.vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(list_cosine_similarity(a.xh, q.qxh), 6) DESC,
+                                a.vec_id) AS rnk
+      FROM qv a, q WHERE a.vec_id <> 0) WHERE rnk <= 10),
+    exact AS (SELECT vec_id FROM (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                e.vec_id) AS rnk
+      FROM e, q WHERE e.vec_id <> 0) WHERE rnk <= 10)
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) AS BIGINT)
+             AS n_hits,
+           ROUND((SELECT COUNT(*) FROM exact JOIN approx USING (vec_id)) / 10.0, 4)
+             AS recall_at_10
+    """,
+)
+def ann_sq8_recall(spark, sf_dir):
+    """Recall@10 of int8 SCALAR-QUANTIZED cosine search vs the exact
+    float scan (functions/similarity.sq8_reconstruct) — the storage-
+    compression half of ANN at 100 TB: embeddings stored as int8 codes +
+    one scale per vector are 8x smaller than float64, so the measured
+    question is what that compression costs in retrieval quality (here:
+    nothing the top-10 can see; pinned >= 0.9 by test).  Everything is
+    row-local fold arithmetic; the quantizer uses explicit half-up
+    rounding (floor(x/s + 0.5)) because round()'s half-even tie behavior
+    differs across engines."""
+    from .functions.similarity import cosine_fold, sq8_reconstruct
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("xh", sq8_reconstruct(F.col("v"))).localCheckpoint(eager=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("xh").alias("qxh")
+    )
+    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def topk(col_a, col_b):
+        cos = base.select(
+            "vec_id", F.round(cosine_fold(F.col(col_a), F.col(col_b)), 6).alias("c")
+        )
+        w = Window.orderBy(F.desc("c"), "vec_id")
+        return (
+            cos.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10).select("vec_id")
+        )
+
+    hits = topk("qv", "v").join(topk("qxh", "xh"), on="vec_id", how="left_semi")
+    return hits.agg(F.count("*").alias("n")).select(
+        F.lit(10).cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n_hits"),
+        F.round(F.col("n") / 10.0, 4).alias("recall_at_10"),
+    )
+
+
+@register(
     "text_quality_filter",
     f"""
     WITH f AS (
@@ -3326,6 +3394,7 @@ EXTRA_NAMES = [
     "doc_winnowing",
     "dedup_containment",
     "dedup_winnow_pairs",
+    "ann_sq8_recall",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -99,6 +99,30 @@ def test_ivf_recall_planted_clusters(spark, emb):
     assert r.recall_at_10 >= 0.8, f"planted-cluster recall {r.recall_at_10}"
 
 
+def test_sq8_recall_and_reconstruction_error(spark, emb):
+    """int8 scalar quantization: recall@10 vs the exact scan >= 0.9 and
+    per-coordinate reconstruction error bounded by s/2 = max|x|/254."""
+    from kgforge.functions.similarity import sq8_reconstruct
+    from kgforge.queries import ann_sq8_recall
+
+    r = ann_sq8_recall(spark, SF).first()
+    assert r.k == 10 and r.recall_at_10 >= 0.9
+
+    err = emb.select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"), sq8_reconstruct(F.col("v")),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0), lambda a, b: F.greatest(a, b),
+        ).alias("e"),
+        (F.array_max(F.transform("v", lambda x: F.abs(x))) / 254.0).alias("bound"),
+    )
+    assert err.filter(F.col("e") > F.col("bound") + 1e-12).count() == 0
+
+
 def test_quality_filter_accounting(spark):
     """Every doc gets exactly one reason; drop_stats partitions the corpus."""
     from kgforge.functions.quality import drop_stats, quality_flags
