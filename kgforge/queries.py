@@ -2533,6 +2533,103 @@ def ann_ivf_recall(spark, sf_dir):
     )
 
 
+_SQL_PQ_RECALL = f"""
+    {_SQL_PLANTED_E},
+    ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+    sub AS (SELECT vec_id, ss.s AS s, list_slice(v, ss.s * 8 + 1, ss.s * 8 + 8) AS sv
+            FROM e, ss),
+    seed AS (SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+             FROM e),
+    cb0 AS (SELECT sub.s, sd.cid, sub.sv AS cv
+            FROM seed sd JOIN sub ON sub.vec_id = sd.vec_id WHERE sd.cid < 16),
+    a1 AS (SELECT vec_id, s, cid, sv FROM (
+      SELECT sub.vec_id, sub.s, c.cid, sub.sv,
+             ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+               ORDER BY ROUND(pow(list_distance(sub.sv, c.cv), 2), 6), c.cid) AS rn
+      FROM sub JOIN cb0 c ON sub.s = c.s) WHERE rn = 1),
+    cb1 AS (SELECT s, cid, list(m ORDER BY i) AS cv FROM (
+      SELECT s, cid, i, AVG(x) AS m FROM (
+        SELECT s, cid, UNNEST(sv) AS x, generate_subscripts(sv, 1) AS i FROM a1)
+      GROUP BY s, cid, i) GROUP BY s, cid),
+    codes AS (SELECT vec_id, s, cid FROM (
+      SELECT sub.vec_id, sub.s, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+               ORDER BY ROUND(pow(list_distance(sub.sv, c.cv), 2), 6), c.cid) AS rn
+      FROM sub JOIN cb1 c ON sub.s = c.s) WHERE rn = 1),
+    q AS (SELECT s, sv FROM sub WHERE vec_id = 0),
+    qd AS (SELECT c.s, c.cid, pow(list_distance(q.sv, c.cv), 2) AS d2
+           FROM cb1 c JOIN q ON q.s = c.s),
+    sc AS (SELECT codes.vec_id, SUM(qd.d2) AS sc
+           FROM codes JOIN qd ON codes.s = qd.s AND codes.cid = qd.cid
+           WHERE codes.vec_id <> 0 GROUP BY 1),
+    short AS (SELECT vec_id FROM (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY ROUND(sc, 6), vec_id) AS rnk
+      FROM sc) WHERE rnk <= 50),
+    qq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    rerank AS (SELECT vec_id FROM (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(pow(list_distance(e.v, qq.qv), 2), 6),
+                                e.vec_id) AS rnk
+      FROM e JOIN short USING (vec_id), qq) WHERE rnk <= 10),
+    exact AS (SELECT vec_id FROM (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(pow(list_distance(e.v, qq.qv), 2), 6),
+                                e.vec_id) AS rnk
+      FROM e, qq WHERE e.vec_id <> 0) WHERE rnk <= 10)
+    SELECT CAST(10 AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM exact JOIN rerank USING (vec_id)) AS BIGINT)
+             AS n_hits,
+           ROUND((SELECT COUNT(*) FROM exact JOIN rerank USING (vec_id)) / 10.0, 4)
+             AS recall_at_10
+"""
+
+
+@register("ann_pq_recall", _SQL_PQ_RECALL)
+def ann_pq_recall(spark, sf_dir):
+    """Recall@10 of PRODUCT-QUANTIZATION retrieval with exact re-rank vs
+    the exact L2 scan, on the planted-cluster fixture — the memory half
+    of IVF-PQ at 100 TB: vectors stored as m=4 one-byte codes (vs
+    dim x 8 float bytes), candidates scored by the ADC lookup table
+    WITHOUT touching their float vectors, then only the 50-row shortlist
+    pays exact distances (the refine step every production PQ deploys —
+    raw ADC order inside a tight cluster is code-identical, so re-rank
+    is what makes the sketch usable).  Subspace codebooks (ks=16, one
+    seeded L2 Lloyd round) are trained with the subspace axis as DATA,
+    not unrolled plan: one explode to (vec_id, s, sv), broadcast joins
+    against the 64-row codebook, the vector table never shuffles
+    (functions/similarity.pq_codebooks_and_codes)."""
+    from .functions.similarity import l2sq_fold, pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", planted_embedding_col().alias("embedding")
+    ).localCheckpoint(eager=True)
+    short = pq_adc_topk(
+        e, query_vec_id=0, k=50, m=4, ks=16, dim=PLANTED_DIM
+    ).select("vec_id")
+    ev = e.select("vec_id", F.col("embedding").alias("v"))
+    qv = ev.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def exact_topk(cands):
+        d = cands.crossJoin(F.broadcast(qv)).select(
+            "vec_id", F.round(l2sq_fold(F.col("v"), F.col("qv")), 6).alias("d2")
+        )
+        w = Window.orderBy("d2", "vec_id")
+        return (
+            d.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10).select("vec_id")
+        )
+
+    rerank = exact_topk(ev.join(short, on="vec_id"))
+    exact = exact_topk(ev.filter(F.col("vec_id") != 0))
+    hits = exact.join(rerank, on="vec_id", how="left_semi")
+    return hits.agg(F.count("*").alias("n")).select(
+        F.lit(10).cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n_hits"),
+        F.round(F.col("n") / 10.0, 4).alias("recall_at_10"),
+    )
+
+
 @register(
     "ann_sq8_recall",
     """
@@ -3395,6 +3492,7 @@ EXTRA_NAMES = [
     "dedup_containment",
     "dedup_winnow_pairs",
     "ann_sq8_recall",
+    "ann_pq_recall",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -123,6 +123,29 @@ def test_sq8_recall_and_reconstruction_error(spark, emb):
     assert err.filter(F.col("e") > F.col("bound") + 1e-12).count() == 0
 
 
+def test_pq_recall_and_code_shape(spark, emb):
+    """Product quantization: ADC shortlist + exact re-rank reaches
+    recall@10 >= 0.8 on the planted fixture, and the code table is
+    exactly m rows per vector with cid < ks (m bytes/vector storage)."""
+    from kgforge.queries import PLANTED_DIM, ann_pq_recall, planted_embedding_col
+    from kgforge.functions.similarity import pq_codebooks_and_codes
+
+    r = ann_pq_recall(spark, SF).first()
+    assert r.k == 10 and r.recall_at_10 >= 0.8
+
+    e = emb.select("vec_id", planted_embedding_col().alias("embedding"))
+    n = e.count()
+    cb, codes = pq_codebooks_and_codes(e, dim=PLANTED_DIM, m=4, ks=16)
+    assert codes.count() == n * 4
+    assert codes.filter("cid >= 16 OR cid < 0").count() == 0
+    per_vec = codes.groupBy("vec_id").count().filter("count != 4").count()
+    assert per_vec == 0
+    # codebook: at most m x ks entries, subvector width dim/m
+    rows = cb.collect()
+    assert len(rows) <= 4 * 16
+    assert all(len(r2.cv) == PLANTED_DIM // 4 for r2 in rows)
+
+
 def test_quality_filter_accounting(spark):
     """Every doc gets exactly one reason; drop_stats partitions the corpus."""
     from kgforge.functions.quality import drop_stats, quality_flags
