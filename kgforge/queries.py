@@ -2931,6 +2931,72 @@ def kg_two_hop(spark, sf_dir):
 
 
 @register(
+    "kg_triangles",
+    _SQL_EDGES
+    + """
+    , und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst),
+    dg AS (SELECT v, COUNT(*) AS deg FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+    rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY deg, v) AS r FROM dg),
+    od AS (SELECT LEAST(ra.r, rb.r) AS lo, GREATEST(ra.r, rb.r) AS hi
+           FROM und JOIN rk ra ON und.a = ra.v JOIN rk rb ON und.b = rb.v)
+    SELECT CAST((SELECT COUNT(*) FROM od e1
+                 JOIN od e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+                 JOIN od e3 ON e3.lo = e1.hi AND e3.hi = e2.hi) AS BIGINT)
+             AS n_triangles,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges
+    """,
+)
+def kg_triangles(spark, sf_dir):
+    """Triangle count over the undirected canonical graph — the classic
+    cohesion/motif statistic, in the DEGREE-ORDERED formulation that
+    survives hubs: every vertex gets a rank by (degree, id), each edge
+    is oriented low-rank -> high-rank, and a triangle is counted exactly
+    once as a wedge at its lowest-rank corner closed by a third oriented
+    edge.  Orientation bounds the wedge join's per-key fan-out by
+    O(sqrt(m)) instead of a hub's full degree — the naive all-direction
+    join explodes quadratically on exactly the mega-hub the salting
+    story is about.  Ranks come from the two-pass global_row_number (no
+    single-partition window, r1 VERDICT); the rank dim is
+    vertex-count-sized and broadcast."""
+    from .functions.ranks import global_row_number
+
+    e = kg_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    dg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("deg"))
+    )
+    rk = global_row_number(dg, ["deg", "v"]).select(
+        "v", F.col("rn").alias("r")
+    )
+    od = (
+        und.join(F.broadcast(rk.withColumnRenamed("v", "a")
+                 .withColumnRenamed("r", "ra")), on="a")
+        .join(F.broadcast(rk.withColumnRenamed("v", "b")
+              .withColumnRenamed("r", "rb")), on="b")
+        .select(
+            F.least("ra", "rb").alias("lo"), F.greatest("ra", "rb").alias("hi")
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = od.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = od.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    e3 = od.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, on="x").filter(F.col("y") < F.col("z"))
+    tri = wedges.join(e3, on=["y", "z"])
+    n_edges = und.count()
+    return tri.agg(F.count("*").alias("n")).select(
+        F.col("n").cast("bigint").alias("n_triangles"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+    )
+
+
+@register(
     "kg_ego_network",
     _SQL_EDGES
     + """
@@ -3493,6 +3559,7 @@ EXTRA_NAMES = [
     "dedup_winnow_pairs",
     "ann_sq8_recall",
     "ann_pq_recall",
+    "kg_triangles",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
