@@ -32,6 +32,12 @@ HEADLINE = [
     "ann_cosine_topk",
     "token_counts",
     "doc_fingerprint",
+    # r4 additions (bench_ab compares only queries common to both sides,
+    # so extending the suite never breaks cross-round pairing)
+    "dedup_fuse_modalities",
+    "dedup_winnow_pairs",
+    "ann_pq_recall",
+    "kg_triangles",
 ]
 
 
