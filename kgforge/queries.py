@@ -2996,6 +2996,73 @@ def kg_triangles(spark, sf_dir):
     )
 
 
+def _sql_lpa_round(prev: str, out: str) -> str:
+    """One synchronous label-propagation round: each vertex adopts its
+    neighbors' most frequent label, ties to the smallest label."""
+    return f"""
+    {out} AS (SELECT v, label FROM (
+      SELECT v, label,
+             ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+      FROM (SELECT n.v, l.label, COUNT(*) AS c
+            FROM nbr n JOIN {prev} l ON n.u = l.v
+            GROUP BY n.v, l.label)) WHERE rn = 1)"""
+
+
+@register(
+    "kg_communities_lpa",
+    _SQL_EDGES
+    + f"""
+    , und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst),
+    nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+    l0 AS (SELECT DISTINCT v, v AS label FROM nbr),
+    {_sql_lpa_round('l0', 'l1')},
+    {_sql_lpa_round('l1', 'l2')},
+    {_sql_lpa_round('l2', 'l3')}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l3 GROUP BY label
+    """,
+)
+def kg_communities_lpa(spark, sf_dir):
+    """Community detection by synchronous LABEL PROPAGATION (3 unrolled
+    rounds, deterministic: most-frequent neighbor label, ties to the
+    smallest) over the undirected canonical graph — the near-linear
+    community primitive (Raghavan et al.) complementing exact CC: CC
+    finds connectivity, LPA finds densely-linked regions inside it.
+    Fixed round count keeps both engines bit-identical (async LPA's
+    update order is engine-dependent; synchronous + deterministic
+    tie-break is the portable formulation).  Per round: one shuffle on
+    the neighbor join + one (v, label) count + one min_by per vertex —
+    the CC per-round shape; labels are localCheckpointed per round so
+    the plan stays linear in rounds."""
+    e = kg_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nbr.select("v").distinct().select("v", F.col("v").alias("label"))
+    for _ in range(3):
+        cnt = (
+            nbr.join(
+                labels.withColumnRenamed("v", "u"), on="u"
+            )
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = cnt.groupBy("v").agg(
+            F.min_by(
+                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("label")
+        ).localCheckpoint(eager=True)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )
+
+
 @register(
     "kg_ego_network",
     _SQL_EDGES
@@ -3560,6 +3627,7 @@ EXTRA_NAMES = [
     "ann_sq8_recall",
     "ann_pq_recall",
     "kg_triangles",
+    "kg_communities_lpa",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
