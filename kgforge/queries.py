@@ -765,6 +765,60 @@ def q_daily_active(spark, sf_dir):
 
 
 @register(
+    "q_sessionize",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_ix,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+             AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Event SESSIONIZATION (gaps-and-islands): per user, a new session
+    starts after a >30-min silence; outputs per-session event count and
+    whole-second duration.  The batch ground truth for the streaming
+    session_window twin (kgforge.streaming.streaming_sessionize —
+    equivalence pinned by tests/test_streaming.py).  Scale shape: both
+    windows partition by user_id — parallel across users, ordered only
+    within one user's events; duration in integer microsecond
+    arithmetic so both engines agree exactly."""
+    gap_us = 1800 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events")
+    # parquet stores TIMESTAMP_NTZ; session tz is pinned UTC, so the cast
+    # to TIMESTAMP is the identity epoch mapping both engines use
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    prev = F.lag("ts").over(w)
+    new_s = (
+        prev.isNull() | (us(F.col("ts")) - us(prev) > gap_us)
+    ).cast("bigint")
+    s = e.withColumn("new_s", new_s).withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy(
+        "user_id", F.col("sid").cast("bigint").alias("session_ix")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (
+            (us(F.max("ts")) - us(F.min("ts"))) / F.lit(1_000_000)
+        ).cast("bigint").alias("duration_s"),
+    )
+
+
+@register(
     "q_mktsegment_share",
     """
     SELECT c_mktsegment,
@@ -3628,6 +3682,7 @@ EXTRA_NAMES = [
     "ann_pq_recall",
     "kg_triangles",
     "kg_communities_lpa",
+    "q_sessionize",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -201,6 +201,38 @@ def latest_complete_epoch(state_dir: str) -> int | None:
     return latest
 
 
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming event sessionization via the built-in SESSION WINDOW:
+    per user, events closer than ``gap`` merge into one growing session;
+    a session closes (and emits, in append mode) once the watermark
+    passes its end.  Semantically identical to the batch
+    gaps-and-islands formulation (q_sessionize) — the session boundary
+    is the same >gap silence — which is exactly what the equivalence
+    test pins.  State is bounded by open sessions x users; the
+    watermark is what lets Spark expire closed sessions."""
+    from pyspark.sql import functions as F
+
+    return (
+        events_stream
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_incremental_graph(
     spark: SparkSession,
     input_dir: str,

@@ -271,6 +271,61 @@ def test_streaming_first_seen_ttl_bounded_state(spark, tmp_path):
     assert len(a_true) == 2
 
 
+def test_streaming_sessionize_matches_batch_semantics(spark, tmp_path):
+    """session_window streaming twin of q_sessionize: same >30-min-gap
+    session boundaries as the batch gaps-and-islands formulation.
+    Sessions only emit once the watermark passes their end (+gap), so a
+    far-future flush event in a second drain closes the real ones —
+    the append-mode contract, asserted explicitly."""
+    import json
+
+    from kgforge.streaming import streaming_sessionize
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    inp.mkdir()
+
+    def write(rows, name):
+        with open(inp / f"{name}.json", "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .format("json").load(str(inp))
+        )
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out)).outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    # user 1: two sessions ([00:00, 00:10] then [00:50]); user 2: one
+    write([
+        (1, "2026-01-01T00:00:00"),
+        (1, "2026-01-01T00:10:00"),
+        (1, "2026-01-01T00:50:00"),   # 40-min gap > 30 -> new session
+        (2, "2026-01-01T00:05:00"),
+    ], "b0")
+    drain()
+    write([(99, "2026-01-01T10:00:00")], "b1")  # watermark flush
+    drain()
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {
+        (1, "2026-01-01 00:00:00", 2),
+        (1, "2026-01-01 00:50:00", 1),
+        (2, "2026-01-01 00:05:00", 1),
+    }
+    # the flusher's own session is still open -> not emitted (append mode)
+    assert not any(r[0] == 99 for r in got)
+
+
 def test_streaming_first_seen_ttl_non_utc_session(spark, tmp_path):
     """TTL eviction must be timezone-safe: with a non-UTC session
     timezone (Tokyo, +9h, no DST) the naive pandas timestamps the state
