@@ -819,6 +819,67 @@ def q_sessionize(spark, sf_dir):
 
 
 @register(
+    "q_distinct_kmv",
+    f"""
+    WITH h AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      {sql_charfold("md5(CAST(user_id AS VARCHAR))")} AS hv
+               FROM events),
+    r AS (SELECT day, hv,
+                 ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn,
+                 COUNT(*) OVER (PARTITION BY day) AS nd
+          FROM h),
+    kth AS (SELECT day, MAX(CASE WHEN rn = LEAST(64, nd) THEN hv END) AS kv,
+                   MAX(nd) AS nd
+            FROM r GROUP BY day)
+    SELECT day, CAST(nd AS BIGINT) AS n_exact,
+           CAST(CASE WHEN nd <= 64 THEN nd
+                     ELSE CAST(ROUND(63.0 * {MOD} / kv) AS BIGINT)
+                END AS BIGINT) AS n_kmv
+    FROM kth
+    """,
+)
+def q_distinct_kmv(spark, sf_dir):
+    """DETERMINISTIC approximate distinct count — the k-minimum-values
+    (KMV / theta) sketch: per day, hash each user into [0, MOD), keep
+    the k=64 smallest distinct hashes, estimate distincts as
+    (k-1) * MOD / kth_smallest (exact when fewer than k).  Chosen over
+    approx_count_distinct because HLL registers differ across engines —
+    KMV over a shared deterministic hash is bit-identical in Spark and
+    DuckDB, so the sketch itself is oracle-checkable, alongside the
+    exact count for the error story.  Scale shape: KMV is the
+    classic mergeable sketch — per-partition k-smallest sets merge by
+    sorted-slice exactly like build_edges' min-k provenance; here the
+    per-day rank formulation keeps the query one shuffle."""
+    k = 64
+    e = _t(spark, sf_dir, "events")
+    # charfold of the raw id is NOT uniform (short digit strings hash
+    # low, wrecking the estimator); md5 first, then fold the 32-hex-char
+    # digest — well-mixed in [0, MOD) and engine-identical
+    h = e.select(
+        F.to_date("ts").cast("string").alias("day"),
+        charfold(F.md5(F.col("user_id").cast("string"))).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("day").orderBy("hv")
+    r = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nd", F.count("*").over(Window.partitionBy("day"))
+    )
+    kth = r.groupBy("day").agg(
+        F.max(
+            F.when(F.col("rn") == F.least(F.lit(k), F.col("nd")), F.col("hv"))
+        ).alias("kv"),
+        F.max("nd").alias("nd"),
+    )
+    est = F.when(
+        F.col("nd") <= k, F.col("nd")
+    ).otherwise(F.round(F.lit(float(k - 1)) * MOD / F.col("kv")))
+    return kth.select(
+        "day",
+        F.col("nd").cast("bigint").alias("n_exact"),
+        est.cast("bigint").alias("n_kmv"),
+    )
+
+
+@register(
     "q_mktsegment_share",
     """
     SELECT c_mktsegment,
@@ -3683,6 +3744,7 @@ EXTRA_NAMES = [
     "kg_triangles",
     "kg_communities_lpa",
     "q_sessionize",
+    "q_distinct_kmv",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
