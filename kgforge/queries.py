@@ -2746,6 +2746,76 @@ def ann_pq_recall(spark, sf_dir):
 
 
 @register(
+    "text_bm25_topk",
+    f"""
+    WITH {SQL_TOK},
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS score
+      FROM tf t
+      JOIN df d ON t.tok = d.tok
+      JOIN dl l ON t.doc_id = l.doc_id, stats s)
+    SELECT doc_id, tok AS term, ROUND(score, 4) AS bm25,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY ROUND(score, 6) DESC, tok) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 term scoring (k1=1.2, b=0.75), top-5 terms per document —
+    the classic lexical-retrieval primitive (build the index side of
+    keyword search / hybrid retrieval over the corpus).  Distributed
+    shape: term frequencies and doc lengths are map-side-combining
+    groupBys; document frequency and the (n_docs, avgdl) scalar are
+    tiny broadcast dims; the per-document top-5 compiles to
+    WindowGroupLimit (rank pushdown), not a full per-partition sort."""
+    t = _doc_tokens(spark, sf_dir)
+    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # feeds df + scoring
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), on="tok")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 6)), "tok"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "doc_id", F.col("tok").alias("term"),
+            F.round("score", 4).alias("bm25"), "rnk",
+        )
+    )
+
+
+@register(
     "ann_sq8_recall",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3745,6 +3815,7 @@ EXTRA_NAMES = [
     "kg_communities_lpa",
     "q_sessionize",
     "q_distinct_kmv",
+    "text_bm25_topk",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
