@@ -2329,15 +2329,16 @@ def dedup_resolve_clusters(spark, sf_dir):
     bits AS (
       SELECT doc_id, b.bit,
              SUM(CASE WHEN (h // (1 << b.bit)) % 2 = 1 THEN 1 ELSE -1 END) AS bal
-      FROM hashed, (SELECT unnest(generate_series(0, 15)) AS bit) b
+      FROM hashed, (SELECT unnest(generate_series(0, 30)) AS bit) b
       GROUP BY doc_id, b.bit),
     ssig AS (
       SELECT doc_id,
              CAST(SUM(CASE WHEN bal > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS s
       FROM bits GROUP BY doc_id),
     chunks AS (
-      SELECT doc_id, s, k.k AS k, CAST((s // (1 << (4 * k.k))) % 16 AS BIGINT) AS val
-      FROM ssig, (SELECT unnest(generate_series(0, 3)) AS k) k),
+      SELECT doc_id, s, k.k AS k,
+             CAST((s // (1 << (16 * k.k))) % 65536 AS BIGINT) AS val
+      FROM ssig, (SELECT unnest(generate_series(0, 1)) AS k) k),
     scand AS (
       SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa, b.doc_id AS doc_b, b.s AS sb
       FROM chunks a JOIN chunks b
@@ -2373,11 +2374,16 @@ def dedup_fuse_modalities(spark, sf_dir):
     representative per cluster, and each cluster records WHICH modalities
     contributed (the audit trail for threshold tuning: a cluster found
     only by simhash is the kind a jaccard-only pipeline silently misses).
-    The simhash leg is tightened to hamming <= 1 here: on a 16-bit
-    signature, hamming <= 3 matches ~1% of RANDOM pairs (1350 noise pairs
-    at sf0.01 — measured), and graph fusion amplifies pair noise into
-    one giant cluster; <= 1 is ~0.03% (production 64-bit simhash keeps
-    <= 3, where random mass is ~1e-15 — same plan, wider signature).
+    The simhash leg is WIDENED to 31 bits (charfold's full range) and
+    tightened to hamming <= 1: noise pairs scale with corpus^2 x the
+    per-pair collision rate, so the 16-bit/<=3 standalone setting (~1%
+    random-pair rate, fine for eyeballing pairs) floods graph fusion —
+    measured: one giant cluster at sf0.01, and at sf0.1 even 16-bit/<=1
+    admits ~3.2k noise pairs whose chains made CC grind for minutes.
+    At 31 bits, hamming <= 1 randoms are ~1.5e-8/pair (~0 at sf0.1);
+    candidates come from a 2-chunk pigeonhole (any <=1-distance pair
+    agrees on one 16-bit half).  Production 64-bit simhash keeps <= 3 —
+    same plan, wider hash.
     Distributed shape: each modality's pair generation stays bucketed as
     before (nothing all-pairs), the union is edge-count-sized, CC is the
     real pointer-jumping loop (link/cc.py), and modality attribution is
@@ -2389,9 +2395,40 @@ def dedup_fuse_modalities(spark, sf_dir):
     pm = dedup_minhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit("minhash").alias("modality")
     )
+    # 31-bit simhash leg (see docstring): majority vote over all of
+    # charfold's bits, 2-chunk pigeonhole candidates, hamming <= 1 verify
+    sh31 = _shingles_df(spark, sf_dir).withColumn("h", charfold(F.col("sh")))
+    bal = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << k))) != 0, 1).otherwise(-1)
+        ).alias(f"bal{k}")
+        for k in range(31)
+    ]
+    agg31 = sh31.groupBy("doc_id").agg(*bal)
+    sim31 = None
+    for k in range(31):
+        term = F.when(F.col(f"bal{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim31 = term if sim31 is None else sim31 + term
+    sig31 = agg31.select("doc_id", sim31.cast("bigint").alias("s"))
+    ks2 = spark.range(2).select(F.col("id").cast("int").alias("k"))
+    chunks = sig31.crossJoin(F.broadcast(ks2)).select(
+        "doc_id", "s", "k",
+        F.expr("CAST(shiftright(s, 16 * k) & 65535 AS BIGINT)").alias("val"),
+    )
+    ca = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "k", "val"
+    )
+    cb = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), "k", "val"
+    )
+    scand = (
+        ca.join(cb, on=["k", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sa", "doc_b", "sb")
+        .distinct()
+    )
     ps = (
-        dedup_simhash_pairs(spark, sf_dir)
-        .filter(F.col("hamming") <= 1)
+        scand.filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 1)
         .select("doc_a", "doc_b", F.lit("simhash").alias("modality"))
     )
     edges = pm.unionByName(ps).localCheckpoint(eager=True)
