@@ -3218,6 +3218,90 @@ def kg_triangles(spark, sf_dir):
     )
 
 
+@register(
+    "kg_link_prediction",
+    _SQL_EDGES
+    + """
+    , und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst),
+    nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+    dg AS (SELECT v, COUNT(*) AS deg FROM nbr GROUP BY v),
+    cn AS (
+      SELECT x.v AS src, y.v AS dst, COUNT(*) AS common
+      FROM nbr x JOIN nbr y ON x.u = y.u AND x.v < y.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT c.* FROM cn c
+      ANTI JOIN und e ON c.src = e.a AND c.dst = e.b),
+    scored AS (
+      SELECT c.src, c.dst, c.common,
+             c.common / (da.deg + db.deg - c.common + 1e-12) AS jac
+      FROM cand c
+      JOIN dg da ON c.src = da.v
+      JOIN dg db ON c.dst = db.v)
+    SELECT src, dst, CAST(common AS BIGINT) AS common_neighbors,
+           ROUND(jac, 4) AS jaccard
+    FROM scored
+    ORDER BY ROUND(jac, 6) DESC, src, dst LIMIT 20
+    """,
+)
+def kg_link_prediction(spark, sf_dir):
+    """LINK PREDICTION by neighborhood overlap — the classic KG-completion
+    heuristic (Liben-Nowell/Kleinberg) and the third leg of the
+    KG→training bridge (kg_negative_samples gives negatives,
+    kg_edge_split the split, this gives heuristic candidate positives /
+    hard negatives): for every NON-edge pair sharing >= 1 neighbor,
+    score = Jaccard of the two neighborhoods; top-20 emitted with
+    deterministic tie-breaks.  Distributed shape: candidates come from
+    the wedge join on the shared neighbor (never all-pairs — pairs with
+    zero common neighbors never materialize), existing edges leave via a
+    broadcast-able anti-join, degrees are a tiny dim, and the global
+    top-20 compiles to TakeOrderedAndProject (no single-partition
+    sort).  Hub wedge fan-out is the same skew the degree-ordered
+    triangle count bounds; at 100 TB you'd orient the wedge join the
+    same way (and/or cap per-vertex neighbor lists, observable)."""
+    e = kg_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    ).localCheckpoint(eager=True)
+    dg = nbr.groupBy("v").agg(F.count("*").alias("deg"))
+    cn = (
+        nbr.alias("x")
+        .join(nbr.alias("y"),
+              (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")))
+        .groupBy(F.col("x.v").alias("src"), F.col("y.v").alias("dst"))
+        .agg(F.count("*").alias("common"))
+    )
+    cand = cn.join(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        on=["src", "dst"], how="left_anti",
+    )
+    scored = (
+        cand.join(F.broadcast(dg.withColumnRenamed("v", "src")
+                  .withColumnRenamed("deg", "da")), on="src")
+        .join(F.broadcast(dg.withColumnRenamed("v", "dst")
+              .withColumnRenamed("deg", "db")), on="dst")
+        .withColumn(
+            "jac",
+            F.col("common")
+            / (F.col("da") + F.col("db") - F.col("common") + F.lit(1e-12)),
+        )
+    )
+    return (
+        scored.orderBy(F.desc(F.round("jac", 6)), "src", "dst")
+        .limit(20)
+        .select(
+            "src", "dst",
+            F.col("common").cast("bigint").alias("common_neighbors"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+    )
+
+
 def _sql_lpa_round(prev: str, out: str) -> str:
     """One synchronous label-propagation round: each vertex adopts its
     neighbors' most frequent label, ties to the smallest label."""
@@ -3853,6 +3937,7 @@ EXTRA_NAMES = [
     "q_sessionize",
     "q_distinct_kmv",
     "text_bm25_topk",
+    "kg_link_prediction",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
