@@ -2782,6 +2782,132 @@ def ann_pq_recall(spark, sf_dir):
     )
 
 
+_SQL_RP_LSH = f"""
+    {_SQL_PLANTED_E},
+    pl AS (SELECT unnest(generate_series(0, 7)) AS p),
+    dots AS (
+      SELECT e.vec_id, pl.p,
+             list_aggregate(list_transform(generate_series(1, {PLANTED_DIM}),
+               i -> e.v[i] * (CASE WHEN ((pl.p * 131 + (i - 1) * 89) % 23) % 2 = 0
+                                   THEN 1 ELSE -1 END)), 'sum') AS dot
+      FROM e, pl),
+    bk AS (SELECT vec_id,
+                  CAST(SUM(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+                    AS bucket
+           FROM dots GROUP BY vec_id),
+    qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+    probes AS (SELECT bucket FROM qb
+               UNION SELECT xor(qb.bucket, 1 << pl.p) FROM qb, pl),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (SELECT b.vec_id, b.bucket FROM bk b JOIN probes p ON b.bucket = p.bucket
+             WHERE b.vec_id <> 0),
+    ranked AS (SELECT c.vec_id, c.bucket,
+                      ROW_NUMBER() OVER (
+                        ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                 c.vec_id) AS rnk
+               FROM cand c JOIN e ON c.vec_id = e.vec_id, q),
+    multi AS (SELECT vec_id FROM ranked WHERE rnk <= 10),
+    one AS (SELECT vec_id FROM (
+      SELECT r.vec_id, ROW_NUMBER() OVER (ORDER BY r.rnk) AS rn
+      FROM ranked r JOIN bk ON r.vec_id = bk.vec_id, qb
+      WHERE bk.bucket = qb.bucket) WHERE rn <= 10),
+    exact AS (SELECT vec_id FROM (
+      SELECT e.vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+                                e.vec_id) AS rnk
+      FROM e, q WHERE e.vec_id <> 0) WHERE rnk <= 10)
+    SELECT CAST(10 AS BIGINT) AS k,
+           ROUND((SELECT COUNT(*) FROM exact JOIN one USING (vec_id)) / 10.0, 4)
+             AS recall_1probe,
+           ROUND((SELECT COUNT(*) FROM exact JOIN multi USING (vec_id)) / 10.0, 4)
+             AS recall_multiprobe,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates
+"""
+
+
+@register("ann_rp_lsh_recall", _SQL_RP_LSH)
+def ann_rp_lsh_recall(spark, sf_dir):
+    """RANDOM-PROJECTION LSH with multiprobe, recall-measured — the real
+    hyperplane LSH (8 seeded ±1 planes over the full vector, not the
+    first-coordinates surrogate of sign_bucket): bucket = sign bits of
+    the 8 plane dot products; the query probes its own bucket PLUS the 8
+    hamming-1 buckets.  Multiprobe is the production technique precisely
+    because near-boundary vectors flip individual plane signs — the
+    query reports 1-probe vs multiprobe recall side by side (the gap IS
+    the boundary-flip mass) and the candidate count (the scanned
+    fraction: 9 of 256 buckets).  All plane math is engine-identical
+    integer arithmetic; dot products fold in array order on both
+    engines, so even the sign of a near-zero dot agrees bit-for-bit."""
+    from .functions.similarity import cosine_fold
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", planted_embedding_col().alias("v")
+    ).localCheckpoint(eager=True)
+
+    def plane_bit(p: int) -> F.Column:
+        dot = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(PLANTED_DIM)),
+                lambda i: F.element_at(F.col("v"), i)
+                * F.when(
+                    ((F.lit(p) * 131 + (i - 1) * 89) % 23) % 2 == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    bucket = sum([plane_bit(p) for p in range(1, 8)], plane_bit(0))
+    bk = e.select("vec_id", bucket.cast("bigint").alias("bucket")).localCheckpoint(
+        eager=True
+    )
+    qb = bk.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
+    probes = qb.select(F.col("qbucket").alias("bucket")).unionByName(
+        qb.crossJoin(
+            e.sparkSession.range(8).select(F.col("id").cast("int").alias("p"))
+        ).select(
+            F.col("qbucket").bitwiseXOR(
+                F.expr("CAST(shiftleft(1, p) AS BIGINT)")
+            ).alias("bucket")
+        )
+    ).distinct()
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cand = (
+        bk.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), on="bucket")
+        .join(e, on="vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", "bucket",
+            F.round(cosine_fold(F.col("v"), F.col("qv")), 6).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy(F.desc("c"), "vec_id")
+    ranked = cand.withColumn("rnk", F.row_number().over(w))
+    multi = ranked.filter(F.col("rnk") <= 10).select("vec_id")
+    one = (
+        ranked.join(F.broadcast(qb), ranked.bucket == F.col("qbucket"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("rnk")))
+        .filter(F.col("rn") <= 10).select("vec_id")
+    )
+    exact = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(cosine_fold(F.col("v"), F.col("qv")), 6).alias("c"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10).select("vec_id")
+    )
+    n_one = exact.join(one, on="vec_id", how="left_semi").count()
+    n_multi = exact.join(multi, on="vec_id", how="left_semi").count()
+    n_cand = cand.count()
+    return e.sparkSession.createDataFrame(
+        [(10, round(n_one / 10.0, 4), round(n_multi / 10.0, 4), n_cand)],
+        "k bigint, recall_1probe double, recall_multiprobe double, n_candidates bigint",
+    )
+
+
 @register(
     "text_bm25_topk",
     f"""
@@ -3938,6 +4064,7 @@ EXTRA_NAMES = [
     "q_distinct_kmv",
     "text_bm25_topk",
     "kg_link_prediction",
+    "ann_rp_lsh_recall",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

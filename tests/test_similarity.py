@@ -146,6 +146,20 @@ def test_pq_recall_and_code_shape(spark, emb):
     assert all(len(r2.cv) == PLANTED_DIM // 4 for r2 in rows)
 
 
+def test_rp_lsh_multiprobe_beats_single_probe(spark):
+    """Real hyperplane LSH: multiprobe (own bucket + hamming-1) must
+    recover most of the exact top-10 while scanning a small candidate
+    fraction, and clearly beat single-probe — the boundary-flip gap is
+    the whole reason multiprobe exists."""
+    from kgforge.queries import ann_rp_lsh_recall
+
+    r = ann_rp_lsh_recall(spark, SF).first()
+    assert r.k == 10
+    assert r.recall_multiprobe >= 0.7
+    assert r.recall_multiprobe > r.recall_1probe
+    assert r.n_candidates < 250  # scanned well under half the corpus
+
+
 def test_quality_filter_accounting(spark):
     """Every doc gets exactly one reason; drop_stats partitions the corpus."""
     from kgforge.functions.quality import drop_stats, quality_flags
