@@ -3576,6 +3576,97 @@ _SQL_PAGERANK = _SQL_EDGES + """
     SELECT v, ROUND(pr, 8) AS pr FROM final
 """
 
+def _sql_ppr_round(prev: str, c: str, dang: str, out: str) -> str:
+    """One personalized-PageRank power round: teleport AND dangling mass
+    return to the seed vertex instead of spreading uniformly."""
+    return f"""
+    {dang} AS (SELECT COALESCE(SUM(p.pr), 0) AS dang FROM {prev} p
+      LEFT JOIN od ON p.v = od.src WHERE od.src IS NULL),
+    {c} AS (SELECT de.dst AS v, SUM(p.pr / od.deg) AS s
+      FROM de JOIN {prev} p ON de.src = p.v JOIN od ON de.src = od.src
+      GROUP BY de.dst),
+    {out} AS (
+      SELECT verts.v,
+             0.15 * (CASE WHEN verts.v = seed.sv THEN 1 ELSE 0 END)
+             + 0.85 * (COALESCE({c}.s, 0)
+                       + {dang}.dang
+                         * (CASE WHEN verts.v = seed.sv THEN 1 ELSE 0 END)) AS pr
+      FROM verts CROSS JOIN seed CROSS JOIN {dang}
+      LEFT JOIN {c} ON verts.v = {c}.v)"""
+
+
+_SQL_PPR = _SQL_EDGES + f"""
+    , de AS (SELECT DISTINCT src, dst FROM edges),
+    verts AS (SELECT src AS v FROM de UNION SELECT dst FROM de),
+    od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM de GROUP BY src),
+    alldeg AS (SELECT v, COUNT(*) AS d FROM (
+      SELECT src AS v FROM de UNION ALL SELECT dst FROM de) GROUP BY v),
+    seed AS (SELECT v AS sv FROM alldeg ORDER BY d DESC, v LIMIT 1),
+    pr0 AS (SELECT verts.v,
+                   CASE WHEN verts.v = seed.sv THEN 1.0 ELSE 0.0 END AS pr
+            FROM verts, seed),
+    {_sql_ppr_round('pr0', 'c1', 'dang1', 'pr1')},
+    {_sql_ppr_round('pr1', 'c2', 'dang2', 'pr2')},
+    {_sql_ppr_round('pr2', 'c3', 'dang3', 'pr3')}
+    SELECT v, ROUND(pr, 8) AS ppr FROM pr3
+"""
+
+
+@register("kg_ppr", _SQL_PPR)
+def kg_ppr(spark, sf_dir):
+    """PERSONALIZED PageRank from the top-degree hub (3 power rounds,
+    d=0.85): the restart vector is concentrated at the seed, and
+    dangling mass returns to it — so scores measure proximity TO THE
+    SEED, the KG-recommendation / related-entity primitive (global
+    PageRank measures importance; PPR measures relevance).  Seed choice
+    is deterministic (max total degree, ties to smallest id).  Same
+    per-round shape as kg_pagerank: one contribution shuffle on the edge
+    key + a tiny dangling aggregate; oracle unrolls the identical three
+    rounds."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    de = e.select("src", "dst").distinct().localCheckpoint(eager=True)
+    verts = (
+        de.select(F.col("src").alias("v"))
+        .unionByName(de.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    od = de.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    alldeg = (
+        de.select(F.col("src").alias("v"))
+        .unionByName(de.select(F.col("dst").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("d"))
+    )
+    seed = alldeg.orderBy(F.desc("d"), "v").limit(1).collect()[0].v
+    is_seed = (F.col("v") == seed).cast("double")
+    pr = verts.withColumn("pr", is_seed)
+    for _ in range(3):
+        dangling = (
+            pr.join(od, pr.v == od.src, "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            de.join(pr.withColumnRenamed("v", "src"), on="src")
+            .join(od, on="src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        pr = (
+            verts.join(contrib, on="v", how="left")
+            .select(
+                "v",
+                (
+                    F.lit(0.15) * is_seed
+                    + F.lit(0.85)
+                    * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling) * is_seed)
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("v", F.round("pr", 8).alias("ppr"))
+
+
 @register("kg_pagerank", _SQL_PAGERANK)
 def kg_pagerank(spark, sf_dir):
     """PageRank over the materialized KG (3 power iterations, d=0.85,
@@ -4065,6 +4156,7 @@ EXTRA_NAMES = [
     "text_bm25_topk",
     "kg_link_prediction",
     "ann_rp_lsh_recall",
+    "kg_ppr",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
