@@ -2909,6 +2909,53 @@ def ann_rp_lsh_recall(spark, sf_dir):
 
 
 @register(
+    "sample_weighted_reservoir",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS wt,
+             ({sql_charfold("md5(CAST(doc_id AS VARCHAR) || ':wres')")} + 1.0)
+               / ({MOD} + 1.0) AS u
+      FROM documents),
+    keyed AS (SELECT doc_id, wt, ln(u) / wt AS k FROM w WHERE wt > 0)
+    SELECT doc_id, CAST(wt AS BIGINT) AS n_tokens, ROUND(k, 8) AS priority
+    FROM keyed ORDER BY ROUND(k, 6) DESC, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """WEIGHTED sampling without replacement — the A-Res / priority-
+    sampling reservoir (Efraimidis-Spirakis): every document gets key
+    u^(1/w) (computed as ln(u)/w, same argmax order, no overflow) with
+    u a DETERMINISTIC hash-uniform in (0,1); the global top-k by key IS
+    an exact weighted sample without replacement.  This is how a
+    training pipeline takes a quality- or length-weighted corpus
+    subsample distributively: keys are row-local expressions, the top-k
+    compiles to TakeOrderedAndProject (no global sort, no driver state),
+    and the deterministic u makes the SAMPLE ITSELF oracle-checkable
+    and identical across reruns/partitionings — seeded sampling as a
+    first-class, testable operator rather than rand().  Weight here =
+    token count (longer docs proportionally likelier)."""
+    d = _t(spark, sf_dir, "documents")
+    wt = F.size(F.split("text", " ")).cast("double")
+    u = (
+        charfold(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wres"))))
+        + 1.0
+    ) / F.lit(float(MOD) + 1.0)
+    keyed = d.select(
+        "doc_id", wt.alias("wt"), (F.log(u) / wt).alias("k")
+    ).filter(F.col("wt") > 0)
+    return (
+        keyed.orderBy(F.desc(F.round("k", 6)), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("n_tokens"),
+            F.round("k", 8).alias("priority"),
+        )
+    )
+
+
+@register(
     "text_bm25_topk",
     f"""
     WITH {SQL_TOK},
@@ -4157,6 +4204,7 @@ EXTRA_NAMES = [
     "kg_link_prediction",
     "ann_rp_lsh_recall",
     "kg_ppr",
+    "sample_weighted_reservoir",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
