@@ -880,6 +880,82 @@ def q_distinct_kmv(spark, sf_dir):
 
 
 @register(
+    "q_rolling_active_users",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau7
+    FROM days d JOIN du u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_rolling_active_users(spark, sf_dir):
+    """Trailing 7-day distinct active users per day — the sliding-window
+    temporal rollup (tumbling is q_daily_active).  Expressed as a
+    bounded RANGE join of day-level distinct pairs (each (day, user)
+    lands in <= 7 output days), which Spark executes as an equi-join
+    after the day-delta explode would — here the day dimension is tiny,
+    so the days side broadcasts and the distinct-count shuffles once per
+    output day.  At 100 TB the day-level pre-distinct is the operative
+    reduction: the window never touches raw events."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct().localCheckpoint(eager=True)
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    j = du.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+    )
+    return j.groupBy(F.col("d").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").alias("mau7")
+    )
+
+
+@register(
+    "q_rollup_revenue",
+    """
+    SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), 'ALL') AS priority,
+           COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL')
+             AS order_year,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, EXTRACT(year FROM o_orderdate))
+    """,
+)
+def q_rollup_revenue(spark, sf_dir):
+    """Multi-granularity OLAP rollup: revenue by (priority, year), by
+    priority, and grand total in ONE pass — Spark's rollup() compiles to
+    a single Expand + aggregate (each input row expands to its grouping
+    sets; map-side combine still applies), not three scans.  NULL group
+    keys are labeled 'ALL' on both engines so the subtotal rows compare
+    exactly; money in integer cents as everywhere."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("p"),
+        F.year("o_orderdate").cast("string").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        base.rollup("p", "y")
+        .agg(
+            F.sum("cents").alias("revenue_c"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("p", F.lit("ALL")).alias("priority"),
+            F.coalesce("y", F.lit("ALL")).alias("order_year"),
+            "revenue_c", "n_orders",
+        )
+    )
+
+
+@register(
     "q_mktsegment_share",
     """
     SELECT c_mktsegment,
@@ -4205,6 +4281,8 @@ EXTRA_NAMES = [
     "ann_rp_lsh_recall",
     "kg_ppr",
     "sample_weighted_reservoir",
+    "q_rolling_active_users",
+    "q_rollup_revenue",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
