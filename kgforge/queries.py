@@ -916,6 +916,118 @@ def q_rolling_active_users(spark, sf_dir):
 
 
 @register(
+    "q_asof_prior_view",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'view' THEN ts END AS view_ts
+      FROM events WHERE event_type IN ('click', 'view')),
+    filled AS (
+      SELECT user_id, event_id, ts,
+             LAST_VALUE(view_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS prev_view_ts,
+             view_ts
+      FROM tagged)
+    SELECT user_id, event_id,
+           CAST((epoch_us(ts) - epoch_us(prev_view_ts)) // 1000000 AS BIGINT)
+             AS gap_s
+    FROM filled
+    WHERE view_ts IS NULL AND prev_view_ts IS NOT NULL
+    """,
+)
+def q_asof_prior_view(spark, sf_dir):
+    """AS-OF JOIN — for every click, the user's most recent view AT OR
+    BEFORE it — in the formulation that scales: union-tag both sides,
+    ONE window per user carrying the last non-null view timestamp
+    forward (last_value IGNORE NULLS, rows unbounded preceding).  A
+    naive as-of as an inequality join explodes to clicks x prior-views
+    per user before aggregation; the tagged-window form is one shuffle
+    on user_id and linear in events — the standard trick for temporal
+    alignment (market data, attribution, feature as-of lookup).
+    Clicks with no prior view drop out (inner as-of); gap reported in
+    whole seconds via integer-µs arithmetic for engine parity."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    tagged = e.select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn(
+        "prev_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    clicks = filled.filter(
+        F.col("view_ts").isNull() & F.col("prev_view_ts").isNotNull()
+    )
+    return clicks.select(
+        "user_id", "event_id",
+        ((us(F.col("ts")) - us(F.col("prev_view_ts"))) / F.lit(1_000_000))
+        .cast("bigint").alias("gap_s"),
+    )
+
+
+@register(
+    "q_event_quantiles",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                          THEN value END), 4) AS p50,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                          THEN value END), 4) AS p90,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                          THEN value END), 4) AS p99,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM r GROUP BY event_type
+    """,
+)
+def q_event_quantiles(spark, sf_dir):
+    """EXACT distributed quantiles (percentile_disc semantics: the value
+    at rank ceil(q*n), deterministic tie-break by event_id) per event
+    type — chosen over percentile_approx/approx_quantile because their
+    sketches differ across engines, while the rank formulation is
+    bit-identical and still one shuffle: the rank window parallelizes
+    across groups.  For ONE giant group the same formula runs on the
+    two-pass global rank (functions/ranks.global_row_number) instead of
+    a single-partition window — the documented scale path."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+
+    def at(q: float) -> F.Column:
+        return F.round(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                    F.col("value"),
+                )
+            ),
+            4,
+        )
+
+    return r.groupBy("event_type").agg(
+        at(0.50).alias("p50"),
+        at(0.90).alias("p90"),
+        at(0.99).alias("p99"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
     "q_rollup_revenue",
     """
     SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), 'ALL') AS priority,
@@ -4283,6 +4395,8 @@ EXTRA_NAMES = [
     "sample_weighted_reservoir",
     "q_rolling_active_users",
     "q_rollup_revenue",
+    "q_asof_prior_view",
+    "q_event_quantiles",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
