@@ -3213,6 +3213,115 @@ def text_bm25_topk(spark, sf_dir):
     )
 
 
+BM25_QUERY_TERMS = ("spark", "model", "graph")
+
+
+@register(
+    "text_bm25_search",
+    f"""
+    WITH {SQL_TOK},
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    q AS (SELECT unnest(['spark', 'model', 'graph']) AS tok),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score,
+             COUNT(*) AS n_matched
+      FROM tf t
+      JOIN q ON t.tok = q.tok
+      JOIN df d ON t.tok = d.tok
+      JOIN dl l ON t.doc_id = l.doc_id, stats s
+      GROUP BY t.doc_id)
+    SELECT doc_id, ROUND(score, 4) AS bm25,
+           CAST(n_matched AS BIGINT) AS n_matched
+    FROM scored ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """The SEARCH side of BM25 (text_bm25_topk builds the index side):
+    score every document against a fixed keyword query by summed
+    per-term BM25, return the top-10 — keyword retrieval over the corpus
+    as one declarative plan.  The query-term dim is a 3-row broadcast,
+    so only posting rows for the query's terms ever leave the tf table
+    (semi-join shape — the inverted-index access path without building
+    one), and the global top-10 is TakeOrderedAndProject."""
+    t = _doc_tokens(spark, sf_dir)
+    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    q = spark.createDataFrame([(w,) for w in BM25_QUERY_TERMS], "tok string")
+    scored = (
+        tf.join(F.broadcast(q), on="tok")
+        .join(F.broadcast(df), on="tok")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"), F.count("*").alias("n_matched"))
+    )
+    return (
+        scored.orderBy(F.desc(F.round("score", 6)), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id", F.round("score", 4).alias("bm25"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+        )
+    )
+
+
+@register(
+    "q_value_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, AVG(value) AS mu,
+             sqrt(AVG(value * value) - AVG(value) * AVG(value)) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - m.mu) / m.sd, 4) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    ORDER BY ROUND(abs((e.value - m.mu) / m.sd), 6) DESC, e.event_id
+    LIMIT 10
+    """,
+)
+def q_value_outliers(spark, sf_dir):
+    """Z-score outlier detection per event type — the monitoring-side
+    anomaly primitive: per-type mean/std from ONE pass of sum moments
+    (written as avg(x), avg(x^2) explicitly so both engines walk the
+    same float path, rather than engine-specific streaming-variance
+    algorithms), broadcast back, top-10 by |z|.  At scale: the moment
+    agg map-side combines; the stats dim is event-type-sized."""
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("value") * F.col("value"))
+            - F.avg("value") * F.avg("value")
+        ).alias("sd"),
+    )
+    z = e.join(F.broadcast(m), on="event_type").withColumn(
+        "z", (F.col("value") - F.col("mu")) / F.col("sd")
+    )
+    return (
+        z.orderBy(F.desc(F.round(F.abs("z"), 6)), "event_id")
+        .limit(10)
+        .select("event_id", "event_type", F.round("z", 4).alias("z"))
+    )
+
+
 @register(
     "ann_sq8_recall",
     """
@@ -4397,6 +4506,8 @@ EXTRA_NAMES = [
     "q_rollup_revenue",
     "q_asof_prior_view",
     "q_event_quantiles",
+    "text_bm25_search",
+    "q_value_outliers",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
