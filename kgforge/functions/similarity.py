@@ -168,20 +168,31 @@ def near_dup_pairs_explode(
     )
 
 
-def sq8_reconstruct(vec_col) -> F.Column:
+def sq8_scale(vec_col) -> F.Column:
+    """Per-vector SQ8 scale: max|x| / 127 (floored at 1e-12)."""
+    return F.greatest(
+        F.array_max(F.transform(vec_col, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+
+
+def sq8_reconstruct(vec_col, scale_col=None) -> F.Column:
     """Scalar-quantize an array<double> to int8 codes and reconstruct:
     per-vector scale s = max|x| / 127, code = floor(x/s + 0.5) (explicit
     half-up — engine-identical, unlike round()'s half-even ties),
     reconstructed value = code * s.
 
+    Pass ``scale_col`` (a column already holding sq8_scale(vec)) to keep
+    encode/decode O(d): Spark does NOT common-subexpression-eliminate
+    across higher-order-function lambda bodies, so a scale expression
+    referenced inside the element lambda re-runs its O(d) fold PER
+    ELEMENT — O(d^2) per vector, ruinous at real embedding widths.
+
     This is the faiss-SQ8 storage path for 100 TB embedding tables: 8x
     smaller than float64 (4x vs float32) with ~1e-3 cosine error, and the
     whole encode/decode is row-local JVM expressions — the recall cost is
     measured by the ann_sq8_recall query rather than assumed."""
-    s = F.greatest(
-        F.array_max(F.transform(vec_col, lambda x: F.abs(x))) / F.lit(127.0),
-        F.lit(1e-12),
-    )
+    s = scale_col if scale_col is not None else sq8_scale(vec_col)
     return F.transform(vec_col, lambda x: F.floor(x / s + F.lit(0.5)) * s)
 
 

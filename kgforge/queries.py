@@ -219,8 +219,15 @@ shingle AS (SELECT DISTINCT doc_id, sh FROM sh3)
 MINHASH_AB = [(1103515245, 12345), (1140671485, 12820163), (214013, 2531011), (16807, 0)]
 
 
-def _minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir).withColumn("h", charfold(F.col("sh")))
+def _minhash_df(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
+    """``sh`` lets a caller that already materialized the shingle table
+    (e.g. dedup_fuse_modalities, which feeds two modalities from one
+    corpus pass) reuse it instead of re-deriving shingles from text."""
+    if sh is None:
+        sh = _shingles_df(spark, sf_dir)
+    sh = sh.withColumn("h", charfold(F.col("sh")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -1244,18 +1251,23 @@ def dedup_minhash_sig(spark, sf_dir):
           / (na.n + nb.n - COALESCE(s.shared, 0) + 1e-12) >= 0.5
     """,
 )
-def dedup_minhash_pairs(spark, sf_dir):
+def dedup_minhash_pairs(spark, sf_dir, _sh=None):
     """MinHash-LSH near-dup detection: banded candidate join + exact
     Jaccard verification (the full LSH cascade of link/canonical.py).
     Band buckets larger than MAX_BUCKET (64, as in link/canonical.py) are
     excluded from pairing — a degenerate signature shared by d docs would
     contribute d^2/2 candidates (r1 VERDICT symmetry nit); the cap is
     mirrored in the oracle and its drops are observable via
-    lsh_bucket_stats on the production path."""
+    lsh_bucket_stats on the production path.  ``_sh`` lets
+    dedup_fuse_modalities pass its already-checkpointed shingle table so
+    the corpus is tokenized once across modalities."""
     # sig feeds the band join, sh feeds two inverted-index joins + counts:
     # checkpoint once instead of recomputing the shingle expressions 5x
-    sig = _minhash_df(spark, sf_dir).localCheckpoint(eager=True)
-    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    sh = (
+        _sh if _sh is not None
+        else _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    )
+    sig = _minhash_df(spark, sf_dir, sh=sh).localCheckpoint(eager=True)
 
     # ONE banded self-join (r3 VERDICT #6): signatures explode to
     # (band, k0, k1) rows — band 1 = (s0,s1), band 2 = (s2,s3) — so hot-
@@ -2580,12 +2592,14 @@ def dedup_fuse_modalities(spark, sf_dir):
     transitive closure + string_agg attribution."""
     from .link.cc import connected_components
 
-    pm = dedup_minhash_pairs(spark, sf_dir).select(
+    # ONE corpus tokenize/shingle pass feeds both modalities
+    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+    pm = dedup_minhash_pairs(spark, sf_dir, _sh=sh).select(
         "doc_a", "doc_b", F.lit("minhash").alias("modality")
     )
     # 31-bit simhash leg (see docstring): majority vote over all of
     # charfold's bits, 2-chunk pigeonhole candidates, hamming <= 1 verify
-    sh31 = _shingles_df(spark, sf_dir).withColumn("h", charfold(F.col("sh")))
+    sh31 = sh.withColumn("h", charfold(F.col("sh")))
     bal = [
         F.sum(
             F.when((F.col("h").bitwiseAND(F.lit(1 << k))) != 0, 1).otherwise(-1)
@@ -3143,19 +3157,52 @@ def sample_weighted_reservoir(spark, sf_dir):
     )
 
 
-@register(
-    "text_bm25_topk",
-    f"""
+BM25_QUERY_TERMS = ("spark", "model", "graph")
+
+# shared BM25 machinery (k1=1.2, b=0.75): ONE definition each of the
+# corpus-statistics CTEs / DataFrames and the scoring expression, used by
+# both the index side (text_bm25_topk) and the search side
+# (text_bm25_search) — a parameter tweak cannot desynchronize them.
+_SQL_BM25_BASE = f"""
     WITH {SQL_TOK},
     tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
     stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    scored AS (
-      SELECT t.doc_id, t.tok,
-             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-             * (t.tf * 2.2)
-             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS score
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)"""
+# aliases: t = tf row, d = df row, l = dl row, s = stats row
+_SQL_BM25_SCORE = (
+    "ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2)"
+    " / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))"
+)
+
+
+def _bm25_base(spark, sf_dir):
+    """(tf [checkpointed], dl, stats, df) — the corpus statistics both
+    BM25 queries join against."""
+    t = _doc_tokens(spark, sf_dir)
+    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=True)  # feeds df + scoring
+    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    return tf, dl, stats, df
+
+
+def _bm25_score_col() -> F.Column:
+    """BM25 term score from joined columns (tf, df, dl, n_docs, avgdl)."""
+    return (
+        F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+
+
+@register(
+    "text_bm25_topk",
+    _SQL_BM25_BASE
+    + f"""
+    , scored AS (
+      SELECT t.doc_id, t.tok, {_SQL_BM25_SCORE} AS score
       FROM tf t
       JOIN df d ON t.tok = d.tok
       JOIN dl l ON t.doc_id = l.doc_id, stats s)
@@ -3175,30 +3222,12 @@ def text_bm25_topk(spark, sf_dir):
     groupBys; document frequency and the (n_docs, avgdl) scalar are
     tiny broadcast dims; the per-document top-5 compiles to
     WindowGroupLimit (rank pushdown), not a full per-partition sort."""
-    t = _doc_tokens(spark, sf_dir)
-    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    tf = tf.localCheckpoint(eager=True)  # feeds df + scoring
-    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    tf, dl, stats, df = _bm25_base(spark, sf_dir)
     scored = (
         tf.join(F.broadcast(df), on="tok")
         .join(dl, on="doc_id")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "score",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * (F.col("tf") * 2.2)
-            / (
-                F.col("tf")
-                + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-            ),
-        )
+        .withColumn("score", _bm25_score_col())
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc(F.round("score", 6)), "tok"
@@ -3213,23 +3242,14 @@ def text_bm25_topk(spark, sf_dir):
     )
 
 
-BM25_QUERY_TERMS = ("spark", "model", "graph")
-
-
 @register(
     "text_bm25_search",
-    f"""
-    WITH {SQL_TOK},
-    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-    q AS (SELECT unnest(['spark', 'model', 'graph']) AS tok),
+    _SQL_BM25_BASE
+    + f"""
+    , q AS (SELECT unnest(['spark', 'model', 'graph']) AS tok),
     scored AS (
       SELECT t.doc_id,
-             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-                 * (t.tf * 2.2)
-                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score,
+             SUM({_SQL_BM25_SCORE}) AS score,
              COUNT(*) AS n_matched
       FROM tf t
       JOIN q ON t.tok = q.tok
@@ -3249,27 +3269,14 @@ def text_bm25_search(spark, sf_dir):
     so only posting rows for the query's terms ever leave the tf table
     (semi-join shape — the inverted-index access path without building
     one), and the global top-10 is TakeOrderedAndProject."""
-    t = _doc_tokens(spark, sf_dir)
-    tf = t.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    tf = tf.localCheckpoint(eager=True)
-    dl = t.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    tf, dl, stats, df = _bm25_base(spark, sf_dir)
     q = spark.createDataFrame([(w,) for w in BM25_QUERY_TERMS], "tok string")
     scored = (
         tf.join(F.broadcast(q), on="tok")
         .join(F.broadcast(df), on="tok")
         .join(dl, on="doc_id")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "s",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * (F.col("tf") * 2.2)
-            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
-        )
+        .withColumn("s", _bm25_score_col())
         .groupBy("doc_id")
         .agg(F.sum("s").alias("score"), F.count("*").alias("n_matched"))
     )
@@ -3288,11 +3295,12 @@ def text_bm25_search(spark, sf_dir):
     """
     WITH m AS (
       SELECT event_type, AVG(value) AS mu,
-             sqrt(AVG(value * value) - AVG(value) * AVG(value)) AS sd
+             sqrt(greatest(AVG(value * value) - AVG(value) * AVG(value), 0))
+               AS sd
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
            ROUND((e.value - m.mu) / m.sd, 4) AS z
-    FROM events e JOIN m ON e.event_type = m.event_type
+    FROM events e JOIN m ON e.event_type = m.event_type AND m.sd > 0
     ORDER BY ROUND(abs((e.value - m.mu) / m.sd), 6) DESC, e.event_id
     LIMIT 10
     """,
@@ -3305,13 +3313,21 @@ def q_value_outliers(spark, sf_dir):
     algorithms), broadcast back, top-10 by |z|.  At scale: the moment
     agg map-side combines; the stats dim is event-type-sized."""
     e = _t(spark, sf_dir, "events")
+    # clamp the moment difference at 0: float cancellation on large-mean
+    # data can make avg(v^2) - avg(v)^2 slightly NEGATIVE, which DuckDB's
+    # sqrt hard-errors on and Spark turns into NaN (engine divergence);
+    # constant-valued types (sd = 0) are excluded rather than dividing
+    # by zero into NULL/NaN
     m = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
         F.sqrt(
-            F.avg(F.col("value") * F.col("value"))
-            - F.avg("value") * F.avg("value")
+            F.greatest(
+                F.avg(F.col("value") * F.col("value"))
+                - F.avg("value") * F.avg("value"),
+                F.lit(0.0),
+            )
         ).alias("sd"),
-    )
+    ).filter(F.col("sd") > 0)
     z = e.join(F.broadcast(m), on="event_type").withColumn(
         "z", (F.col("value") - F.col("mu")) / F.col("sd")
     )
@@ -3361,12 +3377,18 @@ def ann_sq8_recall(spark, sf_dir):
     row-local fold arithmetic; the quantizer uses explicit half-up
     rounding (floor(x/s + 0.5)) because round()'s half-even tie behavior
     differs across engines."""
-    from .functions.similarity import cosine_fold, sq8_reconstruct
+    from .functions.similarity import cosine_fold, sq8_reconstruct, sq8_scale
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    e = e.withColumn("xh", sq8_reconstruct(F.col("v"))).localCheckpoint(eager=True)
+    # scale materialized as its own column: O(d) encode (see sq8_reconstruct)
+    e = (
+        e.withColumn("s", sq8_scale(F.col("v")))
+        .withColumn("xh", sq8_reconstruct(F.col("v"), F.col("s")))
+        .drop("s")
+        .localCheckpoint(eager=True)
+    )
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("xh").alias("qxh")
     )
@@ -3560,6 +3582,22 @@ _SQL_EDGES = SQL_TRIPLES + """
     )
 """
 
+# undirected distinct projection (a < b) of the canonical graph — ONE
+# definition for every undirected-graph consumer (triangles, LPA,
+# link prediction) on both engines
+_SQL_UND = """
+    , und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst)"""
+
+
+def _und_edges(spark, sf_dir):
+    """Undirected distinct edges (a, b) with a < b, self-loops dropped
+    (the Spark twin of _SQL_UND)."""
+    e = kg_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    return e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
 
 @register(
     "kg_degree_distribution",
@@ -3625,9 +3663,9 @@ def kg_two_hop(spark, sf_dir):
 @register(
     "kg_triangles",
     _SQL_EDGES
+    + _SQL_UND
     + """
-    , und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-              FROM edges WHERE src <> dst),
+    ,
     dg AS (SELECT v, COUNT(*) AS deg FROM (
              SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
     rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY deg, v) AS r FROM dg),
@@ -3654,10 +3692,7 @@ def kg_triangles(spark, sf_dir):
     vertex-count-sized and broadcast."""
     from .functions.ranks import global_row_number
 
-    e = kg_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct().localCheckpoint(eager=True)
+    und = _und_edges(spark, sf_dir).localCheckpoint(eager=True)
     dg = (
         und.select(F.col("a").alias("v"))
         .unionByName(und.select(F.col("b").alias("v")))
@@ -3691,9 +3726,9 @@ def kg_triangles(spark, sf_dir):
 @register(
     "kg_link_prediction",
     _SQL_EDGES
+    + _SQL_UND
     + """
-    , und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-              FROM edges WHERE src <> dst),
+    ,
     nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
     dg AS (SELECT v, COUNT(*) AS deg FROM nbr GROUP BY v),
     cn AS (
@@ -3730,10 +3765,7 @@ def kg_link_prediction(spark, sf_dir):
     sort).  Hub wedge fan-out is the same skew the degree-ordered
     triangle count bounds; at 100 TB you'd orient the wedge join the
     same way (and/or cap per-vertex neighbor lists, observable)."""
-    e = kg_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct().localCheckpoint(eager=True)
+    und = _und_edges(spark, sf_dir).localCheckpoint(eager=True)
     nbr = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
@@ -3787,9 +3819,9 @@ def _sql_lpa_round(prev: str, out: str) -> str:
 @register(
     "kg_communities_lpa",
     _SQL_EDGES
+    + _SQL_UND
     + f"""
-    , und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-              FROM edges WHERE src <> dst),
+    ,
     nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
     l0 AS (SELECT DISTINCT v, v AS label FROM nbr),
     {_sql_lpa_round('l0', 'l1')},
@@ -3811,10 +3843,7 @@ def kg_communities_lpa(spark, sf_dir):
     the neighbor join + one (v, label) count + one min_by per vertex —
     the CC per-round shape; labels are localCheckpointed per round so
     the plan stays linear in rounds."""
-    e = kg_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
-    und = e.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    und = _und_edges(spark, sf_dir)
     nbr = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))

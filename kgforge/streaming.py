@@ -163,7 +163,15 @@ def streaming_first_seen(
                 max_ts = m if max_ts is None or m > max_ts else max_ts
         if ttl_ms is not None and max_ts is not None:
             if max_ts.tzinfo is None:
-                max_ts = max_ts.tz_localize(session_tz)
+                # DST-safe localization: a fall-back hour is ambiguous and
+                # a spring-forward hour nonexistent in local time — bare
+                # tz_localize RAISES for both, killing the stream.  Pick
+                # the DST interpretation / shift forward: deterministic,
+                # and at worst one hour of extra TTL slack twice a year —
+                # fine for a bounded-horizon eviction deadline.
+                max_ts = max_ts.tz_localize(
+                    session_tz, ambiguous=True, nonexistent="shift_forward"
+                )
             state.setTimeoutTimestamp(int(max_ts.timestamp() * 1000) + ttl_ms)
         if emit:
             yield pd.DataFrame([{**dict(zip(keys, key)), "first_seen": True}])

@@ -271,6 +271,56 @@ def test_streaming_first_seen_ttl_bounded_state(spark, tmp_path):
     assert len(a_true) == 2
 
 
+def test_streaming_first_seen_ttl_dst_ambiguous_time(spark, tmp_path):
+    """DST regression: with a daylight-saving session timezone, an event
+    whose timestamp falls in the ambiguous fall-back hour (America/
+    New_York, 2026-11-01 01:30 occurs twice) must not crash the state
+    function — bare tz_localize raises AmbiguousTimeError there.  The
+    stream must drain and still dedup/evict correctly."""
+    import json
+
+    from kgforge.streaming import streaming_first_seen
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    inp.mkdir()
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        def write(rows, name):
+            with open(inp / f"{name}.json", "w") as f:
+                for sha, ts in rows:
+                    f.write(json.dumps(
+                        {"content_sha": sha, "event_time": ts}) + "\n")
+
+        def drain():
+            stream = (
+                spark.readStream
+                .schema("content_sha string, event_time timestamp")
+                .format("json").load(str(inp))
+            )
+            q = (
+                streaming_first_seen(stream, ttl_ms=60_000)
+                .writeStream.format("parquet")
+                .option("path", str(out)).outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination()
+
+        # A lands in the ambiguous repeated hour; duplicate A suppressed
+        write([("A", "2026-11-01T01:30:00"), ("A", "2026-11-01T01:30:00")],
+              "b0")
+        drain()
+        # watermark jumps far past A's deadline -> eviction marker
+        write([("B", "2026-11-01T12:00:00")], "b1")
+        drain()
+        got = {(r.content_sha, r.first_seen)
+               for r in spark.read.parquet(str(out)).collect()}
+        assert got == {("A", True), ("B", True), ("A", False)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_streaming_sessionize_matches_batch_semantics(spark, tmp_path):
     """session_window streaming twin of q_sessionize: same >30-min-gap
     session boundaries as the batch gaps-and-islands formulation.
