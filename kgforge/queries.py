@@ -3157,6 +3157,78 @@ def sample_weighted_reservoir(spark, sf_dir):
     )
 
 
+@register(
+    "text_pmi_bigrams",
+    f"""
+    WITH {SQL_TOK},
+    uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+    bi AS (
+      SELECT t1.tok AS w1, t2.tok AS w2, COUNT(*) AS c
+      FROM tok t1 JOIN tok t2
+        ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      GROUP BY 1, 2),
+    btot AS (SELECT CAST(SUM(c) AS DOUBLE) AS nb FROM bi),
+    scored AS (
+      SELECT b.w1, b.w2, b.c,
+             ln((b.c / bt.nb) / ((u1.c / t.n) * (u2.c / t.n))) AS pmi
+      FROM bi b
+      JOIN uni u1 ON b.w1 = u1.tok
+      JOIN uni u2 ON b.w2 = u2.tok, tot t, btot bt
+      WHERE b.c >= 5)
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_cooc, ROUND(pmi, 4) AS pmi
+    FROM scored ORDER BY ROUND(pmi, 6) DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """Top adjacent-bigram collocations by POINTWISE MUTUAL INFORMATION
+    (count >= 5 support floor — classic PMI is unstable on rare pairs) —
+    the distributional-statistics primitive behind phrase mining /
+    tokenizer-merge candidates (BPE picks by raw count; PMI picks by
+    association strength).  Adjacency keeps the pair space linear in
+    tokens (never all-pairs-in-doc); unigram/total dims broadcast; the
+    global top-20 is TakeOrderedAndProject."""
+    t = _doc_tokens(spark, sf_dir).localCheckpoint(eager=True)
+    uni = t.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    t2 = t.select("doc_id", (F.col("pos") - 1).alias("pos"),
+                  F.col("tok").alias("tok2"))
+    bi = (
+        t.join(t2, on=["doc_id", "pos"])
+        .groupBy(F.col("tok").alias("w1"), F.col("tok2").alias("w2"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 5)
+        .localCheckpoint(eager=True)
+    )
+    # btot over ALL bigrams (support filter applies to candidates only
+    # in the oracle's scored CTE; mirror exactly: btot BEFORE the floor)
+    bi_all = (
+        t.join(t2, on=["doc_id", "pos"])
+        .agg(F.count("*").cast("double").alias("nb"))
+    )
+    scored = (
+        bi.join(F.broadcast(uni.withColumnRenamed("tok", "w1")
+                .withColumnRenamed("c", "c1")), on="w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
+              .withColumnRenamed("c", "c2")), on="w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bi_all))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c") / F.col("nb"))
+                / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.desc(F.round("pmi", 6)), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", F.col("c").cast("bigint").alias("n_cooc"),
+                F.round("pmi", 4).alias("pmi"))
+    )
+
+
 BM25_QUERY_TERMS = ("spark", "model", "graph")
 
 # shared BM25 machinery (k1=1.2, b=0.75): ONE definition each of the
@@ -3657,6 +3729,70 @@ def kg_two_hop(spark, sf_dir):
     return paths.groupBy("pred_ab", "pred_bc").agg(
         F.count("*").alias("n_paths"),
         F.countDistinct("a_src").alias("n_src"),
+    )
+
+
+@register(
+    "kg_clustering_coeff",
+    _SQL_EDGES
+    + _SQL_UND
+    + """
+    ,
+    dg AS (SELECT v, COUNT(*) AS deg FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+    rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY deg, v) AS r FROM dg),
+    od AS (SELECT LEAST(ra.r, rb.r) AS lo, GREATEST(ra.r, rb.r) AS hi
+           FROM und JOIN rk ra ON und.a = ra.v JOIN rk rb ON und.b = rb.v),
+    tri AS (SELECT COUNT(*) AS t FROM od e1
+            JOIN od e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+            JOIN od e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+    wg AS (SELECT SUM(deg * (deg - 1) / 2) AS w FROM dg)
+    SELECT CAST(tri.t AS BIGINT) AS n_triangles,
+           CAST(wg.w AS BIGINT) AS n_wedges,
+           ROUND(3.0 * tri.t / (wg.w + 1e-12), 6) AS global_cc
+    FROM tri, wg
+    """,
+)
+def kg_clustering_coeff(spark, sf_dir):
+    """GLOBAL clustering coefficient (transitivity) of the canonical
+    graph: 3 x triangles / wedges — how much of the graph's 2-path mass
+    closes into triangles, the one-number cohesion statistic (near 1 on
+    the surrogate corpus's near-clique, near 0 on a random sparse
+    graph).  Triangles reuse the degree-ordered formulation
+    (kg_triangles); the wedge denominator is a pure degree-moment
+    aggregate — no join at all, so the expensive half of the statistic
+    never touches a hub's quadratic neighborhood."""
+    from .functions.ranks import global_row_number
+
+    und = _und_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("deg"))
+    ).localCheckpoint(eager=True)
+    rk = global_row_number(dg, ["deg", "v"]).select("v", F.col("rn").alias("r"))
+    od = (
+        und.join(F.broadcast(rk.withColumnRenamed("v", "a")
+                 .withColumnRenamed("r", "ra")), on="a")
+        .join(F.broadcast(rk.withColumnRenamed("v", "b")
+              .withColumnRenamed("r", "rb")), on="b")
+        .select(F.least("ra", "rb").alias("lo"), F.greatest("ra", "rb").alias("hi"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = od.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = od.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    e3 = od.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    n_tri = (
+        e1.join(e2, on="x").filter(F.col("y") < F.col("z"))
+        .join(e3, on=["y", "z"]).count()
+    )
+    n_wedges = dg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")
+    ).first().w
+    return und.sparkSession.createDataFrame(
+        [(n_tri, int(n_wedges),
+          round(3.0 * n_tri / (n_wedges + 1e-12), 6))],
+        "n_triangles bigint, n_wedges bigint, global_cc double",
     )
 
 
@@ -4537,6 +4673,8 @@ EXTRA_NAMES = [
     "q_event_quantiles",
     "text_bm25_search",
     "q_value_outliers",
+    "text_pmi_bigrams",
+    "kg_clustering_coeff",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
