@@ -1035,6 +1035,89 @@ def q_event_quantiles(spark, sf_dir):
 
 
 @register(
+    "q_value_histogram",
+    """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT LEAST(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / 10.0))
+                        AS BIGINT), 9) AS bin,
+             b.lo, b.hi
+      FROM events e, b)
+    SELECT bin,
+           ROUND(lo + bin * (hi - lo) / 10.0, 4) AS bin_lo,
+           ROUND(lo + (bin + 1) * (hi - lo) / 10.0, 4) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, lo, hi
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Equal-width 10-bin numeric histogram of event values — the
+    profiling/monitoring primitive: the (min, max) scalar is one
+    map-side-combining pass, binning is a row-local floor expression
+    against the broadcast bounds, the histogram one 10-group agg.  The
+    max value clamps into the last bin (floor((hi-lo)/w) == 10) — the
+    standard closed-right edge, mirrored on both engines."""
+    e = _t(spark, sf_dir, "events")
+    b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / 10.0
+    binned = e.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / w).cast("bigint"),
+            F.lit(9),
+        ).alias("bin"),
+        "lo", "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count("*").alias("n")
+    ).select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 10.0, 4)
+        .alias("bin_lo"),
+        F.round(
+            F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 10.0, 4
+        ).alias("bin_hi"),
+        "n",
+    )
+
+
+@register(
+    "q_profile_events",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_values,
+           CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS empty_props,
+           CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS first_day,
+           CAST(CAST(MAX(ts) AS DATE) AS VARCHAR) AS last_day
+    FROM events
+    """,
+)
+def q_profile_events(spark, sf_dir):
+    """One-row table PROFILE (row count, key cardinalities, null/empty
+    counts, time bounds) — the first query any pipeline runs against an
+    unfamiliar table, and the health check scheduled against a
+    production one.  Single pass: every statistic is a map-side-
+    combining aggregate over one scan (the two exact distincts expand
+    the plan; at 100 TB you would swap them for the KMV sketch this
+    repo also ships as q_distinct_kmv)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("null_values"),
+        F.sum(
+            (F.col("props").isNull() | (F.col("props") == "")).cast("bigint")
+        ).alias("empty_props"),
+        F.to_date(F.min("ts")).cast("string").alias("first_day"),
+        F.to_date(F.max("ts")).cast("string").alias("last_day"),
+    )
+
+
+@register(
     "q_rollup_revenue",
     """
     SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), 'ALL') AS priority,
@@ -4675,6 +4758,8 @@ EXTRA_NAMES = [
     "q_value_outliers",
     "text_pmi_bigrams",
     "kg_clustering_coeff",
+    "q_value_histogram",
+    "q_profile_events",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
