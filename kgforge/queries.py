@@ -988,7 +988,7 @@ def q_asof_prior_view(spark, sf_dir):
              ROW_NUMBER() OVER (PARTITION BY event_type
                                 ORDER BY value, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT event_type,
            ROUND(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
                           THEN value END), 4) AS p50,
@@ -1008,8 +1008,11 @@ def q_event_quantiles(spark, sf_dir):
     bit-identical and still one shuffle: the rank window parallelizes
     across groups.  For ONE giant group the same formula runs on the
     two-pass global rank (functions/ranks.global_row_number) instead of
-    a single-partition window — the documented scale path."""
-    e = _t(spark, sf_dir, "events")
+    a single-partition window — the documented scale path.  NULL values
+    are excluded up front: Spark ranks ASC NULLS FIRST while DuckDB
+    defaults to NULLS LAST, so ranking over NULLs would silently shift
+    every percentile position between the engines."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     r = e.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(Window.partitionBy("event_type"))
@@ -1037,12 +1040,14 @@ def q_event_quantiles(spark, sf_dir):
 @register(
     "q_value_histogram",
     """
-    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi
+               FROM events WHERE value IS NOT NULL),
     binned AS (
-      SELECT LEAST(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / 10.0))
+      SELECT LEAST(CAST(floor((e.value - b.lo) /
+                        (GREATEST(b.hi - b.lo, 1e-12) / 10.0))
                         AS BIGINT), 9) AS bin,
              b.lo, b.hi
-      FROM events e, b)
+      FROM events e, b WHERE e.value IS NOT NULL)
     SELECT bin,
            ROUND(lo + bin * (hi - lo) / 10.0, 4) AS bin_lo,
            ROUND(lo + (bin + 1) * (hi - lo) / 10.0, 4) AS bin_hi,
@@ -1056,10 +1061,14 @@ def q_value_histogram(spark, sf_dir):
     map-side-combining pass, binning is a row-local floor expression
     against the broadcast bounds, the histogram one 10-group agg.  The
     max value clamps into the last bin (floor((hi-lo)/w) == 10) — the
-    standard closed-right edge, mirrored on both engines."""
-    e = _t(spark, sf_dir, "events")
+    standard closed-right edge, mirrored on both engines.  NULL values
+    are dropped before both the bounds pass and the binning pass (LEAST
+    would otherwise silently coalesce a NULL bin into bin 9), and the
+    width is floored at 1e-12 so a constant column yields one bin
+    instead of a divide-by-zero."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    w = (F.col("hi") - F.col("lo")) / 10.0
+    w = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) / 10.0
     binned = e.crossJoin(F.broadcast(b)).select(
         F.least(
             F.floor((F.col("value") - F.col("lo")) / w).cast("bigint"),
@@ -3872,10 +3881,20 @@ def kg_clustering_coeff(spark, sf_dir):
     n_wedges = dg.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")
     ).first().w
-    return und.sparkSession.createDataFrame(
-        [(n_tri, int(n_wedges),
-          round(3.0 * n_tri / (n_wedges + 1e-12), 6))],
-        "n_triangles bigint, n_wedges bigint, global_cc double",
+    # global_cc rounds Spark-side (F.round = HALF_UP, matching DuckDB
+    # ROUND) — Python round() is banker's rounding and would diverge
+    # from the oracle on a tie at the 6th decimal.
+    return (
+        und.sparkSession.createDataFrame(
+            [(n_tri, int(n_wedges))], "n_triangles bigint, n_wedges bigint"
+        )
+        .select(
+            "n_triangles", "n_wedges",
+            F.round(
+                3.0 * F.col("n_triangles") / (F.col("n_wedges") + F.lit(1e-12)),
+                6,
+            ).alias("global_cc"),
+        )
     )
 
 

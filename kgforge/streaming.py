@@ -221,9 +221,12 @@ def streaming_sessionize(
     a session closes (and emits, in append mode) once the watermark
     passes its end.  Semantically identical to the batch
     gaps-and-islands formulation (q_sessionize) — the session boundary
-    is the same >gap silence — which is exactly what the equivalence
-    test pins.  State is bounded by open sessions x users; the
-    watermark is what lets Spark expire closed sessions."""
+    is the same >gap silence, INCLUDING the exact-gap edge: an event at
+    precisely last_ts + gap merges in both (session_window treats the
+    adjacent window [t+gap, ...) as part of the session; pinned by
+    test_streaming_sessionize_exact_gap_boundary, r4 ADVICE).  State is
+    bounded by open sessions x users; the watermark is what lets Spark
+    expire closed sessions."""
     from pyspark.sql import functions as F
 
     return (

@@ -376,6 +376,78 @@ def test_streaming_sessionize_matches_batch_semantics(spark, tmp_path):
     assert not any(r[0] == 99 for r in got)
 
 
+def test_streaming_sessionize_exact_gap_boundary(spark, tmp_path):
+    """Pin the EXACT-gap boundary: an event at precisely last_ts + gap
+    (30:00 after) MERGES into the session in BOTH formulations — the
+    batch gaps-and-islands rule starts a new session only when the
+    delta is strictly > gap, and Spark's session_window also merges the
+    adjacent window (verified: [t, t+gap) and an event at t+gap yield
+    one session).  Without this case the equivalence claim was only
+    exercised at a 40-min gap (r4 ADVICE)."""
+    import json
+
+    from kgforge.streaming import streaming_sessionize
+
+    inp, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    inp.mkdir()
+
+    def write(rows, name):
+        with open(inp / f"{name}.json", "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp")
+            .format("json").load(str(inp))
+        )
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out)).outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    # exactly-30:00 gap -> merge; 30:01 gap -> split
+    write([
+        (1, "2026-01-01T00:00:00"),
+        (1, "2026-01-01T00:30:00"),   # == gap: same session
+        (1, "2026-01-01T01:00:01"),   # 30:01 > gap: new session
+    ], "b0")
+    drain()
+    write([(99, "2026-01-01T10:00:00")], "b1")  # watermark flush
+    drain()
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {
+        (1, "2026-01-01 00:00:00", 2),
+        (1, "2026-01-01 01:00:01", 1),
+    }
+
+    # the batch formulation agrees on the same script
+    from pyspark.sql import functions as F
+
+    from kgforge.queries import ALL_QUERIES
+
+    e = spark.createDataFrame(
+        [(1, 10, "2026-01-01 00:00:00"),
+         (1, 11, "2026-01-01 00:30:00"),
+         (1, 12, "2026-01-01 01:00:01")],
+        "user_id bigint, event_id bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tdir = tmp_path / "tbl"
+    e.write.parquet(str(tdir / "events.parquet"))
+    rows = {
+        (r.user_id, r.session_ix, r.n_events)
+        for r in ALL_QUERIES["q_sessionize"](spark, str(tdir)).collect()
+    }
+    assert rows == {(1, 1, 2), (1, 2, 1)}
+
+
 def test_streaming_first_seen_ttl_non_utc_session(spark, tmp_path):
     """TTL eviction must be timezone-safe: with a non-UTC session
     timezone (Tokyo, +9h, no DST) the naive pandas timestamps the state
