@@ -147,20 +147,27 @@ def main() -> None:
         "cores": int(args.cores),
         "triples_per_sec": triples_per_sec,
     }
-    # attach the stored paired r2-vs-head study (scripts/bench_ab.py:
-    # alternating same-session legs, per-query best-of-N) so the per-round
-    # bench record carries round-over-round numbers this jittery host's
-    # single-shot runs cannot provide; commit ids inside date the study
+    # the stored paired base-vs-head study (scripts/bench_ab.py:
+    # alternating same-session legs, per-query best-of-N) carries the
+    # round-over-round numbers this jittery host's single-shot runs
+    # cannot provide.  It is printed as its OWN earlier stdout line —
+    # embedding it in the headline record made that line overflow the
+    # driver's fixed-size stdout tail window and truncate the JSON
+    # mid-record (BENCH_r04.json parsed: null).  The FINAL line is the
+    # compact headline record, guaranteed to fit the tail window whole.
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     ab_latest = os.path.join(bench_dir, "ab_latest.json")
     ab_legacy = os.path.join(bench_dir, "ab_r2_r3.json")
+    paired = None
     if os.path.exists(ab_latest):
         with open(ab_latest) as f:
-            result["paired_vs_base"] = json.load(f)
+            paired = {"paired_vs_base": json.load(f)}
     elif os.path.exists(ab_legacy):
         with open(ab_legacy) as f:
-            result["paired_vs_r2"] = json.load(f)
+            paired = {"paired_vs_r2": json.load(f)}
     spark.stop()
+    if paired is not None:
+        print(json.dumps(paired))
     print(json.dumps(result))
 
 
