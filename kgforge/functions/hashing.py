@@ -1,0 +1,101 @@
+"""Engine-portable hashing primitives shared by the dedup family.
+
+``charfold`` is the repo's deterministic polynomial char hash (F13
+analog — reference utils/funcs.py uses content hashing for cache keys;
+here the hash also drives MinHash).  It is expressed twice, once as a
+Spark higher-order-function column and once as the equivalent DuckDB SQL,
+so every oracle comparison is bit-identical across engines.  The MinHash
+parameters keep all products under 2^62 (a < 2^31, h < 2^31-1) so the
+arithmetic never overflows int64 on either engine.
+
+Document-level shingling/minhashing operates on plain DataFrames
+(``doc_id``, ``text``) — the query layer (kgforge/queries.py) and the
+incremental dedup state machinery (kgforge/dedup.py) both build on these
+so a signature computed in one epoch is bit-identical to one computed in
+any other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MOD = 2147483647  # 2^31 - 1
+
+# minhash params (a, b): fixed literals; a*h < 2^62 with h < 2^31-1
+MINHASH_AB = [(1103515245, 12345), (1140671485, 12820163), (214013, 2531011), (16807, 0)]
+
+# band layout over the 4-hash signature: band 1 = (s0, s1), band 2 = (s2, s3)
+MINHASH_BANDS = [(1, "s0", "s1"), (2, "s2", "s3")]
+
+
+def charfold(col) -> F.Column:
+    """Polynomial char hash, JVM-side (F13 analog; deterministic across
+    engines — see sql_charfold)."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+        F.lit(7).cast("bigint"),
+        lambda a, c: (a * 31 + c) % MOD,
+    )
+
+
+def sql_charfold(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {MOD})"
+    )
+
+
+def shingles_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) — distinct 3-token shingles per document; the unit
+    under every near-dup operator.  Pure JVM higher-order functions, no
+    Python in the loop."""
+    toks = F.split(text_col, " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    return docs.select("doc_id", F.explode(sh).alias("sh"))
+
+
+def minhash_of(shingles: DataFrame) -> DataFrame:
+    """(doc_id, s0..s3, n_sh) MinHash signatures over charfold'd
+    shingles, plus the doc's distinct-shingle count — carried in the
+    signature so exact-Jaccard verification against a persisted corpus
+    never re-counts old documents."""
+    sh = shingles.withColumn("h", charfold(F.col("sh")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MOD).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
+
+
+def signature_bands(sig: DataFrame) -> DataFrame:
+    """Explode signatures to LSH band rows (doc_id, band, k0, k1) — the
+    banded-join key space.  A cheap projection of the signature table:
+    re-deriving bands never recomputes hashes."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.col(c0).alias("k0"),
+                        F.col(c1).alias("k1"),
+                    )
+                    for band, c0, c1 in MINHASH_BANDS
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.k0", "bk.k1")

@@ -1,0 +1,130 @@
+"""Incremental MinHash dedup vs the one-shot run (kgforge/dedup.py).
+
+The claimed equality: feeding a corpus in batches yields, per batch,
+exactly the from-scratch pair set over the accumulated corpus restricted
+to pairs with an endpoint in that batch — and the accumulated state
+after the last batch is bit-identical to a single-shot build.  Mirrors
+the two-batch == one-shot property of tests/test_graph_merge.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgforge.dedup import (
+    build_state,
+    dedup_minhash_incremental,
+    load_state,
+    save_state,
+)
+
+
+def _corpus(spark, n=120, seed_dup_every=7):
+    """Deterministic corpus with planted near-dups: every
+    ``seed_dup_every``-th doc is a light edit of its predecessor (same
+    first 10 tokens, one appended), so real >=0.5-Jaccard pairs exist
+    across any batch split."""
+    rows = []
+    for i in range(n):
+        base = i - 1 if i % seed_dup_every == 0 and i > 0 else i
+        toks = [f"w{(base * 13 + j * 7) % 50}" for j in range(12)]
+        if base != i:
+            toks = toks[:10] + [f"x{i}"]
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _pairs_set(df):
+    return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+
+def _oneshot_pairs(spark, docs):
+    """From-scratch pairs over ``docs`` via the same incremental entry
+    with no prior state (state=None path == the one-shot cascade)."""
+    pairs, state = dedup_minhash_incremental(docs, None)
+    return pairs, state
+
+
+def test_two_batch_equals_one_shot(spark):
+    docs = _corpus(spark)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 0)
+
+    all_pairs, oneshot_state = _oneshot_pairs(spark, docs)
+    all_set = _pairs_set(all_pairs)
+
+    state = build_state(b1)
+    inc_pairs, state2 = dedup_minhash_incremental(b2, state)
+
+    b2_ids = {r.doc_id for r in b2.select("doc_id").collect()}
+    expected = {
+        (a, b, j) for (a, b, j) in all_set if a in b2_ids or b in b2_ids
+    }
+    assert _pairs_set(inc_pairs) == expected
+    assert expected, "fixture must plant cross-batch near-dups"
+
+    # accumulated state == one-shot state (signatures and shingles)
+    sig_inc = {tuple(r) for r in state2["sig"].collect()}
+    sig_one = {tuple(r) for r in oneshot_state["sig"].collect()}
+    assert sig_inc == sig_one
+    sh_inc = {tuple(r) for r in state2["shingle"].collect()}
+    sh_one = {tuple(r) for r in oneshot_state["shingle"].collect()}
+    assert sh_inc == sh_one
+
+
+def test_three_epoch_union_covers_all_pairs(spark):
+    """Epoch-by-epoch: the union of per-epoch pair sets over an ordered
+    batch sequence equals the one-shot pair set (every pair is found in
+    the epoch its younger member arrives), provided no bucket crosses
+    the hot cap between epochs — the fixture stays under cap."""
+    docs = _corpus(spark, n=90)
+    batches = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+
+    all_pairs, _ = _oneshot_pairs(spark, docs)
+    all_set = _pairs_set(all_pairs)
+
+    state = None
+    found = set()
+    for b in batches:
+        pairs, state = dedup_minhash_incremental(b, state)
+        found |= _pairs_set(pairs)
+    assert found == all_set
+    assert all_set, "fixture must contain near-dup pairs"
+
+
+def test_persisted_state_round_trip(spark, tmp_path):
+    """save_state/load_state: pairs computed against reloaded state are
+    identical to pairs against the in-memory state."""
+    docs = _corpus(spark, n=60)
+    b1 = docs.filter(F.col("doc_id") < 40)
+    b2 = docs.filter(F.col("doc_id") >= 40)
+
+    state = build_state(b1)
+    expected, _ = dedup_minhash_incremental(b2, state)
+
+    save_state(state, str(tmp_path / "state"), n_parts=4)
+    reloaded = load_state(spark, str(tmp_path / "state"))
+    got, _ = dedup_minhash_incremental(b2, reloaded)
+    assert _pairs_set(got) == _pairs_set(expected)
+
+
+def test_hot_bucket_cap_counts_accumulated(spark):
+    """A bucket under cap in epoch 1 but pushed past max_bucket by the
+    batch is excluded — the cap is on ACCUMULATED bucket size, exactly
+    matching the from-scratch run over old∪new."""
+    # 10 old + 10 new identical docs share every band bucket; with
+    # max_bucket=15 the accumulated bucket (20) is hot -> no pairs.
+    text = "a b c d e f g h"
+    old = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(100 + i, text) for i in range(10)], "doc_id bigint, text string"
+    )
+    state = build_state(old)
+    pairs, _ = dedup_minhash_incremental(new, state, max_bucket=15)
+    assert pairs.count() == 0
+    # sanity: under a loose cap the same batch pairs densely
+    pairs_loose, _ = dedup_minhash_incremental(new, state, max_bucket=64)
+    # every new doc pairs with all 9 other new + 10 old at jaccard 1.0
+    assert pairs_loose.count() == 10 * 9 // 2 + 10 * 10
