@@ -1,0 +1,177 @@
+"""Iterative graph algorithms over the materialized KG — PageRank and
+synchronous label propagation — with BOTH execution modes a production
+deployment needs (r4 VERDICT #2):
+
+- ``rounds=k`` runs exactly k synchronous rounds.  Deterministic and
+  engine-portable — this is what the driver-facing queries pin against
+  their unrolled DuckDB oracles.
+- ``rounds=None`` iterates to convergence under the CC loop's guard
+  pattern (link/cc.py:46): a hard ``max_rounds`` cap with a NON-SILENT
+  RuntimeError on non-convergence — an unconverged ranking silently
+  shipped is the failure mode the guard exists for.
+
+Per-round cost shape (both algorithms): one shuffle on the edge key +
+one per-vertex aggregate; state is localCheckpointed per round so the
+lineage/plan stays linear in rounds instead of exponential.  The
+convergence check is one extra tiny aggregate per round (max |delta| /
+changed-count), the standard driver-side sync every iterative Spark
+algorithm pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    de: DataFrame,
+    *,
+    rounds: int | None = 3,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_rounds: int = 50,
+    seed=None,
+) -> DataFrame:
+    """PageRank over distinct directed edges ``de(src, dst)``.  Returns
+    (v, pr) unrounded.
+
+    ``seed=None`` (global): uniform restart vector, dangling mass
+    redistributed uniformly.  ``seed=<vertex id>`` (personalized): the
+    restart vector is concentrated at the seed and dangling mass
+    returns to it — PPR, scores measure proximity to the seed.
+
+    ``rounds=None``: power-iterate until ``max |pr_t - pr_{t-1}| < tol``,
+    raising after ``max_rounds`` — the guard, not a silent cap.
+    """
+    de = de.localCheckpoint(eager=True)
+    verts = (
+        de.select(F.col("src").alias("v"))
+        .unionByName(de.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    od = de.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    if seed is None:
+        restart = F.lit(1.0 / n)
+    else:
+        restart = (F.col("v") == seed).cast("double")
+    pr = verts.withColumn("pr", restart)
+
+    n_rounds = rounds if rounds is not None else max_rounds
+    for i in range(n_rounds):
+        dangling = (
+            pr.join(od, pr.v == od.src, "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            de.join(pr.withColumnRenamed("v", "src"), on="src")
+            .join(od, on="src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        if seed is None:
+            new_col = (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling / n))
+            )
+        else:
+            new_col = (
+                F.lit(1.0 - damping) * restart
+                + F.lit(damping)
+                * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling) * restart)
+            )
+        new_pr = (
+            verts.join(contrib, on="v", how="left")
+            .select("v", new_col.alias("pr"))
+            .localCheckpoint(eager=True)
+        )
+        if rounds is None:
+            delta = (
+                new_pr.alias("a")
+                .join(pr.alias("b"), on="v")
+                .agg(F.max(F.abs(F.col("a.pr") - F.col("b.pr"))))
+                .collect()[0][0]
+            )
+            pr = new_pr
+            if delta < tol:
+                break
+        else:
+            pr = new_pr
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"pagerank did not converge to tol={tol} in {max_rounds} rounds"
+            )
+    return pr.select("v", "pr")
+
+
+def lpa_communities(
+    nbr: DataFrame,
+    *,
+    rounds: int | None = 3,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Synchronous label propagation over a symmetric neighbor list
+    ``nbr(v, u)`` (both directions present).  Deterministic update:
+    most-frequent neighbor label, ties to the smallest label.  Returns
+    (v, label).
+
+    ``rounds=None``: iterate until no label changes.  Synchronous LPA
+    can enter a period-2 oscillation (two labelings alternating — the
+    classic bipartite flip); that is detected by also comparing against
+    the labeling from two rounds back and stopping there, which is
+    deterministic.  ``max_rounds`` exhaustion without either condition
+    raises — never a silently-unconverged community map.
+    """
+    nbr = nbr.localCheckpoint(eager=True)
+    labels = nbr.select("v").distinct().select("v", F.col("v").alias("label"))
+    prev_prev: DataFrame | None = None
+
+    def _changed(a: DataFrame, b: DataFrame) -> int:
+        return (
+            a.alias("n")
+            .join(b.alias("o"), on="v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+
+    n_rounds = rounds if rounds is not None else max_rounds
+    for i in range(n_rounds):
+        cnt = (
+            nbr.join(labels.withColumnRenamed("v", "u"), on="u")
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        new_labels = (
+            cnt.groupBy("v")
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        if rounds is None:
+            if _changed(new_labels, labels) == 0:
+                labels = new_labels
+                break
+            if prev_prev is not None and _changed(new_labels, prev_prev) == 0:
+                # period-2 oscillation: new == two rounds back; stopping
+                # here is deterministic (first detection point)
+                labels = new_labels
+                break
+            prev_prev = labels
+            labels = new_labels
+        else:
+            labels = new_labels
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"lpa_communities did not converge in {max_rounds} rounds"
+            )
+    return labels

@@ -4109,27 +4109,19 @@ def kg_communities_lpa(spark, sf_dir):
     tie-break is the portable formulation).  Per round: one shuffle on
     the neighbor join + one (v, label) count + one min_by per vertex —
     the CC per-round shape; labels are localCheckpointed per round so
-    the plan stays linear in rounds."""
+    the plan stays linear in rounds.  Shared loop: graph/algo.
+    lpa_communities — the production twin (rounds=None) iterates the
+    SAME code to convergence under the CC guard (r4 VERDICT #2; the
+    fixed-3 == first-3-iterations property is pinned by
+    tests/test_graph_algo.py)."""
+    from .graph.algo import lpa_communities
+
     und = _und_edges(spark, sf_dir)
     nbr = (
         und.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
-        .localCheckpoint(eager=True)
     )
-    labels = nbr.select("v").distinct().select("v", F.col("v").alias("label"))
-    for _ in range(3):
-        cnt = (
-            nbr.join(
-                labels.withColumnRenamed("v", "u"), on="u"
-            )
-            .groupBy("v", "label")
-            .agg(F.count("*").alias("c"))
-        )
-        labels = cnt.groupBy("v").agg(
-            F.min_by(
-                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
-            ).alias("label")
-        ).localCheckpoint(eager=True)
+    labels = lpa_communities(nbr, rounds=3)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members")
     )
@@ -4262,49 +4254,21 @@ def kg_ppr(spark, sf_dir):
     is deterministic (max total degree, ties to smallest id).  Same
     per-round shape as kg_pagerank: one contribution shuffle on the edge
     key + a tiny dangling aggregate; oracle unrolls the identical three
-    rounds."""
+    rounds.  Shared loop: graph/algo.pagerank(seed=...) — rounds=None
+    gives the convergence-mode production twin."""
     e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
     de = e.select("src", "dst").distinct().localCheckpoint(eager=True)
-    verts = (
-        de.select(F.col("src").alias("v"))
-        .unionByName(de.select(F.col("dst").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    od = de.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     alldeg = (
         de.select(F.col("src").alias("v"))
         .unionByName(de.select(F.col("dst").alias("v")))
         .groupBy("v").agg(F.count("*").alias("d"))
     )
     seed = alldeg.orderBy(F.desc("d"), "v").limit(1).collect()[0].v
-    is_seed = (F.col("v") == seed).cast("double")
-    pr = verts.withColumn("pr", is_seed)
-    for _ in range(3):
-        dangling = (
-            pr.join(od, pr.v == od.src, "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        contrib = (
-            de.join(pr.withColumnRenamed("v", "src"), on="src")
-            .join(od, on="src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
-        )
-        pr = (
-            verts.join(contrib, on="v", how="left")
-            .select(
-                "v",
-                (
-                    F.lit(0.15) * is_seed
-                    + F.lit(0.85)
-                    * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling) * is_seed)
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return pr.select("v", F.round("pr", 8).alias("ppr"))
+    from .graph.algo import pagerank
+
+    return pagerank(de, rounds=3, seed=seed).select(
+        "v", F.round("pr", 8).alias("ppr")
+    )
 
 
 @register("kg_pagerank", _SQL_PAGERANK)
@@ -4315,43 +4279,14 @@ def kg_pagerank(spark, sf_dir):
     as the CC loop: per round one contribution shuffle on the edge key +
     one tiny dangling aggregate; the oracle unrolls the identical three
     rounds.  Plain joins, no UDF; round(…, 8) absorbs cross-engine float
-    summation order."""
+    summation order.  Shared loop: graph/algo.pagerank — the production
+    twin (rounds=None) power-iterates the SAME code to tolerance under
+    the CC guard (r4 VERDICT #2; pinned by tests/test_graph_algo.py)."""
+    from .graph.algo import pagerank
+
     e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
-    de = e.select("src", "dst").distinct().localCheckpoint(eager=True)
-    verts = (
-        de.select(F.col("src").alias("v"))
-        .unionByName(de.select(F.col("dst").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = verts.count()
-    od = de.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
-    pr = verts.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(3):
-        dangling = (
-            pr.join(od, pr.v == od.src, "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        contrib = (
-            de.join(pr.withColumnRenamed("v", "src"), on="src")
-            .join(od, on="src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
-        )
-        pr = (
-            verts.join(contrib, on="v", how="left")
-            .select(
-                "v",
-                (
-                    F.lit(0.15 / n)
-                    + F.lit(0.85)
-                    * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return pr.select("v", F.round("pr", 8).alias("pr"))
+    de = e.select("src", "dst").distinct()
+    return pagerank(de, rounds=3).select("v", F.round("pr", 8).alias("pr"))
 
 
 _PACK_CAP = 128  # token budget per packed sequence (context-window bin)
