@@ -4695,6 +4695,20 @@ EXTRA_NAMES = [
     # computation it pins is exercised by BOTH dedup_minhash_pairs and
     # the incremental query (same functions/hashing.minhash_of)
     "dedup_minhash_sig",
+    # r5 rotation (audit-enforced, tests/test_rotation_audit.py):
+    # kg_pagerank / kg_communities_lpa / kg_ppr (shared convergence
+    # loop), kg_clustering_coeff (Spark-side rounding),
+    # q_event_quantiles / q_value_histogram (NULL handling) changed
+    # this round and moved INTO driver slots; these six unchanged
+    # twins moved out (each family keeps a driver representative:
+    # q1_pricing_summary, kg_edges+kg_cc_components, ann_cosine_topk+
+    # ann_ivf_*, text_quality_filter, kg_clustering_coeff degrees)
+    "q_revenue_by_nation",
+    "kg_two_hop",
+    "kg_ego_network",
+    "ann_lsh_bucket",
+    "text_stats",
+    "kg_degree_distribution",
     "q5_regional_revenue",
     "q_daily_active",
     "q_mktsegment_share",
@@ -4705,7 +4719,6 @@ EXTRA_NAMES = [
     "token_counts",
     "multimodal_bytes",
     "bpe_tokenize_counts",
-    "kg_pagerank",
     "dedup_simhash_pairs",
     "pack_sequences",
     "sample_stratified",
@@ -4729,23 +4742,18 @@ EXTRA_NAMES = [
     "ann_sq8_recall",
     "ann_pq_recall",
     "kg_triangles",
-    "kg_communities_lpa",
     "q_sessionize",
     "q_distinct_kmv",
     "text_bm25_topk",
     "kg_link_prediction",
     "ann_rp_lsh_recall",
-    "kg_ppr",
     "sample_weighted_reservoir",
     "q_rolling_active_users",
     "q_rollup_revenue",
     "q_asof_prior_view",
-    "q_event_quantiles",
     "text_bm25_search",
     "q_value_outliers",
     "text_pmi_bigrams",
-    "kg_clustering_coeff",
-    "q_value_histogram",
     "q_profile_events",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
