@@ -93,11 +93,21 @@ def test_changed_queries_hold_driver_slots():
 
     from kgforge.queries import EXTRA_QUERIES, QUERIES
 
+    # the rotation rule covers PRE-EXISTING queries whose implementation
+    # changed; queries born this round may land in EXTRA when their
+    # operator family already holds a driver slot (COVERAGE.md r4
+    # precedent), so restrict to names registered at the round base
+    base_src = subprocess.run(
+        ["git", "show", f"{base}:kgforge/queries.py"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout
+    existed = set(re.findall(r'@register\(\s*\n?\s*"([^"]+)"', base_src))
+
     spans = _query_spans()
     changed_queries = {
         name
         for name, (lo, hi) in spans.items()
-        if any(lo <= ln <= hi for ln in changed)
+        if name in existed and any(lo <= ln <= hi for ln in changed)
     }
     # names registered but demoted: changed + EXTRA = policy violation
     hiding = sorted(
