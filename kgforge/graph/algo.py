@@ -109,6 +109,57 @@ def pagerank(
     return pr.select("v", "pr")
 
 
+def kcore(
+    und: DataFrame,
+    k: int = 2,
+    *,
+    rounds: int | None = None,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling over undirected edges
+    ``und(a, b)`` (one row per edge, a < b): repeatedly drop vertices
+    with degree < k and the edges touching them.  Returns the surviving
+    vertex set (v) — the densely-connected backbone a KG consumer keeps
+    when pruning noise entities.
+
+    ``rounds=k_r`` peels exactly k_r synchronous rounds (the unrollable
+    oracle form); ``rounds=None`` peels to the fixed point — guaranteed
+    to terminate (the vertex set shrinks monotonically) but still capped
+    with a non-silent guard against pathological inputs.  Per round: one
+    degree aggregate + two semi-joins; edges are localCheckpointed so
+    the peeled plan doesn't stack."""
+    edges = und.select("a", "b").localCheckpoint(eager=True)
+    n_rounds = rounds if rounds is not None else max_rounds
+    for i in range(n_rounds):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionByName(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v").localCheckpoint(eager=True)
+        new_edges = (
+            edges.join(keep.withColumnRenamed("v", "a"), on="a", how="left_semi")
+            .join(keep.withColumnRenamed("v", "b"), on="b", how="left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if rounds is None:
+            if new_edges.count() == edges.count():
+                edges = new_edges
+                break
+            edges = new_edges
+        else:
+            edges = new_edges
+    else:
+        if rounds is None:
+            raise RuntimeError(f"kcore did not stabilize in {max_rounds} rounds")
+    return (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+
+
 def lpa_communities(
     nbr: DataFrame,
     *,

@@ -1097,6 +1097,120 @@ def q_profile_events(spark, sf_dir):
 
 
 @register(
+    "q_funnel_steps",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS ts FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.ts
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'click', COUNT(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*) FROM s3)
+    """,
+)
+def q_funnel_steps(spark, sf_dir):
+    """Ordered FUNNEL analysis (view -> click -> purchase): users
+    reaching step k performed the k-th event strictly AFTER their
+    earliest completion of step k-1 — the product-analytics primitive.
+    Relational formulation: each step is one filtered agg + one equi-join
+    on user_id against the previous step's frontier — no per-user event
+    arrays (a collect_list funnel holds a user's whole history in one
+    task; hub users at 100 TB would skew it), and each join's right side
+    shrinks monotonically."""
+    e = _t(spark, sf_dir, "events")
+
+    def step(prev, ev):
+        src = e.filter(F.col("event_type") == ev)
+        if prev is not None:
+            src = src.join(
+                prev.withColumnRenamed("ts", "prev_ts"), on="user_id"
+            ).filter(F.col("ts") > F.col("prev_ts"))
+        return src.groupBy("user_id").agg(F.min("ts").alias("ts"))
+
+    s1 = step(None, "view")
+    s2 = step(s1, "click")
+    s3 = step(s2, "purchase")
+    out = None
+    for i, (name, s) in enumerate([("view", s1), ("click", s2),
+                                   ("purchase", s3)], start=1):
+        row = s.agg(
+            F.lit(i).cast("bigint").alias("step"),
+            F.lit(name).alias("event_type"),
+            F.count("*").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+               FROM events GROUP BY user_id)
+    SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', f.d0, CAST(e.ts AS DATE)) AS BIGINT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    WHERE datediff('day', f.d0, CAST(e.ts AS DATE)) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """COHORT RETENTION matrix: users grouped by first-seen day, counted
+    distinct on each of the next 7 activity days — the table behind every
+    retention curve.  The first-seen frontier is one agg keyed on
+    user_id; the activity join shuffles on the same key (co-partitioned
+    with the agg, no extra exchange); exact distinct here for the
+    oracle, approx_count_distinct at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    j = e.join(f, on="user_id").withColumn(
+        "day_offset", F.datediff(F.to_date("ts"), F.col("d0")).cast("bigint")
+    ).filter(F.col("day_offset") <= 7)
+    return j.groupBy(
+        F.col("d0").cast("string").alias("cohort_day"), "day_offset"
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_pivot_daily_types",
+    f"""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+               f"AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_daily_types(spark, sf_dir):
+    """PIVOT: day x event_type count matrix via groupBy().pivot() with an
+    EXPLICIT value list — without it Spark runs an extra distinct job to
+    discover the columns, and an unbounded type domain would explode the
+    schema; with it the pivot compiles to one pass of conditional
+    aggregates (exactly the oracle's CASE sums).  Missing combinations
+    are 0, not null (fillna mirrors SUM CASE)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .fillna(0, subset=_EVENT_TYPES)
+    )
+
+
+@register(
     "q_rollup_revenue",
     """
     SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), 'ALL') AS priority,
@@ -3783,6 +3897,17 @@ _SQL_UND = """
               FROM edges WHERE src <> dst)"""
 
 
+def _sql_kcore_round(src: str, dst: str, k: int = 2) -> str:
+    """One synchronous peel: drop vertices with degree < k and their
+    edges (kg_kcore's oracle unrolls three of these)."""
+    return f"""
+    d_{dst} AS (SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM {src} UNION ALL SELECT b FROM {src}) GROUP BY v),
+    k_{dst} AS (SELECT v FROM d_{dst} WHERE deg >= {k}),
+    {dst} AS (SELECT e.a, e.b FROM {src} e
+              JOIN k_{dst} x ON e.a = x.v JOIN k_{dst} y ON e.b = y.v)"""
+
+
 def _und_edges(spark, sf_dir):
     """Undirected distinct edges (a, b) with a < b, self-loops dropped
     (the Spark twin of _SQL_UND)."""
@@ -3925,6 +4050,35 @@ def kg_clustering_coeff(spark, sf_dir):
             ).alias("global_cc"),
         )
     )
+
+
+@register(
+    "kg_kcore",
+    _SQL_EDGES
+    + _SQL_UND
+    + f"""
+    ,
+    {_sql_kcore_round('und', 'e1')},
+    {_sql_kcore_round('e1', 'e2')},
+    {_sql_kcore_round('e2', 'e3')}
+    SELECT DISTINCT v FROM (
+      SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+    """,
+)
+def kg_kcore(spark, sf_dir):
+    """2-CORE of the canonical graph by iterative peeling (3 unrolled
+    synchronous rounds for the oracle): repeatedly drop degree-<2
+    vertices and their edges — the standard graph-cleaning primitive
+    that strips pendant chains before community/centrality analysis.
+    Per round one degree aggregate + two semi-joins, the CC per-round
+    shape.  Shared loop: graph/algo.kcore — rounds=None peels to the
+    fixed point under the non-silent guard (pinned by
+    tests/test_graph_algo.py: a chain needs ~n/2 rounds, 3 provably
+    aren't enough)."""
+    from .graph.algo import kcore
+
+    und = _und_edges(spark, sf_dir)
+    return kcore(und, k=2, rounds=3)
 
 
 @register(
@@ -4755,6 +4909,14 @@ EXTRA_NAMES = [
     "q_value_outliers",
     "text_pmi_bigrams",
     "q_profile_events",
+    # r5: new product-analytics + graph-cleaning ops — EXTRA (driver
+    # slots hold this round's changed queries; the events family is
+    # driver-covered by q_event_quantiles/q_value_histogram and the
+    # graph family by kg_pagerank/kg_communities_lpa/kg_clustering_coeff)
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_pivot_daily_types",
+    "kg_kcore",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -104,6 +104,39 @@ def test_lpa_nonconvergence_guard_raises(spark):
         lpa_communities(nbr, rounds=None, max_rounds=1)
 
 
+def test_kcore_chain_needs_more_than_three_rounds(spark):
+    """2-core of a pure 12-chain is EMPTY, but peeling removes only the
+    two endpoints per round — after 3 rounds 5 edges remain, so the
+    fixed-round snapshot provably differs from convergence."""
+    from kgforge.graph.algo import kcore
+
+    und = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a bigint, b bigint"
+    )
+    after3 = kcore(und, k=2, rounds=3)
+    assert after3.count() > 0  # not yet peeled away
+    converged = kcore(und, k=2, rounds=None)
+    assert converged.count() == 0  # a chain has no 2-core
+
+
+def test_kcore_cycle_is_its_own_core(spark):
+    """A cycle is already a 2-core: convergence keeps every vertex, and
+    attaching a pendant chain doesn't save the chain."""
+    from pyspark.sql import functions as F
+
+    from kgforge.graph.algo import kcore
+
+    n = 8
+    cyc = [(i, (i + 1) % n) for i in range(n)]
+    pendant = [(0, 100), (100, 101), (101, 102)]
+    und = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in cyc + pendant],
+        "a bigint, b bigint",
+    )
+    core = {r.v for r in kcore(und, k=2, rounds=None).collect()}
+    assert core == set(range(n))
+
+
 def test_lpa_period_two_oscillation_detected(spark):
     """A single undirected edge {0,1} with synchronous updates swaps
     labels forever (0 takes 1's label and vice versa... with the
