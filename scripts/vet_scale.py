@@ -14,10 +14,13 @@ Usage: python scripts/vet_scale.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-from kgforge.session import get_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kgforge.session import get_spark  # noqa: E402
 
 
 def main() -> None:
@@ -26,12 +29,19 @@ def main() -> None:
 
     from kgforge.queries import ALL_QUERIES
 
+    # vetting runs a decade above the tuned SF: size the (local-mode)
+    # JVM for it, and gc between queries so each query's localCheckpoint
+    # RDDs are context-cleaned instead of accumulating across the sweep
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("vet-scale", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
+
+    import gc
 
     results, skipped, failed = [], [], []
     names = [n for n in ALL_QUERIES if not only or n in only]
     for name in names:
+        gc.collect()
         t0 = time.monotonic()
         try:
             n_rows = ALL_QUERIES[name](spark, sf_dir).count()
