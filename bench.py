@@ -38,6 +38,9 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "ann_pq_recall",
     "kg_triangles",
+    # r5 additions
+    "dedup_minhash_incr",
+    "kg_kcore",
 ]
 
 

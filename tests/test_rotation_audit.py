@@ -67,18 +67,23 @@ def _query_spans() -> dict[str, tuple[int, int]]:
             if nm:
                 starts.append((i + 1, nm.group(1)))  # 1-based
         i += 1
-    # close each span at the next @register; the LAST span closes at the
-    # registry footer (EXTRA_NAMES) so footer rotation edits don't get
-    # attributed to whichever query happens to sit last in the file
-    footer = next(
-        (i + 1 for i, line in enumerate(src) if line.startswith("EXTRA_NAMES")),
-        len(src) + 1,
-    )
-    boundaries = [ln for ln, _ in starts] + [footer]
-    for k, (ln, name) in enumerate(starts):
-        # end = line before the next @register block (or EOF region up to
-        # the EXTRA_NAMES footer)
-        end = boundaries[k + 1] - 1
+    # close each span at the end of ITS function body (the first
+    # non-empty column-0 line after the def that isn't the decorator's
+    # own closing tokens) — module-level helpers inserted between two
+    # queries must not bleed into the preceding query's span
+    for ln, name in starts:
+        i = ln - 1
+        # find the def line for this registration
+        while i < len(src) and not src[i].startswith("def "):
+            i += 1
+        j = i + 1
+        end = len(src)
+        while j < len(src):
+            line = src[j]
+            if line and not line[0].isspace():
+                end = j  # 1-based line before this top-level statement
+                break
+            j += 1
         spans[name] = (ln, end)
     return spans
 
