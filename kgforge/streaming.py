@@ -311,6 +311,100 @@ def run_incremental_graph(
     q.awaitTermination()
 
 
+def run_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous corpus dedup: stream documents (json: doc_id, text);
+    per micro-batch, emit the near-dup pairs the batch introduces
+    against the ACCUMULATED corpus (kgforge/dedup.
+    dedup_minhash_incremental — old signatures read from state, never
+    recomputed) and evolve the persisted signature state.
+
+    Same epoch discipline as run_incremental_graph (and for the same
+    reasons — the comments there carry the full argument):
+
+      state_dir/epoch=N/{sig,shingle,pairs}/ + _COMPLETE marker
+      state_dir/_LATEST -> N  (informational; _COMPLETE markers are
+                               authoritative)
+
+    Replays after restart are absorbed by the marker (an epoch is never
+    merged twice); reading epoch N-1 while writing epoch N never
+    overwrites what is being read.  The union of pairs/ across epochs
+    equals the one-shot pair set over the accumulated corpus (the
+    three-epoch property test on the batch API, exercised end-to-end
+    here by the streaming test)."""
+    import os
+
+    from .dedup import dedup_minhash_incremental
+
+    def _set_latest(epoch: int) -> None:
+        tmp = os.path.join(state_dir, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(epoch))
+        os.replace(tmp, os.path.join(state_dir, "_LATEST"))
+
+    def upsert(batch_df, epoch_id: int) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        edir = os.path.join(state_dir, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(edir, "_COMPLETE")):
+            return  # replayed batch after restart
+        prev = latest_complete_epoch(state_dir)
+        if prev is None:
+            state = None
+        else:
+            pdir = os.path.join(state_dir, f"epoch={prev}")
+            state = {
+                "sig": spark.read.parquet(os.path.join(pdir, "sig")),
+                "shingle": spark.read.parquet(os.path.join(pdir, "shingle")),
+            }
+        pairs, new_state = dedup_minhash_incremental(
+            batch_df.select("doc_id", "text"), state
+        )
+        pairs.write.mode("overwrite").parquet(os.path.join(edir, "pairs"))
+        new_state["sig"].write.mode("overwrite").parquet(
+            os.path.join(edir, "sig")
+        )
+        new_state["shingle"].write.mode("overwrite").parquet(
+            os.path.join(edir, "shingle")
+        )
+        open(os.path.join(edir, "_COMPLETE"), "w").close()
+        _set_latest(epoch_id)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("json")
+        .load(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_dedup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Union of every completed epoch's emitted pairs — equals the
+    one-shot pair set over the accumulated corpus."""
+    import os
+
+    latest = latest_complete_epoch(state_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no completed epoch under {state_dir}")
+    dirs = [
+        os.path.join(state_dir, d, "pairs")
+        for d in os.listdir(state_dir)
+        if d.startswith("epoch=")
+        and os.path.exists(os.path.join(state_dir, d, "_COMPLETE"))
+    ]
+    return spark.read.parquet(*dirs)
+
+
 def read_graph_state(spark: SparkSession, state_dir: str):
     """(nodes, edges, canonical) of the latest completed epoch (derived
     from the _COMPLETE markers; the _LATEST file is informational)."""

@@ -92,6 +92,30 @@ def test_three_epoch_union_covers_all_pairs(spark):
     assert all_set, "fixture must contain near-dup pairs"
 
 
+import pytest
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_split_equals_one_shot(spark, seed):
+    """The two-batch == one-shot property under arbitrary (seeded
+    pseudo-random) batch splits, not just modulo classes — the split
+    must not matter."""
+    docs = _corpus(spark, n=80)
+    split = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(3)) == 0
+    b_new = docs.filter(split)
+    b_old = docs.filter(~split)
+    all_pairs, _ = _oneshot_pairs(spark, docs)
+    new_ids = {r.doc_id for r in b_new.select("doc_id").collect()}
+    expected = {
+        (a, b, j)
+        for (a, b, j) in _pairs_set(all_pairs)
+        if a in new_ids or b in new_ids
+    }
+    state = build_state(b_old)
+    inc_pairs, _ = dedup_minhash_incremental(b_new, state)
+    assert _pairs_set(inc_pairs) == expected
+
+
 def test_persisted_state_round_trip(spark, tmp_path):
     """save_state/load_state: pairs computed against reloaded state are
     identical to pairs against the in-memory state."""
@@ -106,6 +130,45 @@ def test_persisted_state_round_trip(spark, tmp_path):
     reloaded = load_state(spark, str(tmp_path / "state"))
     got, _ = dedup_minhash_incremental(b2, reloaded)
     assert _pairs_set(got) == _pairs_set(expected)
+
+
+def test_streaming_incremental_dedup_epochs(spark, tmp_path):
+    """run_incremental_dedup end-to-end: three micro-batches (one file
+    per trigger) produce per-epoch pair sets whose union equals the
+    one-shot run, state round-trips through parquet epochs, and a
+    restart with the same checkpoint replays nothing."""
+    import json
+    import os
+
+    from kgforge.streaming import read_dedup_pairs, run_incremental_dedup
+
+    docs = _corpus(spark, n=90)
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for b in range(3):
+        with open(inp / f"b{b}.json", "w") as f:
+            for doc_id, text in rows[b * 30:(b + 1) * 30]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    state = tmp_path / "state"
+    ckpt = tmp_path / "ckpt"
+    run_incremental_dedup(spark, str(inp), str(state), str(ckpt))
+
+    # three completed epochs, authoritative markers present
+    epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+    assert len(epochs) == 3
+    got = _pairs_set(read_dedup_pairs(spark, str(state)))
+
+    one_shot, _ = dedup_minhash_incremental(docs, None)
+    assert got == _pairs_set(one_shot)
+    assert got, "fixture must contain near-dup pairs"
+
+    # restart with the same checkpoint: availableNow finds nothing new
+    run_incremental_dedup(spark, str(inp), str(state), str(ckpt))
+    assert got == _pairs_set(read_dedup_pairs(spark, str(state)))
 
 
 def test_hot_bucket_cap_counts_accumulated(spark):
