@@ -298,6 +298,19 @@ def run_incremental_graph(
         n.write.mode("overwrite").parquet(os.path.join(edir, "nodes"))
         e.write.mode("overwrite").parquet(os.path.join(edir, "edges"))
         c.write.mode("overwrite").parquet(os.path.join(edir, "canonical"))
+        # per-epoch lineage metrics (counts off the just-written files)
+        import json as _json
+
+        metrics = {
+            "epoch": epoch_id,
+            "n_nodes": spark.read.parquet(os.path.join(edir, "nodes")).count(),
+            "n_edges": spark.read.parquet(os.path.join(edir, "edges")).count(),
+            "n_canonical": spark.read.parquet(
+                os.path.join(edir, "canonical")
+            ).count(),
+        }
+        with open(os.path.join(edir, "metrics.json"), "w") as f:
+            _json.dump(metrics, f)
         open(os.path.join(edir, "_COMPLETE"), "w").close()
         _set_latest(epoch_id)
 
@@ -370,6 +383,20 @@ def run_incremental_dedup(
         new_state["shingle"].write.mode("overwrite").parquet(
             os.path.join(edir, "shingle")
         )
+        # per-epoch lineage metrics (the counts come off the files just
+        # written — no recompute), same role as the batch pipeline's
+        # lineage manifest: an operator can audit epoch growth without
+        # replaying it
+        import json as _json
+
+        metrics = {
+            "epoch": epoch_id,
+            "n_batch_docs": batch_df.count(),
+            "n_pairs": spark.read.parquet(os.path.join(edir, "pairs")).count(),
+            "n_state_docs": spark.read.parquet(os.path.join(edir, "sig")).count(),
+        }
+        with open(os.path.join(edir, "metrics.json"), "w") as f:
+            _json.dump(metrics, f)
         open(os.path.join(edir, "_COMPLETE"), "w").close()
         _set_latest(epoch_id)
 

@@ -157,9 +157,15 @@ def test_streaming_incremental_dedup_epochs(spark, tmp_path):
     ckpt = tmp_path / "ckpt"
     run_incremental_dedup(spark, str(inp), str(state), str(ckpt))
 
-    # three completed epochs, authoritative markers present
-    epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+    # three completed epochs, authoritative markers + lineage metrics
+    epochs = sorted(d for d in os.listdir(state) if d.startswith("epoch="))
     assert len(epochs) == 3
+    sizes = []
+    for d in epochs:
+        m = json.load(open(state / d / "metrics.json"))
+        assert m["n_batch_docs"] == 30
+        sizes.append(m["n_state_docs"])
+    assert sizes == sorted(sizes) and sizes[-1] == 90  # monotone growth
     got = _pairs_set(read_dedup_pairs(spark, str(state)))
 
     one_shot, _ = dedup_minhash_incremental(docs, None)
