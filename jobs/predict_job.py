@@ -40,7 +40,16 @@ def read_sentences(spark, source: str, fmt: str):
     from pyspark.sql import functions as F
 
     if fmt == "text":
-        df = spark.read.text(source).select(F.col("value").alias("content"))
+        # each line must stay its OWN payload group downstream: without a
+        # distinct path, assemble_predict_json's (repo, path, unit_id)
+        # key collapses every input line into one relations array
+        # (found by the spark-submit smoke).  monotonically_increasing_id
+        # is partition-unique and stable for a static input file.
+        df = spark.read.text(source).select(
+            F.col("value").alias("content"),
+            F.concat(F.lit("line-"), F.monotonically_increasing_id())
+            .alias("path"),
+        )
     elif fmt == "json":
         df = spark.read.json(source)
     else:

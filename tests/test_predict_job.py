@@ -31,7 +31,10 @@ def test_predict_job_text_input(spark, tmp_path, capsys, monkeypatch):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["sentences"] > 0
     assert summary["triples"] > 0
-    assert summary["units_with_relations"] > 0
+    # each input LINE is its own payload group — without the per-line
+    # path key every sentence collapses into one relations array
+    # (regression found by the spark-submit smoke)
+    assert 1 < summary["units_with_relations"] <= summary["triples"]
 
     # the JSONL payloads parse and follow the reference's predict shape
     lines = [
