@@ -1008,6 +1008,93 @@ def q_event_quantiles(spark, sf_dir):
 
 
 @register(
+    "q_value_mad",
+    """
+    WITH e AS (SELECT event_type, event_id, value FROM events
+               WHERE value IS NOT NULL),
+    r1 AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+    med AS (SELECT event_type,
+                   MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                            THEN value END) AS med
+            FROM r1 GROUP BY event_type),
+    dev AS (SELECT e.event_type, e.event_id, e.value,
+                   ABS(e.value - m.med) AS adev, m.med
+            FROM e JOIN med m ON e.event_type = m.event_type),
+    r2 AS (
+      SELECT event_type, adev,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY adev, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (SELECT event_type,
+                   MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                            THEN adev END) AS mad
+            FROM r2 GROUP BY event_type)
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m.mad), 4) AS mad,
+           CAST(SUM(CASE WHEN m.mad > 0 AND d.adev > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q_value_mad(spark, sf_dir):
+    """ROBUST outlier counts per event type: median absolute deviation
+    (exact medians via the same rank formulation as q_event_quantiles —
+    engine-bit-identical where approx sketches are not), flagging
+    |value - median| > 3 x MAD.  Complements q_value_outliers' z-score:
+    MAD survives the heavy tails that inflate a standard deviation
+    until real outliers z-score as normal.  Two rank passes (value,
+    then absolute deviation), both windowed per type — parallel across
+    groups; mad = 0 types flag nothing (a constant column has no
+    outliers, not all of them).  NULLs excluded up front (NULLS
+    FIRST/LAST rank divergence)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+
+    def _median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        r = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+        return r.groupBy("event_type").agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                    F.col(col),
+                )
+            ).alias(out)
+        )
+
+    med = _median(e, "value", "med")
+    dev = e.join(med, on="event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _median(dev, "adev", "mad")
+    j = dev.join(mad, on="event_type")
+    return j.groupBy("event_type").agg(
+        F.round(F.max("med"), 4).alias("med"),
+        F.round(F.max("mad"), 4).alias("mad"),
+        F.sum(
+            ((F.col("mad") > 0) & (F.col("adev") > 3 * F.col("mad")))
+            .cast("bigint")
+        ).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q_value_histogram",
     """
     WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi
@@ -4053,6 +4140,82 @@ def kg_clustering_coeff(spark, sf_dir):
 
 
 @register(
+    "kg_harmonic",
+    _SQL_EDGES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , sym AS (SELECT src AS a, dst AS b FROM edges
+              UNION SELECT dst, src FROM edges),
+    deg AS (
+      SELECT v, SUM(d) AS degree FROM (
+        SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src
+        UNION ALL
+        SELECT dst, COUNT(*) FROM edges GROUP BY dst
+      ) GROUP BY v),
+    seeds AS (SELECT v FROM deg ORDER BY degree DESC, v LIMIT 4),
+    reach(s, v, dist) AS (
+      SELECT v, v, 0 FROM seeds
+      UNION
+      SELECT reach.s, sym.b, reach.dist + 1
+      FROM reach JOIN sym ON reach.v = sym.a
+      WHERE reach.dist < 3),
+    md AS (SELECT s, v, MIN(dist) AS dist FROM reach GROUP BY 1, 2)
+    SELECT v, ROUND(SUM(1.0 / dist), 6) AS harmonic,
+           CAST(COUNT(*) AS BIGINT) AS n_seeds_reached
+    FROM md WHERE dist > 0 GROUP BY v
+    """,
+)
+def kg_harmonic(spark, sf_dir):
+    """Sampled HARMONIC CENTRALITY: sum of 1/dist from the 4 top-degree
+    seed vertices (deterministic pick: degree desc, id asc), distances
+    by simultaneous multi-source BFS truncated at 3 hops — the
+    pivot-sampling estimator (Eppstein-Wang style) that makes closeness-
+    family centrality tractable at graph scale: cost is seeds x the
+    3-hop neighborhood, not all-pairs shortest paths.  One frontier keyed
+    (seed, v) runs ALL seeds' BFS in the same per-hop shuffle;
+    per-(seed, v) min distance falls out of the frontier discipline
+    (first arrival wins, anti-join on the visited set), matching the
+    oracle's recursive-CTE min."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
+        .groupBy("v")
+        .agg(F.sum("d").alias("degree"))
+    )
+    seeds = deg.orderBy(F.desc("degree"), "v").limit(4).select("v")
+    visited = seeds.select(
+        F.col("v").alias("s"), "v", F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, 4):
+        frontier = (
+            sym.join(
+                frontier.select(F.col("s"), F.col("v").alias("a")), on="a"
+            )
+            .select("s", F.col("b").alias("v"))
+            .distinct()
+            .join(visited.select("s", "v"), on=["s", "v"], how="left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("v")
+        .agg(
+            F.round(F.sum(1.0 / F.col("dist")), 6).alias("harmonic"),
+            F.count("*").alias("n_seeds_reached"),
+        )
+    )
+
+
+@register(
     "kg_kcore",
     _SQL_EDGES
     + _SQL_UND
@@ -4917,6 +5080,8 @@ EXTRA_NAMES = [
     "q_retention_cohorts",
     "q_pivot_daily_types",
     "kg_kcore",
+    "kg_harmonic",
+    "q_value_mad",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
