@@ -2150,6 +2150,72 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "ann_mutual_knn",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+    pr AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+    knn AS (
+      SELECT va, vb, c FROM (
+        SELECT va, vb, c,
+               ROW_NUMBER() OVER (PARTITION BY va
+                                  ORDER BY ROUND(c, 6) DESC, vb) AS rnk
+        FROM pr) WHERE rnk <= 5)
+    SELECT k1.va AS vec_a, k1.vb AS vec_b, ROUND(k1.c, 4) AS cos_sim
+    FROM knn k1 JOIN knn k2 ON k1.va = k2.vb AND k1.vb = k2.va
+    WHERE k1.va < k1.vb
+    """,
+)
+def ann_mutual_knn(spark, sf_dir):
+    """MUTUAL k-NN graph (k=5): keep edge (a, b) only when each is in
+    the other's top-5 by cosine — the standard kNN-graph pruning that
+    strips hub-induced asymmetric edges before density clustering /
+    dedup-by-neighborhood.  Exact all-pairs on a deterministic id-subset
+    (vec_id < 400) so the oracle stays cross-checkable; the 100 TB path
+    generates candidates per LSH/IVF bucket first (ann_lsh_bucket /
+    ann_ivf_topk) and re-ranks exactly within buckets — this operator is
+    then the per-bucket re-rank + the mutual join, identical shape.
+    Rank on round(c, 6) with neighbor-id tie-break (engine parity);
+    vectors travel whole through zip_with folds, never exploded."""
+    from .functions.similarity import cosine_fold
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).localCheckpoint(eager=True)
+    a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    pr = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .withColumn("c", cosine_fold(F.col("ea"), F.col("eb")))
+        .select("va", "vb", "c")
+    )
+    w = Window.partitionBy("va").orderBy(F.desc(F.round("c", 6)), "vb")
+    knn = (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("va", "vb", "c")
+        .localCheckpoint(eager=True)
+    )
+    rev = knn.select(
+        F.col("vb").alias("va"), F.col("va").alias("vb")
+    )
+    return (
+        knn.join(rev, on=["va", "vb"], how="left_semi")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", F.round("c", 4).alias("cos_sim"))
+        .withColumnRenamed("va", "vec_a")
+        .withColumnRenamed("vb", "vec_b")
+    )
+
+
+@register(
     "ann_lsh_bucket",
     """
     WITH b AS (
@@ -5082,6 +5148,7 @@ EXTRA_NAMES = [
     "kg_kcore",
     "kg_harmonic",
     "q_value_mad",
+    "ann_mutual_knn",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
