@@ -4206,6 +4206,83 @@ def kg_clustering_coeff(spark, sf_dir):
 
 
 @register(
+    "kg_assortativity",
+    _SQL_EDGES
+    + _SQL_UND
+    + """
+    ,
+    dg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+    ep AS (SELECT da.deg AS x, db.deg AS y
+           FROM und JOIN dg da ON und.a = da.v JOIN dg db ON und.b = db.v
+           UNION ALL
+           SELECT db.deg, da.deg
+           FROM und JOIN dg da ON und.a = da.v JOIN dg db ON und.b = db.v),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM ep)
+    SELECT n AS n_endpoints,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                  + 1e-12), 6) AS assortativity
+    FROM s
+    """,
+)
+def kg_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the canonical graph (Newman r): Pearson
+    correlation of endpoint degrees over both orientations of every
+    undirected edge — one number that says whether hubs link to hubs
+    (r > 0) or to leaves (r < 0), the structural health check for a
+    KG's hub topology.  Computed from EXPLICIT integer sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) folded in one aggregate — engine-bit-identical where
+    built-in corr()'s streaming update order is not, and the same
+    map-side-combining single pass at any scale.  Degrees are one
+    groupBy; the endpoint join is two broadcast-size dim joins."""
+    und = _und_edges(spark, sf_dir)
+    dg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    j = (
+        und.join(
+            F.broadcast(dg.withColumnRenamed("v", "a")
+                        .withColumnRenamed("deg", "da")), on="a")
+        .join(
+            F.broadcast(dg.withColumnRenamed("v", "b")
+                        .withColumnRenamed("deg", "db")), on="b")
+    )
+    ep = j.select(F.col("da").alias("x"), F.col("db").alias("y")).unionByName(
+        j.select(F.col("db").alias("x"), F.col("da").alias("y"))
+    )
+    s = ep.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = (
+        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        + F.lit(1e-12)
+    )
+    return s.select(
+        F.col("n").alias("n_endpoints"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
+@register(
     "kg_harmonic",
     _SQL_EDGES.replace("WITH ", "WITH RECURSIVE ", 1)
     + """
@@ -5149,6 +5226,7 @@ EXTRA_NAMES = [
     "kg_harmonic",
     "q_value_mad",
     "ann_mutual_knn",
+    "kg_assortativity",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
