@@ -4241,8 +4241,12 @@ def kg_assortativity(spark, sf_dir):
     Σxy, Σx², Σy²) folded in one aggregate — engine-bit-identical where
     built-in corr()'s streaming update order is not, and the same
     map-side-combining single pass at any scale.  Degrees are one
-    groupBy; the endpoint join is two broadcast-size dim joins."""
-    und = _und_edges(spark, sf_dir)
+    groupBy; the endpoint join is two broadcast-size dim joins.  The
+    edge table is checkpointed once — it feeds both the degree dim and
+    the endpoint join, and without the checkpoint the whole extraction
+    cascade underneath it re-evaluates per consumer (3x wall at the 10x
+    vet fixture)."""
+    und = _und_edges(spark, sf_dir).localCheckpoint(eager=True)
     dg = (
         und.select(F.col("a").alias("v"))
         .unionByName(und.select(F.col("b").alias("v")))
