@@ -71,23 +71,34 @@ def link_against_graph(triples, nodes):
     """LEFT-join triple endpoints to the persisted graph's
     (surface, ent_type) -> canonical_id dimension.  Known entities get
     their graph ids (columns src/dst), novel ones null — the serving
-    contract.  surface_forms explode to one dim row per known surface;
-    the dim is broadcast (it is the already-aggregated nodes table)."""
+    contract.  surface_forms explode to one dim row per known surface.
+
+    SIZE-GATED broadcast, same rule and threshold as
+    graph/materialize.attach_canonical_ids (r1 VERDICT): a persisted
+    graph with hundreds of millions of distinct surfaces
+    unconditionally broadcast — twice, sub and obj side — OOMs
+    executors; above the gate the join falls back to a shuffle and AQE
+    handles skewed hub surfaces.  (Not a call into attach_canonical_ids
+    itself only because serving must LEFT-join: the pipeline's inner
+    join would silently drop every novel-entity prediction.)"""
     from pyspark.sql import functions as F
+
+    from kgforge.graph.materialize import BROADCAST_DIM_MAX_ROWS
 
     dim = nodes.select(
         "canonical_id",
         "ent_type",
         F.explode("surface_forms").alias("surface"),
-    )
-    sub = F.broadcast(
+    ).localCheckpoint(eager=True)
+    hint = F.broadcast if dim.count() <= BROADCAST_DIM_MAX_ROWS else (lambda d: d)
+    sub = hint(
         dim.select(
             F.col("surface").alias("subj"),
             F.col("ent_type").alias("subj_type"),
             F.col("canonical_id").alias("src"),
         )
     )
-    obj = F.broadcast(
+    obj = hint(
         dim.select(
             F.col("surface").alias("obj"),
             F.col("ent_type").alias("obj_type"),

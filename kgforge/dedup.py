@@ -184,6 +184,10 @@ def dedup_minhash_incremental(
         "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
     )
 
+    # delta_sig/delta_shingle are the BATCH's rows alone — the streaming
+    # epoch store persists only these (O(batch) write per epoch, the
+    # accumulated tables re-assemble by unioning epoch deltas at read
+    # time); sig/shingle stay the accumulated views for the batch API.
     if state is None:
         new_state = {"sig": new_sig, "shingle": new_sh}
     else:
@@ -191,4 +195,6 @@ def dedup_minhash_incremental(
             "sig": state["sig"].select(*new_sig.columns).unionByName(new_sig),
             "shingle": state["shingle"].unionByName(new_sh),
         }
+    new_state["delta_sig"] = new_sig
+    new_state["delta_shingle"] = new_sh
     return pairs, new_state

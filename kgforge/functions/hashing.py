@@ -51,19 +51,29 @@ def sql_charfold(expr: str) -> str:
 def shingles_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sh) — distinct 3-token shingles per document; the unit
     under every near-dup operator.  Pure JVM higher-order functions, no
-    Python in the loop."""
+    Python in the loop.
+
+    Documents with fewer than 3 tokens produce ZERO shingles, not an
+    error: F.sequence(1, size-2) is DESCENDING ([1, 0]) when size <= 2
+    and element_at then throws under ANSI mode — guarded with an
+    explicit when().  The DuckDB twin (SQL_SHINGLES positional
+    self-join) naturally yields no rows for short docs, so both engines
+    agree on empty."""
     toks = F.split(text_col, " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
+    sh = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select("doc_id", F.explode(sh).alias("sh"))
 
 

@@ -343,12 +343,26 @@ def run_incremental_dedup(
       state_dir/_LATEST -> N  (informational; _COMPLETE markers are
                                authoritative)
 
+    Each epoch dir stores only the BATCH's sig/shingle rows (deltas):
+    per-epoch write I/O is O(batch), never O(accumulated corpus) — at
+    the corpus scales dedup.py targets, rewriting the full shingle
+    inverted index per micro-batch would dwarf the delta-scoped join
+    work the incremental design buys.  The accumulated state is the
+    union of completed epoch deltas (signatures are append-only facts
+    keyed by doc_id, so the union IS the table; compact periodically
+    into a bucketed table when epoch count grows).
+
     Replays after restart are absorbed by the marker (an epoch is never
-    merged twice); reading epoch N-1 while writing epoch N never
-    overwrites what is being read.  The union of pairs/ across epochs
-    equals the one-shot pair set over the accumulated corpus (the
-    three-epoch property test on the batch API, exercised end-to-end
-    here by the streaming test)."""
+    merged twice); reading prior epochs while writing epoch N never
+    overwrites what is being read.
+
+    Pair-set contract: each epoch's pairs/ is exact for the corpus AS
+    ACCUMULATED AT THAT EPOCH.  The union across epochs therefore
+    equals the one-shot run UNLESS a band bucket crosses max_bucket
+    between epochs: pairs an earlier epoch emitted from a
+    since-saturated bucket persist, while a from-scratch rebuild would
+    suppress that whole bucket.  Reconciling against a rebuild must
+    allow that strict-superset case (see read_dedup_pairs)."""
     import os
 
     from .dedup import dedup_minhash_incremental
@@ -359,41 +373,55 @@ def run_incremental_dedup(
             f.write(str(epoch))
         os.replace(tmp, os.path.join(state_dir, "_LATEST"))
 
+    def _completed_dirs() -> list[str]:
+        if not os.path.isdir(state_dir):
+            return []
+        return sorted(
+            os.path.join(state_dir, d)
+            for d in os.listdir(state_dir)
+            if d.startswith("epoch=")
+            and os.path.exists(os.path.join(state_dir, d, "_COMPLETE"))
+        )
+
     def upsert(batch_df, epoch_id: int) -> None:
+        import json as _json
+
         os.makedirs(state_dir, exist_ok=True)
         edir = os.path.join(state_dir, f"epoch={epoch_id}")
         if os.path.exists(os.path.join(edir, "_COMPLETE")):
             return  # replayed batch after restart
-        prev = latest_complete_epoch(state_dir)
-        if prev is None:
-            state = None
+        done = _completed_dirs()
+        if not done:
+            state, prev_n = None, 0
         else:
-            pdir = os.path.join(state_dir, f"epoch={prev}")
             state = {
-                "sig": spark.read.parquet(os.path.join(pdir, "sig")),
-                "shingle": spark.read.parquet(os.path.join(pdir, "shingle")),
+                "sig": spark.read.parquet(*[os.path.join(d, "sig") for d in done]),
+                "shingle": spark.read.parquet(
+                    *[os.path.join(d, "shingle") for d in done]
+                ),
             }
+            with open(os.path.join(done[-1], "metrics.json")) as f:
+                prev_n = _json.load(f)["n_state_docs"]
         pairs, new_state = dedup_minhash_incremental(
             batch_df.select("doc_id", "text"), state
         )
         pairs.write.mode("overwrite").parquet(os.path.join(edir, "pairs"))
-        new_state["sig"].write.mode("overwrite").parquet(
+        new_state["delta_sig"].write.mode("overwrite").parquet(
             os.path.join(edir, "sig")
         )
-        new_state["shingle"].write.mode("overwrite").parquet(
+        new_state["delta_shingle"].write.mode("overwrite").parquet(
             os.path.join(edir, "shingle")
         )
-        # per-epoch lineage metrics (the counts come off the files just
-        # written — no recompute), same role as the batch pipeline's
-        # lineage manifest: an operator can audit epoch growth without
-        # replaying it
-        import json as _json
-
+        # per-epoch lineage metrics: delta counts off the files just
+        # written; the accumulated count is prior metrics + delta (O(1),
+        # no corpus rescan)
+        n_delta = spark.read.parquet(os.path.join(edir, "sig")).count()
         metrics = {
             "epoch": epoch_id,
             "n_batch_docs": batch_df.count(),
             "n_pairs": spark.read.parquet(os.path.join(edir, "pairs")).count(),
-            "n_state_docs": spark.read.parquet(os.path.join(edir, "sig")).count(),
+            "n_delta_docs": n_delta,
+            "n_state_docs": prev_n + n_delta,
         }
         with open(os.path.join(edir, "metrics.json"), "w") as f:
             _json.dump(metrics, f)
@@ -416,8 +444,16 @@ def run_incremental_dedup(
 
 
 def read_dedup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Union of every completed epoch's emitted pairs — equals the
-    one-shot pair set over the accumulated corpus."""
+    """Union of every completed epoch's emitted pairs.
+
+    Equals the one-shot pair set over the accumulated corpus as long as
+    no band bucket crossed max_bucket BETWEEN epochs; a since-saturated
+    bucket's earlier pairs persist here while a from-scratch rebuild
+    suppresses that bucket entirely, making this a strict superset in
+    that case (each epoch's pairs were exact for the corpus as it stood
+    — history is not rewritten).  The three-epoch equality test pins
+    the under-cap case; reconciliation against rebuilds must allow the
+    superset."""
     import os
 
     latest = latest_complete_epoch(state_dir)

@@ -94,7 +94,10 @@ bucket neighborhood (plus a band projection of the signature table),
 while from-scratch re-shingles, re-hashes, and re-self-joins the entire
 accumulated corpus every epoch.  The from-scratch pair count is larger
 because it emits old-old pairs the incremental run already emitted in
-prior epochs — the per-epoch union equals it (property-tested).
+prior epochs — the per-epoch union equals it while no band bucket
+crosses the hot cap between epochs (property-tested for that case; a
+since-saturated bucket's earlier pairs persist as a strict superset,
+see streaming.read_dedup_pairs).
 """
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -76,7 +76,13 @@ def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
         "event_id": pa.array(range(n), pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, 15000, size=n), pa.int64()),
-        "event_type": [f"type{t}" for t in rng.integers(0, 5, size=n)],
+        # the REAL fixture type names — q_funnel_steps/q_pivot_daily_types
+        # filter on these literally; synthetic names would vet those
+        # queries against empty inputs (r5 self-review finding)
+        "event_type": [
+            ["click", "error", "purchase", "signup", "view"][t]
+            for t in rng.integers(0, 5, size=n)
+        ],
         "value": pa.array(
             np.round(rng.exponential(60.0, size=n), 2), pa.float64()
         ),

@@ -95,6 +95,25 @@ def test_three_epoch_union_covers_all_pairs(spark):
 import pytest
 
 
+def test_short_documents_yield_zero_shingles_not_errors(spark):
+    """Documents with < 3 tokens (or empty) must produce zero shingles:
+    F.sequence(1, size-2) is DESCENDING when size <= 2 and element_at
+    then throws under ANSI mode — the streaming dedup path consumes
+    arbitrary JSON, so one short doc must not kill the micro-batch
+    (r5 self-review finding, empirically confirmed crash before fix)."""
+    from kgforge.dedup import build_state, dedup_minhash_incremental
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "a"),
+         (4, "x y z w v u t s r q p o")],
+        "doc_id bigint, text string",
+    )
+    state = build_state(docs.filter("doc_id < 3"))
+    pairs, st = dedup_minhash_incremental(docs.filter("doc_id >= 3"), state)
+    assert pairs.count() == 0
+    assert st["sig"].count() == 1  # only the >=3-token doc has a signature
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_random_split_equals_one_shot(spark, seed):
     """The two-batch == one-shot property under arbitrary (seeded
