@@ -73,37 +73,58 @@ def link_against_graph(triples, nodes):
     their graph ids (columns src/dst), novel ones null — the serving
     contract.  surface_forms explode to one dim row per known surface.
 
-    SIZE-GATED broadcast, same rule and threshold as
-    graph/materialize.attach_canonical_ids (r1 VERDICT): a persisted
-    graph with hundreds of millions of distinct surfaces
+    The dim is DEDUPED to exactly one canonical_id per (surface,
+    ent_type) before the endpoint joins: after cross-epoch merge_nodes
+    unions, a surface reassigned between canonical ids can legitimately
+    appear under two nodes of the same type, and a LEFT join against
+    the raw explode would fan each triple out into duplicate prediction
+    rows (r5 ADVICE).  Winner = highest mention_count, ties to the
+    smallest canonical_id — the dominant assignment, deterministically.
+
+    SIZE-GATED broadcast (kgforge/functions/joins.maybe_broadcast, same
+    rule and threshold as graph/materialize.attach_canonical_ids): a
+    persisted graph with hundreds of millions of distinct surfaces
     unconditionally broadcast — twice, sub and obj side — OOMs
     executors; above the gate the join falls back to a shuffle and AQE
     handles skewed hub surfaces.  (Not a call into attach_canonical_ids
     itself only because serving must LEFT-join: the pipeline's inner
     join would silently drop every novel-entity prediction.)"""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from kgforge.graph.materialize import BROADCAST_DIM_MAX_ROWS
+    from kgforge.functions.joins import maybe_broadcast
 
-    dim = nodes.select(
-        "canonical_id",
-        "ent_type",
-        F.explode("surface_forms").alias("surface"),
-    ).localCheckpoint(eager=True)
-    hint = F.broadcast if dim.count() <= BROADCAST_DIM_MAX_ROWS else (lambda d: d)
-    sub = hint(
+    w = Window.partitionBy("surface", "ent_type").orderBy(
+        F.desc("mention_count"), F.asc("canonical_id")
+    )
+    dim = (
+        nodes.select(
+            "canonical_id",
+            "ent_type",
+            "mention_count",
+            F.explode("surface_forms").alias("surface"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("canonical_id", "ent_type", "surface")
+        .localCheckpoint(eager=True)
+    )
+    n_dim = dim.count()
+    sub = maybe_broadcast(
         dim.select(
             F.col("surface").alias("subj"),
             F.col("ent_type").alias("subj_type"),
             F.col("canonical_id").alias("src"),
-        )
+        ),
+        n_rows=n_dim,
     )
-    obj = hint(
+    obj = maybe_broadcast(
         dim.select(
             F.col("surface").alias("obj"),
             F.col("ent_type").alias("obj_type"),
             F.col("canonical_id").alias("dst"),
-        )
+        ),
+        n_rows=n_dim,
     )
     return triples.join(sub, on=["subj", "subj_type"], how="left").join(
         obj, on=["obj", "obj_type"], how="left"

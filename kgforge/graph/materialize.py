@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.joins import BROADCAST_DIM_MAX_ROWS, maybe_broadcast
 from ..link.canonical import entity_vertices, lsh_candidate_pairs
 from ..link.cc import connected_components
 
@@ -61,7 +62,8 @@ def build_nodes(canonical: DataFrame) -> DataFrame:
     )
 
 
-BROADCAST_DIM_MAX_ROWS = 5_000_000  # ~a few hundred MB of (surface, id) rows
+# BROADCAST_DIM_MAX_ROWS now lives in functions/joins.py (re-exported
+# above because pre-r6 callers import it from this module).
 
 
 def attach_canonical_ids(
@@ -71,26 +73,29 @@ def attach_canonical_ids(
 ) -> DataFrame:
     """Join triples to canonical ids on both endpoints.
 
-    SIZE-GATED broadcast: the entity dimension is usually small relative
-    to triples, but at 100 TB the distinct-surface dim can reach hundreds
-    of millions of rows — unconditionally broadcasting it OOMs executors
-    (r1 VERDICT 'What's wrong' #3).  The dim is counted once (it comes off
-    a localCheckpoint in canonical_entities, so the count is a cheap scan);
-    above the threshold we fall back to a plain shuffle join on
-    (surface, ent_type) and let AQE handle skewed hub surfaces."""
+    SIZE-GATED broadcast (functions/joins.maybe_broadcast): the entity
+    dimension is usually small relative to triples, but at 100 TB the
+    distinct-surface dim can reach hundreds of millions of rows —
+    unconditionally broadcasting it OOMs executors (r1 VERDICT 'What's
+    wrong' #3).  The dim is counted once (it comes off a localCheckpoint
+    in canonical_entities, so the count is a cheap scan); above the
+    threshold we fall back to a plain shuffle join on (surface,
+    ent_type) and let AQE handle skewed hub surfaces."""
     dim = canonical.select(
         "surface", "ent_type", "canonical_id"
     )
-    hint = F.broadcast if dim.count() <= broadcast_max_rows else (lambda d: d)
-    sub_dim = hint(
+    n_dim = dim.count()
+    sub_dim = maybe_broadcast(
         dim.withColumnRenamed("surface", "subj")
         .withColumnRenamed("ent_type", "subj_type_x")
-        .withColumnRenamed("canonical_id", "src")
+        .withColumnRenamed("canonical_id", "src"),
+        n_rows=n_dim, max_rows=broadcast_max_rows,
     )
-    obj_dim = hint(
+    obj_dim = maybe_broadcast(
         dim.withColumnRenamed("surface", "obj")
         .withColumnRenamed("ent_type", "obj_type_x")
-        .withColumnRenamed("canonical_id", "dst")
+        .withColumnRenamed("canonical_id", "dst"),
+        n_rows=n_dim, max_rows=broadcast_max_rows,
     )
     t = triples.join(
         sub_dim,

@@ -21,16 +21,29 @@ def assemble_predict_json(
     """triples(key..., subj, pred, obj) -> one JSON line per key group:
     ``{"relations": [{"subject": ..., "relation": ..., "object": ...}]}``.
 
+    When the triples carry graph-link columns ``src``/``dst`` (serving
+    with --graph, jobs/predict_job.link_against_graph), each relation
+    additionally carries ``subject_id``/``object_id`` — recognized
+    entities ship their canonical graph ids in the payload; novel
+    entities have null ids, which to_json omits (field absent = novel).
+
     The relations array is sort_array'd (struct field order: subject,
-    relation, object) so output is parallelism-invariant; groups exist
-    only for keys with >= 1 triple — the reference's
-    ``len(relations) > 0`` filter falls out of the groupBy."""
+    relation, object lead, so the id columns never change the ordering)
+    — output is parallelism-invariant; groups exist only for keys with
+    >= 1 triple — the reference's ``len(relations) > 0`` filter falls
+    out of the groupBy."""
     keys = key_cols or ["repo", "path", "unit_id"]
-    rel = F.struct(
+    fields = [
         F.col("subj").alias("subject"),
         F.col("pred").alias("relation"),
         F.col("obj").alias("object"),
-    )
+    ]
+    if "src" in triples.columns and "dst" in triples.columns:
+        fields += [
+            F.col("src").alias("subject_id"),
+            F.col("dst").alias("object_id"),
+        ]
+    rel = F.struct(*fields)
     agg = triples.groupBy(*keys).agg(
         F.sort_array(F.collect_list(rel)).alias("relations")
     )

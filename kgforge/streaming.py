@@ -374,13 +374,19 @@ def run_incremental_dedup(
         os.replace(tmp, os.path.join(state_dir, "_LATEST"))
 
     def _completed_dirs() -> list[str]:
+        # NUMERIC epoch order: lexicographic sorting puts 'epoch=10'
+        # before 'epoch=9', so done[-1] would read a stale epoch's
+        # metrics.json from epoch 10 onward (r5 ADVICE).
         if not os.path.isdir(state_dir):
             return []
         return sorted(
-            os.path.join(state_dir, d)
-            for d in os.listdir(state_dir)
-            if d.startswith("epoch=")
-            and os.path.exists(os.path.join(state_dir, d, "_COMPLETE"))
+            (
+                os.path.join(state_dir, d)
+                for d in os.listdir(state_dir)
+                if d.startswith("epoch=")
+                and os.path.exists(os.path.join(state_dir, d, "_COMPLETE"))
+            ),
+            key=lambda d: int(d.rsplit("=", 1)[1]),
         )
 
     def upsert(batch_df, epoch_id: int) -> None:

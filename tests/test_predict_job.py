@@ -74,3 +74,13 @@ def test_predict_job_graph_linking(spark, tmp_path, capsys, monkeypatch):
     # same corpus built the graph -> most serving triples link fully
     assert summary["triples_fully_linked"] > 0
     assert summary["triples_fully_linked"] <= summary["triples"]
+
+    # the canonical ids REACH the written payload (r5 ADVICE): linked
+    # relations carry subject_id/object_id; novel endpoints omit the
+    # field (to_json drops nulls)
+    lines = [
+        json.loads(r.value)
+        for r in spark.read.text(str(out)).collect()
+    ]
+    rels = [rel for d in lines for rel in d["relations"]]
+    assert any("subject_id" in rel and "object_id" in rel for rel in rels)
