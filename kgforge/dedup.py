@@ -72,6 +72,99 @@ def load_state(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     }
 
 
+def _exact_jaccard_pairs(
+    cand: DataFrame,
+    sh_all: DataFrame,
+    counts: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against a shingle
+    table: shared-shingle count per (doc_a, doc_b) joined to each
+    endpoint's distinct-shingle count.  ``counts`` is (doc_id, n);
+    ``sh_all`` is (doc_id, sh) covering at least every candidate doc."""
+    sh_a = sh_all.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh_all.select(F.col("doc_id").alias("doc_b"), "sh")
+    shared = (
+        cand.join(sh_a, on="doc_a")
+        .join(sh_b, on=["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    j = (
+        cand.join(shared, on=["doc_a", "doc_b"], how="left")
+        .fillna(0, subset=["shared"])
+        .join(
+            counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            on="doc_a",
+        )
+        .join(
+            counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            on="doc_b",
+        )
+        .withColumn(
+            "jac",
+            F.col("shared")
+            / (F.col("na") + F.col("nb") - F.col("shared") + F.lit(1e-12)),
+        )
+    )
+    return j.filter(F.col("jac") >= threshold).select(
+        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
+    )
+
+
+def pairs_from_state(
+    state: dict[str, DataFrame],
+    *,
+    max_bucket: int = MAX_BUCKET,
+    threshold: float = THRESHOLD,
+) -> DataFrame:
+    """FROM-SCRATCH pair set over the accumulated corpus, computed
+    entirely from persisted state (sig + shingle) — text is never
+    rescanned, signatures never recomputed.
+
+    Semantics == the one-shot ``dedup_minhash_incremental(docs, None)``
+    over the same corpus: band buckets and the hot-bucket cap are
+    evaluated on the FULL accumulated band table, so a bucket that
+    saturated only across epochs is suppressed here exactly as a
+    rebuild would suppress it.  This is the reconciliation path for the
+    epoch-union's strict-superset caveat —
+    streaming.compact_epochs(rebuild_pairs=True) swaps the accumulated
+    pair union for this set at compaction time."""
+    sig = state["sig"]
+    bands = signature_bands(sig)
+    hot = (
+        bands.groupBy("band", "k0", "k1")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band", "k0", "k1")
+    )
+    kept = bands.join(F.broadcast(hot), on=["band", "k0", "k1"], how="left_anti")
+    cand = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k0") == F.col("b.k0"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_needed = state["shingle"].join(cand_docs, on="doc_id", how="left_semi")
+    counts = sig.select("doc_id", F.col("n_sh").alias("n"))
+    return _exact_jaccard_pairs(cand, sh_needed, counts, threshold)
+
+
 def dedup_minhash_incremental(
     new_docs: DataFrame,
     state: dict[str, DataFrame] | None,
@@ -155,34 +248,7 @@ def dedup_minhash_incremental(
         sig_all = new_sig.unionByName(old_sig.select(*new_sig.columns))
 
     counts = sig_all.select("doc_id", F.col("n_sh").alias("n"))
-    sh_a = sh_all.select(F.col("doc_id").alias("doc_a"), "sh")
-    sh_b = sh_all.select(F.col("doc_id").alias("doc_b"), "sh")
-    shared = (
-        cand.join(sh_a, on="doc_a")
-        .join(sh_b, on=["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    j = (
-        cand.join(shared, on=["doc_a", "doc_b"], how="left")
-        .fillna(0, subset=["shared"])
-        .join(
-            counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
-            on="doc_a",
-        )
-        .join(
-            counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
-            on="doc_b",
-        )
-        .withColumn(
-            "jac",
-            F.col("shared")
-            / (F.col("na") + F.col("nb") - F.col("shared") + F.lit(1e-12)),
-        )
-    )
-    pairs = j.filter(F.col("jac") >= threshold).select(
-        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
-    )
+    pairs = _exact_jaccard_pairs(cand, sh_all, counts, threshold)
 
     # delta_sig/delta_shingle are the BATCH's rows alone — the streaming
     # epoch store persists only these (O(batch) write per epoch, the

@@ -24,26 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pagerank(
-    de: DataFrame,
-    *,
-    rounds: int | None = 3,
-    damping: float = 0.85,
-    tol: float = 1e-6,
-    max_rounds: int = 50,
-    seed=None,
-) -> DataFrame:
-    """PageRank over distinct directed edges ``de(src, dst)``.  Returns
-    (v, pr) unrounded.
-
-    ``seed=None`` (global): uniform restart vector, dangling mass
-    redistributed uniformly.  ``seed=<vertex id>`` (personalized): the
-    restart vector is concentrated at the seed and dangling mass
-    returns to it — PPR, scores measure proximity to the seed.
-
-    ``rounds=None``: power-iterate until ``max |pr_t - pr_{t-1}| < tol``,
-    raising after ``max_rounds`` — the guard, not a silent cap.
-    """
+def _pr_setup(de: DataFrame):
+    """(de, verts, n, od) shared by the iteration loop and the external
+    fixpoint-residual check."""
     de = de.localCheckpoint(eager=True)
     verts = (
         de.select(F.col("src").alias("v"))
@@ -53,6 +36,87 @@ def pagerank(
     )
     n = verts.count()
     od = de.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    return de, verts, n, od
+
+
+def _pr_step(de, verts, n, od, pr, damping, seed, restart) -> DataFrame:
+    """ONE synchronous power-iteration step — the only place the update
+    rule lives, shared by pagerank()'s loop and pagerank_residual()."""
+    dangling = (
+        pr.join(od, pr.v == od.src, "left_anti")
+        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
+        .collect()[0][0]
+    )
+    contrib = (
+        de.join(pr.withColumnRenamed("v", "src"), on="src")
+        .join(od, on="src")
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+    )
+    if seed is None:
+        new_col = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling / n))
+        )
+    else:
+        new_col = (
+            F.lit(1.0 - damping) * restart
+            + F.lit(damping)
+            * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling) * restart)
+        )
+    return (
+        verts.join(contrib, on="v", how="left")
+        .select("v", new_col.alias("pr"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def pagerank_residual(
+    de: DataFrame, pr: DataFrame, *, damping: float = 0.85, seed=None
+) -> float:
+    """Fixpoint residual ``max |step(pr) - pr|`` of a rank vector under
+    one more synchronous step.  A vector pagerank(rounds=None, tol=t)
+    returned satisfies residual < t (power iteration contracts, so the
+    step AFTER the converged one is no larger than the converged delta)
+    — the assertable invariant kg_pagerank_converged ships."""
+    de, verts, n, od = _pr_setup(de)
+    restart = F.lit(1.0 / n) if seed is None else (
+        F.col("v") == seed
+    ).cast("double")
+    nxt = _pr_step(de, verts, n, od, pr, damping, seed, restart)
+    return (
+        nxt.alias("a")
+        .join(pr.alias("b"), on="v")
+        .agg(F.max(F.abs(F.col("a.pr") - F.col("b.pr"))))
+        .collect()[0][0]
+    )
+
+
+def pagerank(
+    de: DataFrame,
+    *,
+    rounds: int | None = 3,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_rounds: int = 50,
+    seed=None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """PageRank over distinct directed edges ``de(src, dst)``.  Returns
+    (v, pr) unrounded.  ``stats`` (optional dict) receives
+    {'rounds': executed, 'last_delta': max |pr_t - pr_{t-1}|} — the
+    convergence record benches report.
+
+    ``seed=None`` (global): uniform restart vector, dangling mass
+    redistributed uniformly.  ``seed=<vertex id>`` (personalized): the
+    restart vector is concentrated at the seed and dangling mass
+    returns to it — PPR, scores measure proximity to the seed.
+
+    ``rounds=None``: power-iterate until ``max |pr_t - pr_{t-1}| < tol``,
+    raising after ``max_rounds`` — the guard, not a silent cap.
+    """
+    de, verts, n, od = _pr_setup(de)
     if seed is None:
         restart = F.lit(1.0 / n)
     else:
@@ -61,34 +125,7 @@ def pagerank(
 
     n_rounds = rounds if rounds is not None else max_rounds
     for i in range(n_rounds):
-        dangling = (
-            pr.join(od, pr.v == od.src, "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-            .collect()[0][0]
-        )
-        contrib = (
-            de.join(pr.withColumnRenamed("v", "src"), on="src")
-            .join(od, on="src")
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
-        )
-        if seed is None:
-            new_col = (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling / n))
-            )
-        else:
-            new_col = (
-                F.lit(1.0 - damping) * restart
-                + F.lit(damping)
-                * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling) * restart)
-            )
-        new_pr = (
-            verts.join(contrib, on="v", how="left")
-            .select("v", new_col.alias("pr"))
-            .localCheckpoint(eager=True)
-        )
+        new_pr = _pr_step(de, verts, n, od, pr, damping, seed, restart)
         if rounds is None:
             delta = (
                 new_pr.alias("a")
@@ -97,10 +134,14 @@ def pagerank(
                 .collect()[0][0]
             )
             pr = new_pr
+            if stats is not None:
+                stats["rounds"], stats["last_delta"] = i + 1, delta
             if delta < tol:
                 break
         else:
             pr = new_pr
+            if stats is not None:
+                stats["rounds"] = i + 1
     else:
         if rounds is None:
             raise RuntimeError(
@@ -115,6 +156,7 @@ def kcore(
     *,
     rounds: int | None = None,
     max_rounds: int = 100,
+    stats: dict | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling over undirected edges
     ``und(a, b)`` (one row per edge, a < b): repeatedly drop vertices
@@ -143,6 +185,8 @@ def kcore(
             .join(keep.withColumnRenamed("v", "b"), on="b", how="left_semi")
             .localCheckpoint(eager=True)
         )
+        if stats is not None:
+            stats["rounds"] = i + 1
         if rounds is None:
             if new_edges.count() == edges.count():
                 edges = new_edges
@@ -165,6 +209,7 @@ def lpa_communities(
     *,
     rounds: int | None = 3,
     max_rounds: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Synchronous label propagation over a symmetric neighbor list
     ``nbr(v, u)`` (both directions present).  Deterministic update:
@@ -207,6 +252,8 @@ def lpa_communities(
             )
             .localCheckpoint(eager=True)
         )
+        if stats is not None:
+            stats["rounds"] = i + 1
         if rounds is None:
             if _changed(new_labels, labels) == 0:
                 labels = new_labels

@@ -1268,6 +1268,57 @@ def q_retention_cohorts(spark, sf_dir):
     ).agg(F.countDistinct("user_id").alias("n_users"))
 
 
+@register(
+    "q_retention_cohorts_approx",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+               FROM events GROUP BY user_id)
+    SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+           CAST(datediff('day', f.d0, CAST(e.ts AS DATE)) AS BIGINT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS within_10pct
+    FROM events e JOIN f ON e.user_id = f.user_id
+    WHERE datediff('day', f.d0, CAST(e.ts AS DATE)) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts_approx(spark, sf_dir):
+    """PRODUCTION twin of q_retention_cohorts (r5 VERDICT #5): the
+    distinct-user count via approx_count_distinct (HLL++, rsd=0.02) —
+    at 100 TB the exact COUNT(DISTINCT) expands every (cell, user) pair
+    through the shuffle, while the sketch keeps per-cell state at a few
+    KB and merges map-side.  This measurement form computes BOTH in one
+    aggregate and ships a BOUND-ASSERTING result: per cell, the exact
+    count plus within_10pct = (|approx - exact| <= 10% of exact) — HLL++
+    is hash-deterministic, so the booleans are stable and the oracle
+    pins them TRUE alongside the exact counts.  Measured error vs exact
+    at sf0.1 (max observed 0.93% at rsd=0.02 — an order of magnitude
+    inside the bound): BENCH/APPROX.md, scripts/bench_approx.py.  The
+    approx-only production query is this plan minus the countDistinct
+    leg."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    j = e.join(f, on="user_id").withColumn(
+        "day_offset", F.datediff(F.to_date("ts"), F.col("d0")).cast("bigint")
+    ).filter(F.col("day_offset") <= 7)
+    g = j.groupBy(
+        F.col("d0").cast("string").alias("cohort_day"), "day_offset"
+    ).agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+    return g.select(
+        "cohort_day",
+        "day_offset",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+            <= 0.10 * F.col("n_users_exact")
+        ).alias("within_10pct"),
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4789,6 +4840,48 @@ def kg_pagerank(spark, sf_dir):
     return pagerank(de, rounds=3).select("v", F.round("pr", 8).alias("pr"))
 
 
+@register(
+    "kg_pagerank_converged",
+    _SQL_EDGES
+    + """
+    , dedges AS (SELECT DISTINCT src, dst FROM edges),
+    verts AS (SELECT src AS v FROM dedges UNION SELECT dst FROM dedges)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(1.0 AS DOUBLE) AS sum_pr,
+           TRUE AS fixpoint_ok
+    FROM verts
+    """,
+)
+def kg_pagerank_converged(spark, sf_dir):
+    """CONVERGED PageRank consumed end-to-end (r5 VERDICT #4): the
+    production mode — graph/algo.pagerank(rounds=None) power-iterating
+    to tol=1e-6 under the non-silent guard — feeding a FIXPOINT-
+    ASSERTING summary.  Columns: vertex count (oracle-derivable from
+    the edge table), total rank mass (sums to 1 under uniform restart +
+    uniform dangling redistribution; rounded to 4dp to absorb float
+    summation order), and fixpoint_ok = one FURTHER synchronous step
+    moves no vertex by more than tol (algo.pagerank_residual — the same
+    _pr_step code the loop runs, so the assertion exercises the update
+    rule, not a copy).  The oracle pins the invariants' expected
+    values; rounds-to-converge and wall/round — not SQL-derivable — are
+    measured in BENCH/CONVERGENCE.md (scripts/bench_convergence.py)."""
+    from .graph.algo import pagerank, pagerank_residual
+
+    tol = 1e-6
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    de = e.select("src", "dst").distinct().localCheckpoint(eager=True)
+    pr = pagerank(de, rounds=None, tol=tol, max_rounds=150).localCheckpoint(
+        eager=True
+    )
+    resid = pagerank_residual(de, pr)
+    n_v = pr.count()
+    mass = pr.agg(F.sum("pr")).collect()[0][0]
+    return spark.createDataFrame(
+        [(n_v, float(round(mass, 4)), bool(resid <= tol))],
+        "n_vertices bigint, sum_pr double, fixpoint_ok boolean",
+    )
+
+
 _PACK_CAP = 128  # token budget per packed sequence (context-window bin)
 
 
@@ -5241,19 +5334,14 @@ EXTRA_NAMES = [
     "dedup_winnow_pairs",
     "ann_sq8_recall",
     "ann_pq_recall",
-    "kg_triangles",
     "q_sessionize",
     "q_distinct_kmv",
-    "text_bm25_topk",
-    "kg_link_prediction",
     "ann_rp_lsh_recall",
     "sample_weighted_reservoir",
     "q_rolling_active_users",
     "q_rollup_revenue",
     "q_asof_prior_view",
-    "text_bm25_search",
     "q_value_outliers",
-    "text_pmi_bigrams",
     "q_profile_events",
     # r5: new product-analytics + graph-cleaning ops — EXTRA (driver
     # slots hold this round's changed queries; the events family is
@@ -5266,7 +5354,28 @@ EXTRA_NAMES = [
     "kg_harmonic",
     "q_value_mad",
     "ann_mutual_knn",
-    "kg_assortativity",
+    # r6 rotation: kg_triangles/kg_link_prediction/kg_assortativity moved
+    # INTO driver slots (changed this round: size-gated dim broadcasts);
+    # displaced unchanged twins below — kg_pagerank/kg_ppr's family is
+    # driver-covered by kg_pagerank_converged (the stronger production
+    # mode), the events family by q_funnel/retention analogs already
+    # swept locally plus kg_pred_histogram's histogram shape.
+    "kg_pagerank",
+    "kg_ppr",
+    "q_event_quantiles",
+    "q_value_histogram",
+    # r6: new measurement twin (driver keeps the exact form as its
+    # oracle row, q_retention_cohorts)
+    "q_retention_cohorts_approx",
+    # r6 rotation, second application: text_bm25_search/text_bm25_topk/
+    # text_pmi_bigrams gained vocabulary-bound annotations this round —
+    # comment-only, but the mechanical rule doesn't adjudicate intent,
+    # so they take driver slots; displaced unchanged twins below keep
+    # family coverage (BPE via bpe_merges, IVF via ann_ivf_recall,
+    # context via kg_context_triples/kg_ctx_cross).
+    "token_counts_bpe",
+    "ann_ivf_topk",
+    "kg_context_units",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -209,6 +209,174 @@ def latest_complete_epoch(state_dir: str) -> int | None:
     return latest
 
 
+def dedup_state_layout(state_dir: str) -> list[str]:
+    """Authoritative read rule for incremental-dedup state: the newest
+    COMPLETE compacted snapshot (``compacted=N``, holding everything
+    through epoch N) plus every complete epoch delta STRICTLY newer
+    than N, in numeric epoch order.
+
+    Epoch dirs <= N are ignored even if still on disk — a crash between
+    a compaction's atomic rename and its source cleanup legitimately
+    leaves them behind, and reading them alongside the snapshot would
+    double-count their rows.  ``*.tmp`` compaction dirs (no _COMPLETE,
+    un-renamed) are never read."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    comp: tuple[int, str] | None = None
+    for name in os.listdir(state_dir):
+        if (
+            name.startswith("compacted=")
+            and not name.endswith(".tmp")
+            and os.path.exists(os.path.join(state_dir, name, "_COMPLETE"))
+        ):
+            n = int(name.split("=", 1)[1])
+            if comp is None or n > comp[0]:
+                comp = (n, os.path.join(state_dir, name))
+    floor = comp[0] if comp else -1
+    epochs = sorted(
+        (int(name.split("=", 1)[1]), os.path.join(state_dir, name))
+        for name in os.listdir(state_dir)
+        if name.startswith("epoch=")
+        and os.path.exists(os.path.join(state_dir, name, "_COMPLETE"))
+        and int(name.split("=", 1)[1]) > floor
+    )
+    return ([comp[1]] if comp else []) + [p for _, p in epochs]
+
+
+def compact_epochs(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    rebuild_pairs: bool = False,
+    n_parts: int = 32,
+    max_bucket: int | None = None,
+    threshold: float | None = None,
+) -> dict | None:
+    """Fold the accumulated epoch deltas (plus any previous compacted
+    snapshot) into ONE keyed table set — the mechanism behind
+    run_incremental_dedup's 'compact periodically' contract.  Epoch-dir
+    count stays bounded: after compaction the state is a single
+    ``compacted=N`` snapshot and only deltas newer than N.
+
+    Why: read-side state is the UNION of epoch deltas, so every
+    micro-batch's planning and scan cost grows with epoch count (one
+    parquet dir + footer round per epoch).  Compaction rewrites the
+    union once, clustered by its join key (doc_id — plain keyed
+    repartition here; the cluster deployment writes the same frames
+    through io/sinks.write_bucketed / an Iceberg rewrite), restoring
+    O(1)-dir reads.
+
+    ``rebuild_pairs=False`` (default) carries the accumulated pair
+    UNION forward verbatim — history is not rewritten; the union's
+    documented strict-superset caveat (pairs emitted before a bucket
+    saturated) persists.  ``rebuild_pairs=True`` swaps in
+    dedup.pairs_from_state over the compacted sig/shingle tables — the
+    exact from-scratch pair set, since-saturated buckets suppressed —
+    making compaction the reconciliation point for that caveat.
+
+    Crash discipline mirrors the epoch writes: everything lands in a
+    ``compacted=N.tmp`` dir, _COMPLETE is written INSIDE it, and one
+    atomic rename publishes the snapshot; source dirs are removed only
+    after the rename (leftovers are ignored by dedup_state_layout).
+    Concurrency: run between triggers / from a maintenance job — not
+    concurrently with an in-flight upsert, which may be reading the
+    sources being folded."""
+    import json as _json
+    import os
+    import shutil
+
+    from .dedup import pairs_from_state
+
+    srcs = dedup_state_layout(state_dir)
+    if len(srcs) <= 1:
+        return None  # a single source is already compact
+    through = int(srcs[-1].rstrip("/").rsplit("=", 1)[1])
+    final = os.path.join(state_dir, f"compacted={through}")
+    if os.path.exists(os.path.join(final, "_COMPLETE")):
+        return None  # an identical compaction already published
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # debris from a crashed attempt
+
+    sig = spark.read.parquet(*[os.path.join(d, "sig") for d in srcs])
+    shingle = spark.read.parquet(*[os.path.join(d, "shingle") for d in srcs])
+    sig.repartition(n_parts, "doc_id").write.parquet(os.path.join(tmp, "sig"))
+    shingle.repartition(n_parts, "doc_id").write.parquet(
+        os.path.join(tmp, "shingle")
+    )
+    if rebuild_pairs:
+        from .dedup import MAX_BUCKET, THRESHOLD
+
+        # read the just-written snapshot back: one coherent source, and
+        # the banding runs off the compacted files it will live beside
+        pairs = pairs_from_state(
+            {
+                "sig": spark.read.parquet(os.path.join(tmp, "sig")),
+                "shingle": spark.read.parquet(os.path.join(tmp, "shingle")),
+            },
+            max_bucket=MAX_BUCKET if max_bucket is None else max_bucket,
+            threshold=THRESHOLD if threshold is None else threshold,
+        )
+    else:
+        pairs = spark.read.parquet(*[os.path.join(d, "pairs") for d in srcs])
+    pairs.repartition(n_parts, "doc_a").write.parquet(os.path.join(tmp, "pairs"))
+
+    metrics = {
+        "through_epoch": through,
+        "n_sources_folded": len(srcs),
+        "n_state_docs": spark.read.parquet(os.path.join(tmp, "sig")).count(),
+        "n_pairs": spark.read.parquet(os.path.join(tmp, "pairs")).count(),
+        "rebuilt_pairs": rebuild_pairs,
+    }
+    with open(os.path.join(tmp, "metrics.json"), "w") as f:
+        _json.dump(metrics, f)
+    open(os.path.join(tmp, "_COMPLETE"), "w").close()
+    os.rename(tmp, final)
+
+    # cleanup AFTER publication; interrupted cleanup leaves dirs the
+    # layout rule already ignores
+    for name in os.listdir(state_dir):
+        if name.endswith(".tmp"):
+            continue
+        p = os.path.join(state_dir, name)
+        if name.startswith("epoch=") and int(name.split("=", 1)[1]) <= through:
+            shutil.rmtree(p)
+        elif (
+            name.startswith("compacted=")
+            and int(name.split("=", 1)[1]) < through
+        ):
+            shutil.rmtree(p)
+    return metrics
+
+
+def prune_graph_epochs(state_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention for run_incremental_graph state.  Graph epochs are FULL
+    snapshots (merge_graph and read_graph_state consume only the newest
+    completed epoch — older dirs are history, not state), so compaction
+    here is deletion: drop all but the newest ``keep_last`` completed
+    epochs.  Returns the pruned epoch numbers.  Same concurrency rule
+    as compact_epochs: run between triggers."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if not os.path.isdir(state_dir):
+        return []
+    done = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(state_dir)
+        if name.startswith("epoch=")
+        and os.path.exists(os.path.join(state_dir, name, "_COMPLETE"))
+    )
+    pruned = done[:-keep_last]
+    for n in pruned:
+        shutil.rmtree(os.path.join(state_dir, f"epoch={n}"))
+    return pruned
+
+
 def streaming_sessionize(
     events_stream: DataFrame,
     gap: str = "30 minutes",
@@ -348,9 +516,11 @@ def run_incremental_dedup(
     the corpus scales dedup.py targets, rewriting the full shingle
     inverted index per micro-batch would dwarf the delta-scoped join
     work the incremental design buys.  The accumulated state is the
-    union of completed epoch deltas (signatures are append-only facts
-    keyed by doc_id, so the union IS the table; compact periodically
-    into a bucketed table when epoch count grows).
+    union of the sources dedup_state_layout names — the newest
+    compacted snapshot plus later epoch deltas (signatures are
+    append-only facts keyed by doc_id, so the union IS the table);
+    compact_epochs folds the deltas into one keyed snapshot when epoch
+    count grows, bounding per-batch read amplification.
 
     Replays after restart are absorbed by the marker (an epoch is never
     merged twice); reading prior epochs while writing epoch N never
@@ -373,22 +543,6 @@ def run_incremental_dedup(
             f.write(str(epoch))
         os.replace(tmp, os.path.join(state_dir, "_LATEST"))
 
-    def _completed_dirs() -> list[str]:
-        # NUMERIC epoch order: lexicographic sorting puts 'epoch=10'
-        # before 'epoch=9', so done[-1] would read a stale epoch's
-        # metrics.json from epoch 10 onward (r5 ADVICE).
-        if not os.path.isdir(state_dir):
-            return []
-        return sorted(
-            (
-                os.path.join(state_dir, d)
-                for d in os.listdir(state_dir)
-                if d.startswith("epoch=")
-                and os.path.exists(os.path.join(state_dir, d, "_COMPLETE"))
-            ),
-            key=lambda d: int(d.rsplit("=", 1)[1]),
-        )
-
     def upsert(batch_df, epoch_id: int) -> None:
         import json as _json
 
@@ -396,7 +550,11 @@ def run_incremental_dedup(
         edir = os.path.join(state_dir, f"epoch={epoch_id}")
         if os.path.exists(os.path.join(edir, "_COMPLETE")):
             return  # replayed batch after restart
-        done = _completed_dirs()
+        # sources in NUMERIC epoch order (lexicographic sorting puts
+        # 'epoch=10' before 'epoch=9' and would read stale metrics from
+        # epoch 10 onward, r5 ADVICE); a compacted snapshot, when
+        # present, stands in for every epoch it folded.
+        done = dedup_state_layout(state_dir)
         if not done:
             state, prev_n = None, 0
         else:
@@ -450,7 +608,8 @@ def run_incremental_dedup(
 
 
 def read_dedup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Union of every completed epoch's emitted pairs.
+    """Accumulated pair set: the newest compacted snapshot's pairs plus
+    every later epoch's emitted pairs (dedup_state_layout's read rule).
 
     Equals the one-shot pair set over the accumulated corpus as long as
     no band bucket crossed max_bucket BETWEEN epochs; a since-saturated
@@ -458,19 +617,14 @@ def read_dedup_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     suppresses that bucket entirely, making this a strict superset in
     that case (each epoch's pairs were exact for the corpus as it stood
     — history is not rewritten).  The three-epoch equality test pins
-    the under-cap case; reconciliation against rebuilds must allow the
-    superset."""
+    the under-cap case; compact_epochs(rebuild_pairs=True) is the
+    reconciliation point that collapses the superset back to the
+    from-scratch set."""
     import os
 
-    latest = latest_complete_epoch(state_dir)
-    if latest is None:
+    dirs = [os.path.join(d, "pairs") for d in dedup_state_layout(state_dir)]
+    if not dirs:
         raise FileNotFoundError(f"no completed epoch under {state_dir}")
-    dirs = [
-        os.path.join(state_dir, d, "pairs")
-        for d in os.listdir(state_dir)
-        if d.startswith("epoch=")
-        and os.path.exists(os.path.join(state_dir, d, "_COMPLETE"))
-    ]
     return spark.read.parquet(*dirs)
 
 

@@ -1,0 +1,145 @@
+"""Convergence mode end-to-end over the MATERIALIZED canonical graph
+(r5 VERDICT #4): the rounds=None production twins — PageRank to
+tol=1e-6, synchronous LPA to stability, 2-core peeling to fixpoint —
+run over the sf0.1 graph with rounds-to-converge and wall-per-round
+recorded.  The fixpoint of each is asserted in-run (PageRank residual
+via one further shared-code step; LPA/k-core stop conditions ARE the
+fixpoint).  Writes BENCH/CONVERGENCE.md.
+
+Usage: python scripts/bench_convergence.py  [env SPARK_GRAFT_SF_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOL = 1e-6
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from kgforge.graph.algo import (
+        kcore,
+        lpa_communities,
+        pagerank,
+        pagerank_residual,
+    )
+    from kgforge.queries import kg_edges
+    from kgforge.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-convergence", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    de = e.select("src", "dst").distinct().localCheckpoint(eager=True)
+    und = (
+        de.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    n_edges, n_und = de.count(), und.count()
+
+    rows = []
+
+    st: dict = {}
+    t0 = time.monotonic()
+    pr = pagerank(de, rounds=None, tol=TOL, max_rounds=150, stats=st)
+    pr = pr.localCheckpoint(eager=True)
+    n_v = pr.count()
+    w = time.monotonic() - t0
+    resid = pagerank_residual(de, pr)
+    assert resid <= TOL, f"unconverged fixpoint shipped: {resid}"
+    rows.append(
+        (
+            f"PageRank (tol={TOL:g}, d=0.85)",
+            st["rounds"],
+            w,
+            f"residual {resid:.2e} <= tol; {n_v} vertices, "
+            f"last delta {st['last_delta']:.2e}",
+        )
+    )
+
+    st = {}
+    t0 = time.monotonic()
+    labels = lpa_communities(nbr, rounds=None, max_rounds=50, stats=st)
+    n_comm = labels.select("label").distinct().count()
+    w = time.monotonic() - t0
+    rows.append(
+        (
+            "LPA (to stability)",
+            st["rounds"],
+            w,
+            f"{n_comm} communities; stop = no label changed "
+            "(or period-2 detect)",
+        )
+    )
+
+    st = {}
+    t0 = time.monotonic()
+    core = kcore(und, k=2, rounds=None, max_rounds=100, stats=st)
+    n_core = core.count()
+    w = time.monotonic() - t0
+    rows.append(
+        (
+            "2-core (peel to fixpoint)",
+            st["rounds"],
+            w,
+            f"{n_core} surviving vertices; stop = peel removed nothing",
+        )
+    )
+
+    lines = [
+        "# Convergence mode, end-to-end on the materialized graph "
+        "(r6, measured)",
+        "",
+        f"Graph: canonical KG at `{sf_dir}` — {n_edges} distinct directed "
+        f"edges, {n_und} undirected, {n_v} vertices; local[32].  "
+        "rounds=None is the production mode (r4 VERDICT #2): iterate "
+        "under the CC guard, never ship unconverged silently.  "
+        "Per-round cost = one edge-key shuffle + per-vertex aggregate; "
+        "rounds-to-converge is a GRAPH property (spectral gap / "
+        "peeling depth), so the table below is what capacity planning "
+        "multiplies by per-round wall at the target scale.",
+        "",
+        "| algorithm | rounds to converge | wall (s) | s/round | fixpoint evidence |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r, w, note in rows:
+        lines.append(f"| {name} | {r} | {w:.1f} | {w / r:.2f} | {note} |")
+    lines += [
+        "",
+        "The driver-slot query `kg_pagerank_converged` consumes the "
+        "converged PageRank with a fixpoint-asserting oracle (vertex "
+        "count, unit rank mass, residual <= tol via one further "
+        "shared-code step).  The 3-round unrolled twins remain the "
+        "engine-portable oracle forms (kg_ppr/kg_pagerank/"
+        "kg_communities_lpa/kg_kcore, local sweep).",
+        "",
+    ]
+    md = "\n".join(lines)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "CONVERGENCE.md",
+    )
+    with open(out, "w") as f:
+        f.write(md)
+    print(md)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
