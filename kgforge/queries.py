@@ -1843,7 +1843,17 @@ def dedup_simhash_pairs(spark, sf_dir):
 # EXCLUDED from pairing AND from the per-doc denominators (both engines
 # mirror this), and the drop is surfaced by dedup_shingle_df_caps — never
 # silent.  Analogous to MAX_BUCKET in link/canonical.py.
-NGRAM_DF_CAP = 1000
+#
+# COST MODEL (r6 100x vet finding, docs/SCALE.md): total join work is
+# sum over kept shingles of df^2/2 <= CAP x total postings — linear in
+# corpus size but with CAP as the constant.  CAP=1000 on a 44M-posting
+# corpus is ~2x10^10 comparisons: the exact ground-truth form is an
+# AUDIT tool; production dedup at scale is dedup_minhash_pairs, and CAP
+# is the recall/cost knob (env SPARK_GRAFT_NGRAM_DF_CAP — baked into
+# both engines' plans at import, so Spark and the oracle always agree).
+import os as _os  # noqa: E402
+
+NGRAM_DF_CAP = int(_os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "1000"))
 
 _SQL_SHINGLES_CAPPED = f"""
 hot AS (SELECT sh FROM shingle GROUP BY sh HAVING COUNT(*) > {NGRAM_DF_CAP}),
