@@ -41,6 +41,8 @@ HEADLINE = [
     # r5 additions
     "dedup_minhash_incr",
     "kg_kcore",
+    # r6 additions
+    "kg_pagerank_converged",
 ]
 
 

@@ -495,6 +495,124 @@ def kg_mention_pairs(spark, sf_dir):
     return pairs.groupBy("doc_id").agg(F.count("*").alias("n_pairs"))
 
 
+def _topk_strategy_oracle() -> str:
+    from .extract.topk import (
+        GAMMA,
+        STRATEGY_SQL,
+        VAL_THRESHOLD,
+        kept_sql,
+        strategy_count_sql,
+    )
+
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT '{name}' AS strategy, "
+        f"CAST(SUM({strategy_count_sql(name)}) AS BIGINT) AS sum_count, "
+        f"CAST(SUM({kept_sql(strategy_count_sql(name))}) AS BIGINT) AS sum_kept "
+        f"FROM st"
+        for name in sorted(STRATEGY_SQL)
+    )
+    return f"""
+    WITH {SQL_TOK}, {SQL_LEX},
+    m AS (SELECT t.doc_id, t.pos, t.tok, l.ent_type
+          FROM tok t JOIN lex l ON t.tok = l.tok),
+    p AS (SELECT a.doc_id,
+                 ({sql_charfold("a.tok || '>' || b.tok")} % 1000) / 1000.0 AS score,
+                 {sql_charfold("a.tok || '|' || b.tok")} % 8 AS lab
+          FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.pos <> b.pos
+          WHERE NOT (a.ent_type = 'Generic' AND b.ent_type = 'Generic')),
+    ps AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g,
+                  CAST(SUM(CASE WHEN score > {GAMMA} THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+                  CAST(SUM(CASE WHEN score > {VAL_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS vp,
+                  CAST(SUM(CASE WHEN lab <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS lg
+           FROM p GROUP BY doc_id),
+    ecs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ec FROM m GROUP BY doc_id),
+    st AS (SELECT e.doc_id, e.ec,
+                  COALESCE(ps.g, CAST(0 AS BIGINT)) AS g,
+                  COALESCE(ps.pc, CAST(0 AS BIGINT)) AS pc,
+                  COALESCE(ps.vp, CAST(0 AS BIGINT)) AS vp,
+                  COALESCE(ps.lg, CAST(0 AS BIGINT)) AS lg
+           FROM ecs e LEFT JOIN ps ON e.doc_id = ps.doc_id)
+    {union}
+    """
+
+
+@register("kg_topk_strategies", _topk_strategy_oracle())
+def kg_topk_strategies(spark, sf_dir):
+    """TRAIN-CURRICULUM REPLAY (reference re_model.py:282-342, closing
+    the r5 'what's missing' #3 gap Spark-natively): all 18 named
+    per-sentence candidate-budget strategies plus the default, evaluated
+    over the scored draft-pair table at a recorded recall checkpoint
+    (extract/topk.REPLAY_RECALL).  Per document the five reference
+    statistics (ec, g, pc, vp, lg — see extract/topk.py) reduce in one
+    map-side-combining pass; each strategy's budget is ONE shared SQL
+    template evaluated by Spark (F.expr) and DuckDB verbatim, so parity
+    is structural.  Output: per strategy, the corpus-total raw budget
+    and the effective kept pairs (the reference's list slice =
+    LEAST(GREATEST(count, 0), g)).  Scores/labels are the deterministic
+    charfold surrogate (same device as kg_triples_topk) — the formulas
+    are the unit under test, not the scorer.  19 sub-second aggregates
+    off one checkpointed per-doc stats table; at 100 TB the stats pass
+    is the only corpus-sized job."""
+    from .extract.topk import (
+        GAMMA,
+        REPLAY_RECALL,
+        STRATEGY_SQL,
+        VAL_THRESHOLD,
+        kept_sql,
+        strategy_count_sql,
+    )
+
+    m = _doc_mentions_df(spark, sf_dir)
+    a = m.select(
+        "doc_id", F.col("pos").alias("pos_a"),
+        F.col("surface").alias("surf_a"), F.col("ent_type").alias("type_a"),
+    )
+    b = m.select(
+        "doc_id", F.col("pos").alias("pos_b"),
+        F.col("surface").alias("surf_b"), F.col("ent_type").alias("type_b"),
+    )
+    pairs = (
+        a.join(b, on="doc_id")
+        .filter(F.col("pos_a") != F.col("pos_b"))
+        .filter(
+            ~((F.col("type_a") == "Generic") & (F.col("type_b") == "Generic"))
+        )
+    )
+    scored = pairs.select(
+        "doc_id",
+        (
+            F.pmod(charfold(F.concat_ws(">", "surf_a", "surf_b")), F.lit(1000))
+            / F.lit(1000.0)
+        ).alias("score"),
+        F.pmod(charfold(F.concat_ws("|", "surf_a", "surf_b")), F.lit(8)).alias(
+            "lab"
+        ),
+    )
+    ps = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("g"),
+        F.sum((F.col("score") > GAMMA).cast("bigint")).alias("pc"),
+        F.sum((F.col("score") > VAL_THRESHOLD).cast("bigint")).alias("vp"),
+        F.sum((F.col("lab") != 0).cast("bigint")).alias("lg"),
+    )
+    ecs = m.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("ec"))
+    st = (
+        ecs.join(ps, on="doc_id", how="left")
+        .fillna(0, subset=["g", "pc", "vp", "lg"])
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for name in sorted(STRATEGY_SQL):
+        cnt = strategy_count_sql(name, REPLAY_RECALL)
+        leg = st.select(
+            F.expr(cnt).alias("cnt"), F.expr(kept_sql(cnt)).alias("kept")
+        ).agg(
+            F.sum("cnt").cast("bigint").alias("sum_count"),
+            F.sum("kept").cast("bigint").alias("sum_kept"),
+        ).select(F.lit(name).alias("strategy"), "sum_count", "sum_kept")
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
 @register("kg_triples", SQL_TRIPLES + "SELECT * FROM triples")
 def kg_triples(spark, sf_dir):
     """The flagship cascade — fused M1->M2->M3->M4 pandas UDF (tag, pair,
@@ -5386,6 +5504,9 @@ EXTRA_NAMES = [
     "token_counts_bpe",
     "ann_ivf_topk",
     "kg_context_units",
+    # r6: train-curriculum replay (new; W2 family driver-covered by
+    # kg_triples_topk)
+    "kg_topk_strategies",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

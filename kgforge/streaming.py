@@ -497,12 +497,22 @@ def run_incremental_dedup(
     input_dir: str,
     state_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ) -> None:
     """Continuous corpus dedup: stream documents (json: doc_id, text);
     per micro-batch, emit the near-dup pairs the batch introduces
     against the ACCUMULATED corpus (kgforge/dedup.
     dedup_minhash_incremental — old signatures read from state, never
     recomputed) and evolve the persisted signature state.
+
+    ``compact_every=K`` turns on AUTO-COMPACTION: once the read layout
+    exceeds K sources, the just-completed epoch's upsert folds them via
+    compact_epochs before returning — foreachBatch callbacks are
+    sequential, so this honors the run-between-triggers concurrency
+    rule by construction, and the epoch-dir count stays <= K+1 forever.
+    History-preserving (the pair union is carried verbatim; run
+    compact_epochs(rebuild_pairs=True) from a maintenance job when
+    reconciliation to the from-scratch pair set is wanted).
 
     Same epoch discipline as run_incremental_graph (and for the same
     reasons — the comments there carry the full argument):
@@ -591,6 +601,10 @@ def run_incremental_dedup(
             _json.dump(metrics, f)
         open(os.path.join(edir, "_COMPLETE"), "w").close()
         _set_latest(epoch_id)
+        # auto-compaction: foreachBatch callbacks are sequential, so
+        # folding here never races a concurrent state read
+        if compact_every and len(dedup_state_layout(state_dir)) > compact_every:
+            compact_epochs(spark, state_dir)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")

@@ -189,6 +189,27 @@ def test_layout_ignores_crash_debris(spark, tmp_path):
     assert _pairs_set(read_dedup_pairs(spark, state_dir)) == before
 
 
+def test_auto_compaction_bounds_layout_during_streaming(spark, tmp_path):
+    """run_incremental_dedup(compact_every=4): the stream folds its own
+    state whenever the layout exceeds 4 sources, so the epoch-dir count
+    stays bounded for the life of the job — and the accumulated pairs
+    still equal the one-shot run."""
+    docs = _corpus(spark, n=45)
+    rows = sorted(((r.doc_id, r.text) for r in docs.collect()))
+    inp, state, ckpt = tmp_path / "in", tmp_path / "state", tmp_path / "ckpt"
+    _write_files(rows, str(inp), per_batch=5)  # 9 epochs
+    run_incremental_dedup(
+        spark, str(inp), str(state), str(ckpt), compact_every=4
+    )
+    layout = dedup_state_layout(str(state))
+    assert len(layout) <= 4 + 1
+    assert any("compacted=" in d for d in layout)
+    one_shot, _ = dedup_minhash_incremental(docs, None)
+    assert _pairs_set(read_dedup_pairs(spark, str(state))) == _pairs_set(
+        one_shot
+    )
+
+
 def test_prune_graph_epochs(tmp_path):
     state = tmp_path / "gstate"
     for n in (0, 1, 2, 9, 10, 11):
