@@ -273,3 +273,111 @@ def lpa_communities(
                 f"lpa_communities did not converge in {max_rounds} rounds"
             )
     return labels
+
+
+def ktruss(
+    und: DataFrame,
+    k: int = 4,
+    *,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """k-TRUSS of undirected edges ``und(a, b)`` (one row per edge,
+    a < b): iteratively drop every edge supported by fewer than k-2
+    triangles within the CURRENT edge set, until stable — the
+    edge-strength analog of the k-core (cohesion by shared neighbors,
+    not raw degree).  Returns the surviving edges (a, b).
+
+    Per round, triangles are enumerated ONCE in the degree-ordered
+    orientation (ranks computed once on the input graph, reused every
+    round — degrees only shrink under peeling, so the initial order
+    keeps the wedge fan-out bound): each triangle is found at its
+    lowest-rank corner and contributes +1 support to its three edges;
+    support counting and filtering stay entirely in rank space, and
+    vertex ids are restored once at the end.  Support is a property of
+    the triangle set, not of the orientation, so the result matches an
+    orientation-free formulation (the unrolled kg_ktruss oracle)
+    exactly.  Cost per round: one wedge join bounded O(sqrt(m)) per
+    edge + one edge-keyed count + one semi filter.
+
+    ``rounds=r`` peels exactly r synchronous rounds (the unrollable
+    oracle form); ``rounds=None`` peels to the fixed point — guaranteed
+    to terminate (edge set shrinks monotonically) but capped with the
+    same non-silent guard as kcore.  Peeling CASCADES: dropping a
+    boundary edge can strip support from an interior one next round
+    (pinned by the triangle-strip test, where r rounds only unravel
+    2r layers)."""
+    from ..functions.joins import maybe_broadcast
+    from ..functions.ranks import global_row_number
+
+    edges = und.select("a", "b").localCheckpoint(eager=True)
+    dg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    ).localCheckpoint(eager=True)
+    n_v = dg.count()
+    rk = global_row_number(dg, ["deg", "v"]).select("v", F.col("rn").alias("r"))
+    # rank space: one row per edge, lo < hi by rank; (a, b) kept for the
+    # final restore
+    od = (
+        edges.join(
+            maybe_broadcast(
+                rk.withColumnRenamed("v", "a").withColumnRenamed("r", "ra"),
+                n_rows=n_v,
+            ),
+            on="a",
+        )
+        .join(
+            maybe_broadcast(
+                rk.withColumnRenamed("v", "b").withColumnRenamed("r", "rb"),
+                n_rows=n_v,
+            ),
+            on="b",
+        )
+        .select(
+            "a",
+            "b",
+            F.least("ra", "rb").alias("lo"),
+            F.greatest("ra", "rb").alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_edges = od.count()
+    n_rounds = rounds if rounds is not None else max_rounds
+    for i in range(n_rounds):
+        e1 = od.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+        e2 = od.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+        e3 = od.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+        tri = (
+            e1.join(e2, on="x")
+            .filter(F.col("y") < F.col("z"))
+            .join(e3, on=["y", "z"])
+        )
+        sup = (
+            tri.select(F.col("x").alias("lo"), F.col("y").alias("hi"))
+            .unionByName(tri.select(F.col("x").alias("lo"), F.col("z").alias("hi")))
+            .unionByName(tri.select(F.col("y").alias("lo"), F.col("z").alias("hi")))
+            .groupBy("lo", "hi")
+            .agg(F.count("*").alias("sup"))
+            .filter(F.col("sup") >= k - 2)
+        )
+        # inner semi: edges in no triangle have no sup row -> dropped
+        new_od = od.join(sup, on=["lo", "hi"], how="left_semi").localCheckpoint(
+            eager=True
+        )
+        n_new = new_od.count()
+        if stats is not None:
+            stats["rounds"], stats["n_edges"] = i + 1, n_new
+        if rounds is None and n_new == n_edges:
+            od = new_od
+            break
+        od, n_edges = new_od, n_new
+        if n_edges == 0:
+            break  # empty is trivially stable under both modes
+    else:
+        if rounds is None:
+            raise RuntimeError(f"ktruss did not stabilize in {max_rounds} rounds")
+    return od.select("a", "b")

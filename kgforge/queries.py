@@ -4248,6 +4248,25 @@ def _sql_kcore_round(src: str, dst: str, k: int = 2) -> str:
               JOIN k_{dst} x ON e.a = x.v JOIN k_{dst} y ON e.b = y.v)"""
 
 
+def _sql_truss_round(src: str, dst: str, k: int = 4) -> str:
+    """One synchronous k-truss peel: count each edge's triangle support
+    within the current edge set and keep support >= k-2 (kg_ktruss's
+    oracle unrolls two of these).  Triangles are enumerated once per
+    round at their lowest-id corner; edges in no triangle have no
+    support row and drop out via the inner filter."""
+    return f"""
+    tri_{dst} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM {src} e1
+                  JOIN {src} e2 ON e1.a = e2.a AND e1.b < e2.b
+                  JOIN {src} e3 ON e3.a = e1.b AND e3.b = e2.b),
+    sup_{dst} AS (SELECT a, b, COUNT(*) AS sup FROM (
+                    SELECT x AS a, y AS b FROM tri_{dst}
+                    UNION ALL SELECT x AS a, z AS b FROM tri_{dst}
+                    UNION ALL SELECT y AS a, z AS b FROM tri_{dst}) u
+                  GROUP BY a, b),
+    {dst} AS (SELECT a, b FROM sup_{dst} WHERE sup >= {k - 2})"""
+
+
 def _und_edges(spark, sf_dir):
     """Undirected distinct edges (a, b) with a < b, self-loops dropped
     (the Spark twin of _SQL_UND)."""
@@ -4590,6 +4609,35 @@ def kg_kcore(spark, sf_dir):
 
     und = _und_edges(spark, sf_dir)
     return kcore(und, k=2, rounds=3)
+
+
+@register(
+    "kg_ktruss",
+    _SQL_EDGES
+    + _SQL_UND
+    + f"""
+    ,
+    {_sql_truss_round('und', 't1', 4)},
+    {_sql_truss_round('t1', 't2', 4)}
+    SELECT a, b FROM t2
+    """,
+)
+def kg_ktruss(spark, sf_dir):
+    """4-TRUSS of the canonical graph (2 unrolled peel rounds for the
+    oracle): iteratively drop edges in fewer than 2 triangles within the
+    surviving edge set — the EDGE-cohesion refinement of kg_kcore (a
+    k-truss is always inside the (k-1)-core, but not vice versa: a star
+    hub survives any core cut yet has zero triangle support), the
+    standard strong-tie backbone for KG noise pruning.  Shared loop:
+    graph/algo.ktruss — degree-ordered wedge enumeration per round (the
+    kg_triangles orientation, rank dim size-gated), support counting in
+    rank space, rounds=None peels to the fixed point under the
+    non-silent guard (pinned by tests/test_graph_algo.py: a triangle
+    strip unravels layer by layer, 2 rounds provably insufficient)."""
+    from .graph.algo import ktruss
+
+    und = _und_edges(spark, sf_dir)
+    return ktruss(und, k=4, rounds=2)
 
 
 @register(
@@ -5507,6 +5555,9 @@ EXTRA_NAMES = [
     # r6: train-curriculum replay (new; W2 family driver-covered by
     # kg_triples_topk)
     "kg_topk_strategies",
+    # r6: edge-cohesion backbone (new; peeling family driver-covered by
+    # kg_kcore)
+    "kg_ktruss",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -150,3 +150,76 @@ def test_lpa_period_two_oscillation_detected(spark):
     out = {r.v: r.label for r in
            lpa_communities(nbr, rounds=None, max_rounds=30).collect()}
     assert set(out) == {0, 1}
+
+
+def _und(spark, pairs):
+    return spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in pairs}),
+        "a bigint, b bigint",
+    )
+
+
+def _edge_set(df):
+    return {(r.a, r.b) for r in df.collect()}
+
+
+def test_ktruss_k4_keeps_k4_drops_attached_triangle(spark):
+    """K4 is its own 4-truss (every edge in 2 triangles).  A triangle
+    glued onto one K4 edge contributes two support-1 edges — dropped in
+    one round — while the shared edge keeps support 2 and survives."""
+    from kgforge.graph.algo import ktruss
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    glued = [(0, 9), (1, 9)]  # triangle (0, 1, 9) on K4 edge (0, 1)
+    out = ktruss(_und(spark, k4 + glued), k=4, rounds=None)
+    assert _edge_set(out) == set(k4)
+
+
+def test_ktruss_single_triangle_below_k4(spark):
+    """A lone triangle has support 1 everywhere: empty 4-truss, but it
+    IS a 3-truss (support >= 1)."""
+    from kgforge.graph.algo import ktruss
+
+    tri = [(0, 1), (0, 2), (1, 2)]
+    assert ktruss(_und(spark, tri), k=4, rounds=None).count() == 0
+    assert _edge_set(ktruss(_und(spark, tri), k=3, rounds=None)) == set(tri)
+
+
+def _cascade_edges():
+    """Three-layer support-dependency tree: level-1 edges have support 1
+    (die round 1), destroying the triangles that held level-2 edges at
+    support 3 (die round 2, down to 1), destroying the two triangles
+    that held the apex edge (0,1) at support 2 (dies round 3).  Peeling
+    provably CASCADES — each round's drop is caused by the previous
+    round's, not visible in the initial supports."""
+    edges = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]  # apex + 2 triangles
+    w = 10
+    for u, v in [(0, 2), (1, 2), (0, 3), (1, 3)]:  # 2 side triangles each
+        for _ in range(2):
+            edges += [(u, w), (v, w)]
+            w += 1
+    return edges
+
+
+def test_ktruss_cascade_needs_three_rounds(spark):
+    """The dependency tree unravels one layer per round: after 2 rounds
+    the apex edge still stands (the unrolled oracle snapshot provably
+    differs from the empty fixed point); convergence takes 3."""
+    from kgforge.graph.algo import ktruss
+
+    und = _und(spark, _cascade_edges())
+    after2 = ktruss(und, k=4, rounds=2)
+    assert _edge_set(after2) == {(0, 1)}
+    stats: dict = {}
+    converged = ktruss(und, k=4, rounds=None, stats=stats)
+    assert converged.count() == 0
+    assert stats["rounds"] == 3
+
+
+def test_ktruss_nonsilent_guard(spark):
+    import pytest
+
+    from kgforge.graph.algo import ktruss
+
+    with pytest.raises(RuntimeError, match="did not stabilize"):
+        ktruss(_und(spark, _cascade_edges()), k=4, rounds=None, max_rounds=2)
