@@ -275,6 +275,89 @@ def lpa_communities(
     return labels
 
 
+def betweenness(
+    sym: DataFrame,
+    seeds: DataFrame,
+    *,
+    depth: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Seed-sampled BETWEENNESS CENTRALITY (Brandes' dependency
+    accumulation, truncated at ``depth`` hops) over a symmetric distinct
+    neighbor list ``sym(a, b)`` and a deterministic seed set
+    ``seeds(v)``.  Returns (v, bc, n_seeds) — bc unrounded, n_seeds =
+    how many seeds' dependency trees the vertex appears in.
+
+    Sampling seeds (Brandes-Pich pivots) and capping the BFS depth are
+    the two standard cuts that make betweenness tractable at graph
+    scale: cost is seeds x the depth-hop neighborhood per phase instead
+    of all-pairs.  Both cuts are DETERMINISTIC here, so the result is a
+    well-defined statistic ("dependency over shortest paths of length
+    <= depth from these seeds") that an unrolled oracle reproduces
+    exactly — not a randomized estimate.
+
+    Forward phase: one frontier keyed (seed, v) runs every seed's BFS in
+    the same per-hop shuffle (the kg_harmonic discipline); sigma
+    (shortest-path counts) accumulates only from the previous level, so
+    the BFS DAG falls out of the frontier anti-join.  Backward phase:
+    levels processed strictly deepest-first; delta(v) = sum over DAG
+    successors u of sigma_v/sigma_u * (1 + delta_u).  Every level is
+    localCheckpointed — 2*depth linear plans, no exponential lineage."""
+    sym = sym.localCheckpoint(eager=True)
+    nbrs = sym.select(F.col("a").alias("v"), F.col("b").alias("u"))
+    lvl = seeds.select(
+        F.col("v").alias("s"), F.col("v"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    visited = lvl.select("s", "v").localCheckpoint(eager=True)
+    levels = [lvl]
+    for _ in range(depth):
+        cand = (
+            lvl.join(nbrs, on="v")
+            .groupBy("s", F.col("u").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        lvl = cand.join(
+            visited, on=["s", "v"], how="left_anti"
+        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(
+            lvl.select("s", "v")
+        ).localCheckpoint(eager=True)
+        levels.append(lvl)
+    if stats is not None:
+        stats["reached"] = visited.count()
+
+    # deepest level has no successors inside the horizon: delta = 0
+    deltas = levels[-1].withColumn("delta", F.lit(0.0))
+    acc = deltas
+    for d in range(depth - 1, 0, -1):
+        succ = deltas.select(
+            "s",
+            F.col("v").alias("u"),
+            F.col("sigma").alias("sigma_u"),
+            F.col("delta").alias("delta_u"),
+        )
+        deltas = (
+            levels[d]
+            .join(nbrs, on="v")
+            .join(succ, on=["s", "u"], how="left")
+            .groupBy("s", "v", "sigma")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        (F.col("sigma") / F.col("sigma_u"))
+                        * (F.lit(1.0) + F.col("delta_u"))
+                    ),
+                    F.lit(0.0),
+                ).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.unionByName(deltas)
+    return acc.groupBy("v").agg(
+        F.sum("delta").alias("bc"), F.count("*").alias("n_seeds")
+    )
+
+
 def ktruss(
     und: DataFrame,
     k: int = 4,

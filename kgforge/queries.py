@@ -4582,6 +4582,94 @@ def kg_harmonic(spark, sf_dir):
     )
 
 
+def _sql_bfs_sigma_level(d: int) -> str:
+    """One unrolled multi-source BFS level WITH path counting: sigma at
+    level d sums the predecessors' sigma (kg_betweenness's oracle chains
+    three of these; the LEFT-JOIN-IS-NULL is the frontier anti-join)."""
+    p = d - 1
+    return f"""
+    c{d} AS (SELECT l.s, e.b AS v, SUM(l.sigma) AS sigma
+             FROM l{p} l JOIN sym e ON l.v = e.a GROUP BY 1, 2),
+    l{d} AS (SELECT c.s, c.v, c.sigma FROM c{d} c
+             LEFT JOIN vis{p} p ON c.s = p.s AND c.v = p.v
+             WHERE p.v IS NULL),
+    vis{d} AS (SELECT * FROM vis{p} UNION ALL SELECT s, v FROM l{d})"""
+
+
+def _sql_brandes_backstep(d: int) -> str:
+    """One unrolled Brandes dependency step: delta at level d sums
+    sigma_v/sigma_u * (1 + delta_u) over the DAG successors u at level
+    d+1 (vertices with deeper-only neighborhoods keep delta 0 via the
+    LEFT join + COALESCE)."""
+    n = d + 1
+    return f"""
+    d{d} AS (SELECT l.s, l.v, l.sigma,
+                    COALESCE(SUM((l.sigma / n.sigma) * (1 + n.delta)),
+                             0) AS delta
+             FROM l{d} l JOIN sym e ON l.v = e.a
+             LEFT JOIN d{n} n ON n.s = l.s AND n.v = e.b
+             GROUP BY 1, 2, 3)"""
+
+
+@register(
+    "kg_betweenness",
+    _SQL_EDGES
+    + f"""
+    , sym AS (SELECT src AS a, dst AS b FROM edges
+              UNION SELECT dst, src FROM edges),
+    deg AS (
+      SELECT v, SUM(d) AS degree FROM (
+        SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src
+        UNION ALL
+        SELECT dst, COUNT(*) FROM edges GROUP BY dst
+      ) GROUP BY v),
+    seeds AS (SELECT v FROM deg ORDER BY degree DESC, v LIMIT 4),
+    l0 AS (SELECT v AS s, v, CAST(1 AS DOUBLE) AS sigma FROM seeds),
+    vis0 AS (SELECT s, v FROM l0),
+    {_sql_bfs_sigma_level(1)},
+    {_sql_bfs_sigma_level(2)},
+    {_sql_bfs_sigma_level(3)},
+    d3 AS (SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta FROM l3),
+    {_sql_brandes_backstep(2)},
+    {_sql_brandes_backstep(1)}
+    SELECT v, ROUND(SUM(delta), 6) AS bc, CAST(COUNT(*) AS BIGINT) AS n_seeds
+    FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+          UNION ALL SELECT * FROM d3) u
+    GROUP BY v
+    """,
+)
+def kg_betweenness(spark, sf_dir):
+    """Seed-sampled BETWEENNESS CENTRALITY over the canonical graph:
+    Brandes' dependency accumulation from the 4 top-degree seeds
+    (deterministic pick, the kg_harmonic pivots), shortest paths
+    truncated at 3 hops — the bridge/bottleneck statistic that degree
+    and PageRank both miss (a low-degree vertex stitching two
+    communities scores high here).  Sampling + the depth cap are what
+    make this tractable at graph scale (cost = seeds x 3-hop
+    neighborhood x 2 phases, never all-pairs), and both cuts are
+    deterministic, so the unrolled oracle reproduces the statistic
+    exactly: forward levels with path counts (sigma), then deepest-first
+    delta accumulation.  Shared loop: graph/algo.betweenness (the
+    kg_harmonic frontier discipline plus the backward pass)."""
+    from .graph.algo import betweenness
+
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = (
+        e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
+        .groupBy("v")
+        .agg(F.sum("d").alias("degree"))
+    )
+    seeds = deg.orderBy(F.desc("degree"), "v").limit(4).select("v")
+    out = betweenness(sym, seeds, depth=3)
+    return out.select("v", F.round("bc", 6).alias("bc"), "n_seeds")
+
+
 @register(
     "kg_kcore",
     _SQL_EDGES
@@ -5558,6 +5646,9 @@ EXTRA_NAMES = [
     # r6: edge-cohesion backbone (new; peeling family driver-covered by
     # kg_kcore)
     "kg_ktruss",
+    # r6: sampled Brandes centrality (new; BFS family driver-covered by
+    # kg_harmonic's slot history)
+    "kg_betweenness",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -223,3 +223,56 @@ def test_ktruss_nonsilent_guard(spark):
 
     with pytest.raises(RuntimeError, match="did not stabilize"):
         ktruss(_und(spark, _cascade_edges()), k=4, rounds=None, max_rounds=2)
+
+
+def _sym(spark, pairs):
+    both = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    return spark.createDataFrame(sorted(both), "a bigint, b bigint")
+
+
+def _seeds(spark, vs):
+    return spark.createDataFrame([(v,) for v in vs], "v bigint")
+
+
+def test_betweenness_path_matches_brandes_by_hand(spark):
+    """P5 (0-1-2-3-4), all vertices as seeds, horizon covers the whole
+    graph: exact Brandes values 0, 6, 8, 6, 0."""
+    from kgforge.graph.algo import betweenness
+
+    sym = _sym(spark, [(i, i + 1) for i in range(4)])
+    out = {
+        r.v: r.bc
+        for r in betweenness(sym, _seeds(spark, range(5)), depth=4).collect()
+    }
+    assert {v: round(b, 9) for v, b in out.items()} == {
+        0: 0.0, 1: 6.0, 2: 8.0, 3: 6.0, 4: 0.0
+    }
+
+
+def test_betweenness_c4_splits_sigma(spark):
+    """C4: each vertex sits on exactly half the two shortest paths
+    between its two opposite-corner pairs — bc = 1/2 + 1/2 = 1.  Pins
+    the sigma (path-count) arithmetic, not just reachability."""
+    from kgforge.graph.algo import betweenness
+
+    sym = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    out = {
+        r.v: r.bc
+        for r in betweenness(sym, _seeds(spark, range(4)), depth=3).collect()
+    }
+    assert {v: round(b, 9) for v, b in out.items()} == {
+        0: 1.0, 1: 1.0, 2: 1.0, 3: 1.0
+    }
+
+
+def test_betweenness_depth_truncation(spark):
+    """depth=1: only length-1 paths exist inside the horizon, and no
+    vertex is interior to one — all dependencies are 0, while n_seeds
+    still counts the seeds that reached each vertex."""
+    from kgforge.graph.algo import betweenness
+
+    sym = _sym(spark, [(i, i + 1) for i in range(4)])
+    rows = betweenness(sym, _seeds(spark, range(5)), depth=1).collect()
+    assert rows and all(r.bc == 0.0 for r in rows)
+    n_seeds = {r.v: r.n_seeds for r in rows}
+    assert n_seeds[2] == 2  # reached by 1 and 3 within one hop
