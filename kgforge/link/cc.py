@@ -55,10 +55,15 @@ def connected_components(
             F.least(
                 F.col("canonical_id"), F.coalesce("nbr_min", "canonical_id")
             ).alias("canonical_id"),
+            F.col("canonical_id").alias("_prev"),
         )
         # pointer jumping (path compression): l(v) <- l(l(v)).  Labels are
         # vertex ids, so the self-join resolves; this is what turns 1-hop
-        # propagation into O(log n) convergence on long chains.
+        # propagation into O(log n) convergence on long chains.  The
+        # PRE-round label rides along as _prev so the convergence check
+        # below is a scan of the frame this round materializes anyway —
+        # not an extra labels-vs-labels shuffle join per round (the r6
+        # 100x vet showed the check join dominating long CC runs).
         parent = new_labels.select(
             F.col("a").alias("p"), F.col("canonical_id").alias("p_label")
         )
@@ -69,17 +74,16 @@ def connected_components(
                 F.least(
                     F.coalesce("p_label", "canonical_id"), F.col("canonical_id")
                 ).alias("canonical_id"),
+                F.col("_prev"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="a")
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            new_labels.filter(F.col("canonical_id") != F.col("_prev"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("a", "canonical_id")
         if changed == 0:
             break
     else:

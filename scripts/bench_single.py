@@ -20,18 +20,24 @@ REPO = Path(__file__).resolve().parent.parent
 WORKTREE = REPO / ".ab_worktree" / "base"
 
 LEG = r"""
-import sys, time
+import os, sys, time
 from kgforge.session import get_spark
 from kgforge.queries import ALL_QUERIES
 spark = get_spark("bench-single", master="local[32]")
 spark.sparkContext.setLogLevel("ERROR")
 q = ALL_QUERIES[sys.argv[1]]
-sf = "/root/testdata/sf0.1"
-q(spark, sf).count()  # warm (scan cache, codegen)
-best = float("inf")
-for _ in range(3):
+sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# SPARK_GRAFT_BENCH_COLD=1: one cold pass per JVM (for legs too long to
+# triple, e.g. the 100x vet fixture); default: warm + best-of-3
+if os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1":
     t0 = time.monotonic(); q(spark, sf).count()
-    best = min(best, time.monotonic() - t0)
+    best = time.monotonic() - t0
+else:
+    q(spark, sf).count()  # warm (scan cache, codegen)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic(); q(spark, sf).count()
+        best = min(best, time.monotonic() - t0)
 print(f"BEST {best:.4f}")
 """
 
