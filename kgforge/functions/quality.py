@@ -63,3 +63,142 @@ def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
 def drop_stats(flagged: DataFrame) -> DataFrame:
     """Per-reason drop accounting for the filter above."""
     return flagged.groupBy("reason").agg(F.count("*").alias("n_docs"))
+
+
+# Gopher-style repetition gates (Rae et al. 2021, appendix A1.1),
+# re-expressed over single-line token streams: the reference corpora
+# here carry no newlines, so the line-level rules collapse and the
+# token-level trio below is the operative subset.  Thresholds are
+# deliberate constants (same contract as the quality gate above).
+TOP_BIGRAM_MAX = 0.2  # fraction of tokens covered by the top bigram
+DUP_TRIGRAM_MAX = 0.3  # fraction of trigram slots holding a repeat
+MAX_RUN_MAX = 3  # longest same-token run
+
+
+def _grams(arr, k: int):
+    """Row-local k-gram array (space-joined).  F.sequence is DESCENDING
+    when stop < start (same hazard as hashing.shingles_of) — short docs
+    must fold to an empty array, not throw under ANSI mode."""
+    return F.when(
+        F.size(arr) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals + keep/first-failing-reason.
+
+    Output: doc_id, n_tokens, top_bigram_frac (tokens covered by the
+    single most frequent bigram), dup_trigram_frac (trigram occurrences
+    belonging to a trigram seen >= 2x in the doc), max_run (longest
+    consecutive same-token run), reason in ('bigram_heavy',
+    'trigram_dupes', 'token_run', 'ok'), keep.
+
+    Shape: max_run folds row-locally over the token array (no window,
+    no per-doc shuffle); both gram families ride ONE explode into ONE
+    map-side-combining (doc_id, k, gram) count, then one per-doc
+    reduce — the corpus is scanned once.  Null text folds to '' (one
+    empty token), so every doc yields a row and the gates never pass a
+    null by three-valued-logic fallthrough (same rule as
+    quality_flags)."""
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+
+    def _run_step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_run = F.aggregate(
+        arr,
+        F.struct(
+            # '\\x00' sentinel: cannot equal a split() token, so the
+            # first element always starts run 1
+            F.lit("\x00").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
+    )
+    base = df.select(
+        "doc_id",
+        arr.alias("arr"),
+        F.size(arr).cast("bigint").alias("n_tokens"),
+        max_run.alias("max_run"),
+    )
+    tagged = lambda k: F.transform(  # noqa: E731
+        _grams(F.col("arr"), k),
+        lambda g: F.struct(F.lit(k).alias("k"), g.alias("g")),
+    )
+    counts = (
+        base.select(
+            "doc_id", F.explode(F.concat(tagged(2), tagged(3))).alias("kg")
+        )
+        .groupBy(
+            "doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("top_bg"),
+        F.sum(
+            F.when((F.col("k") == 3) & (F.col("c") >= 2), F.col("c"))
+            .otherwise(F.lit(0))
+        ).alias("dup_tg"),
+        F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(F.lit(0))).alias(
+            "tot_tg"
+        ),
+    )
+    j = (
+        base.drop("arr")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "max_run",
+            F.coalesce("top_bg", F.lit(0)).alias("top_bg"),
+            F.coalesce("dup_tg", F.lit(0)).alias("dup_tg"),
+            F.coalesce("tot_tg", F.lit(0)).alias("tot_tg"),
+        )
+    )
+    # single-division doubles from integer counts: bitwise-identical in
+    # any IEEE engine, so the DuckDB oracle mirrors exactly
+    top_frac = (F.col("top_bg") * 2).cast("double") / F.col("n_tokens")
+    dup_frac = F.when(
+        F.col("tot_tg") > 0,
+        F.col("dup_tg").cast("double") / F.col("tot_tg"),
+    ).otherwise(F.lit(0.0))
+    # the bigram gate needs an actually-REPEATED top bigram: with all
+    # bigrams distinct, top_frac is 2/n and would condemn every short
+    # doc (Gopher pairs these rules with a min-length precondition; the
+    # count >= 2 guard is the length-free equivalent)
+    reason = (
+        F.when(
+            (F.col("top_bg") >= 2) & (top_frac > TOP_BIGRAM_MAX),
+            "bigram_heavy",
+        )
+        .when(dup_frac > DUP_TRIGRAM_MAX, "trigram_dupes")
+        .when(F.col("max_run") > MAX_RUN_MAX, "token_run")
+        .otherwise("ok")
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(top_frac, 4).alias("top_bigram_frac"),
+        F.round(dup_frac, 4).alias("dup_trigram_frac"),
+        "max_run",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

@@ -62,8 +62,12 @@ def connected_components(
         # propagation into O(log n) convergence on long chains.  The
         # PRE-round label rides along as _prev so the convergence check
         # below is a scan of the frame this round materializes anyway —
-        # not an extra labels-vs-labels shuffle join per round (the r6
-        # 100x vet showed the check join dominating long CC runs).
+        # not an extra labels-vs-labels shuffle join per round.  Paired
+        # 100x study (BENCH/single_kg_cc_components_100x.json): best
+        # flat, median 0.95x — this corpus converges in ~2 rounds, so
+        # the saving is one shuffle per round; the structural case is
+        # long-chain graphs where rounds (and the per-round join's
+        # label-table shuffle) multiply.
         parent = new_labels.select(
             F.col("a").alias("p"), F.col("canonical_id").alias("p_label")
         )

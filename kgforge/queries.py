@@ -5521,6 +5521,138 @@ def kg_edge_split(spark, sf_dir):
     )
 
 
+from .functions.quality import (  # noqa: E402
+    DUP_TRIGRAM_MAX,
+    MAX_RUN_MAX,
+    TOP_BIGRAM_MAX,
+)
+
+CONTAM_MIN_SHINGLES = 2
+
+
+@register(
+    "text_repetition_signals",
+    f"""
+    WITH tokarr AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+                    FROM documents),
+    tok AS (SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+                   unnest(arr) AS tok FROM tokarr),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS g
+        FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1)
+      GROUP BY 1, 2),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+        FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2)
+      GROUP BY 1, 2),
+    bga AS (SELECT doc_id, MAX(c) AS top_bg FROM bgc GROUP BY 1),
+    tga AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tg,
+                   SUM(c) AS tot_tg FROM tgc GROUP BY 1),
+    runs AS (SELECT doc_id, MAX(cnt) AS max_run FROM (
+        SELECT doc_id, COUNT(*) AS cnt FROM (
+          SELECT doc_id, tok,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos)
+                   AS grp
+          FROM tok)
+        GROUP BY doc_id, tok, grp) GROUP BY 1),
+    f AS (SELECT b.doc_id, len(b.arr) AS n, r.max_run,
+                 COALESCE(g.top_bg, 0) AS top_bg,
+                 CAST(2 * COALESCE(g.top_bg, 0) AS DOUBLE) / len(b.arr)
+                   AS top_frac,
+                 CASE WHEN COALESCE(t.tot_tg, 0) > 0
+                      THEN CAST(t.dup_tg AS DOUBLE) / t.tot_tg
+                      ELSE 0.0 END AS dup_frac
+          FROM tokarr b LEFT JOIN bga g USING (doc_id)
+          LEFT JOIN tga t USING (doc_id) JOIN runs r USING (doc_id))
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           ROUND(top_frac, 4) AS top_bigram_frac,
+           ROUND(dup_frac, 4) AS dup_trigram_frac,
+           CAST(max_run AS BIGINT) AS max_run,
+           CASE WHEN top_bg >= 2 AND top_frac > {TOP_BIGRAM_MAX} THEN 'bigram_heavy'
+                WHEN dup_frac > {DUP_TRIGRAM_MAX} THEN 'trigram_dupes'
+                WHEN max_run > {MAX_RUN_MAX} THEN 'token_run'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN top_bg >= 2 AND top_frac > {TOP_BIGRAM_MAX} THEN 'bigram_heavy'
+                WHEN dup_frac > {DUP_TRIGRAM_MAX} THEN 'trigram_dupes'
+                WHEN max_run > {MAX_RUN_MAX} THEN 'token_run'
+                ELSE 'ok' END) = 'ok' AS keep
+    FROM f
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality gate (Rae et al. 2021 A1.1;
+    functions/quality.repetition_signals): top-bigram coverage,
+    duplicated-trigram fraction, longest same-token run — keep/drop
+    with the first-failing reason materialized, drops attributable.
+
+    Scale shape: max_run is a row-local array fold (no window); both
+    gram families ride one explode into one map-side-combining
+    (doc_id, k, gram) count; the corpus is scanned once."""
+    from .functions.quality import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH {SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    bench AS (SELECT doc_id AS bench_doc, sh FROM kept WHERE doc_id % 20 = 0),
+    corp AS (SELECT doc_id, sh FROM kept WHERE doc_id % 20 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_overlap_shingles,
+           CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs,
+           COUNT(DISTINCT c.sh) >= {CONTAM_MIN_SHINGLES} AS contaminated
+    FROM corp c JOIN bench b ON c.sh = b.sh
+    GROUP BY 1
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C shape): flag training
+    docs sharing 3-token shingles with a held-out eval split (the
+    deterministic doc_id % 20 == 0 stand-in — no external data).  Only
+    docs with >= 1 surviving overlap appear; `contaminated` applies the
+    CONTAM_MIN_SHINGLES threshold so a single boilerplate collision
+    does not condemn a doc.
+
+    Scale shape: the corpus-side df cap (NGRAM_DF_CAP, shared with
+    dedup_ngram_jaccard) drops ubiquitous shingles BEFORE the join —
+    uninformative boilerplate and the hot-key hazard in one move; the
+    benchmark gram dim is eval-set-sized (MBs against a 100 TB corpus),
+    localCheckpointed once and broadcast only under the
+    maybe_broadcast row gate."""
+    from .functions.joins import maybe_broadcast
+
+    sh = _shingles_df(spark, sf_dir)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("sh")
+    )
+    kept = sh.join(hot, "sh", "left_anti")
+    bench = (
+        kept.filter(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("bench_doc"), "sh")
+        .localCheckpoint(eager=True)
+    )
+    corp = kept.filter(F.col("doc_id") % 20 != 0)
+    return (
+        corp.join(maybe_broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_overlap_shingles"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .withColumn(
+            "contaminated",
+            F.col("n_overlap_shingles") >= CONTAM_MIN_SHINGLES,
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -5649,6 +5781,10 @@ EXTRA_NAMES = [
     # r6: sampled Brandes centrality (new; BFS family driver-covered by
     # kg_harmonic's slot history)
     "kg_betweenness",
+    # r6: curation-gate additions (new; quality family driver-covered by
+    # text_quality_filter, shingle family by dedup_ngram_jaccard)
+    "text_repetition_signals",
+    "text_decontaminate",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
