@@ -142,17 +142,30 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         _grams(F.col("arr"), k),
         lambda g: F.struct(F.lit(k).alias("k"), g.alias("g")),
     )
+    # explode_OUTER + the per-doc stats riding as grouping keys (they
+    # are doc_id-functional constants): gram-less docs keep their row
+    # (null kg) and no join back to a second corpus scan is needed —
+    # ONE scan, gram count then per-doc reduce, both partial-agg
     counts = (
         base.select(
-            "doc_id", F.explode(F.concat(tagged(2), tagged(3))).alias("kg")
+            "doc_id",
+            "n_tokens",
+            "max_run",
+            F.explode_outer(F.concat(tagged(2), tagged(3))).alias("kg"),
         )
         .groupBy(
-            "doc_id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g")
+            "doc_id",
+            "n_tokens",
+            "max_run",
+            F.col("kg.k").alias("k"),
+            F.col("kg.g").alias("g"),
         )
         .agg(F.count("*").alias("c"))
     )
-    per_doc = counts.groupBy("doc_id").agg(
-        F.max(F.when(F.col("k") == 2, F.col("c"))).alias("top_bg"),
+    j = counts.groupBy("doc_id", "n_tokens", "max_run").agg(
+        F.coalesce(
+            F.max(F.when(F.col("k") == 2, F.col("c"))), F.lit(0)
+        ).alias("top_bg"),
         F.sum(
             F.when((F.col("k") == 3) & (F.col("c") >= 2), F.col("c"))
             .otherwise(F.lit(0))
@@ -160,18 +173,6 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.when(F.col("k") == 3, F.col("c")).otherwise(F.lit(0))).alias(
             "tot_tg"
         ),
-    )
-    j = (
-        base.drop("arr")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "max_run",
-            F.coalesce("top_bg", F.lit(0)).alias("top_bg"),
-            F.coalesce("dup_tg", F.lit(0)).alias("dup_tg"),
-            F.coalesce("tot_tg", F.lit(0)).alias("tot_tg"),
-        )
     )
     # single-division doubles from integer counts: bitwise-identical in
     # any IEEE engine, so the DuckDB oracle mirrors exactly
