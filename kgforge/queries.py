@@ -2495,6 +2495,123 @@ def dedup_embedding_cosine(spark, sf_dir):
     return near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+@register(
+    "dedup_semantic_prune",
+    f"""
+    WITH RECURSIVE {_SQL_EMB_BUCKET},
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+      FROM flat a JOIN flat b
+        ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    dup AS (
+      SELECT d.vec_a, d.vec_b
+      FROM dots d
+      JOIN norms na ON d.vec_a = na.vec_id
+      JOIN norms nb ON d.vec_b = nb.vec_id
+      WHERE ROUND(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
+    verts AS (SELECT vec_a AS v FROM dup UNION SELECT vec_b FROM dup),
+    sym AS (SELECT vec_a AS a, vec_b AS b FROM dup
+            UNION SELECT vec_b, vec_a FROM dup),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    labels AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    mflat AS (
+      SELECT l.cluster_id, f.vec_id, f.i, f.x
+      FROM flat f JOIN labels l ON f.vec_id = l.vec_id),
+    cent AS (SELECT cluster_id, i, AVG(x) AS c FROM mflat GROUP BY 1, 2),
+    cn AS (SELECT cluster_id, SUM(c * c) AS n2 FROM cent GROUP BY 1),
+    dc AS (
+      SELECT m.cluster_id, m.vec_id, SUM(m.x * ct.c) AS dot
+      FROM mflat m JOIN cent ct ON ct.cluster_id = m.cluster_id AND ct.i = m.i
+      GROUP BY 1, 2),
+    cosm AS (
+      SELECT dc.cluster_id, dc.vec_id,
+             dc.dot / (sqrt(nm.n2) * sqrt(cn.n2)) AS cosv
+      FROM dc
+      JOIN norms nm ON nm.vec_id = dc.vec_id
+      JOIN cn ON cn.cluster_id = dc.cluster_id),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM labels GROUP BY 1),
+    rk AS (
+      SELECT cluster_id, vec_id, cosv,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY ROUND(cosv, 6), vec_id) AS rn
+      FROM cosm)
+    SELECT r.cluster_id, r.vec_id AS keep_vec, s.cluster_size,
+           CAST(s.cluster_size - 1 AS BIGINT) AS n_pruned,
+           ROUND(r.cosv, 4) AS keep_cos
+    FROM rk r JOIN sz s ON r.cluster_id = s.cluster_id
+    WHERE r.rn = 1
+    """,
+)
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup-style semantic pruning (public method: Abbas et al. 2023,
+    arXiv:2303.09540): embedding near-dup pairs -> connected components ->
+    per semantic cluster KEEP the member with the LOWEST cosine to the
+    cluster centroid (the paper's keep rule — retaining the least
+    prototypical member preserves diversity), prune the rest, with drop
+    accounting per cluster.
+
+    Scale shape: candidate pairs are sign-LSH bucketed (never all-pairs);
+    clusters come from the real pointer-jumping CC of link/cc.py; the
+    centroid is ONE groupBy with dim fixed-width avg aggregates (vectors
+    never explode — dim columns, not dim x members rows); the member x
+    centroid join keys on cluster_id (the centroid dim is O(#clusters),
+    AQE broadcasts it when small); the keep rule is a per-cluster window,
+    no global sort.  Oracle: recursive-CTE closure + per-dimension
+    unnest centroid, both engines ranking on ROUND(cos, 6)."""
+    from .functions.similarity import cosine_fold, near_dup_pairs
+    from .link.cc import connected_components
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        near_dup_pairs(e, threshold=0.35)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        pairs.select(F.col("src").alias("vec_id"))
+        .unionByName(pairs.select(F.col("dst").alias("vec_id")))
+        .distinct()
+    )
+    labels = connected_components(verts, pairs, vertex_col="vec_id")
+    # Scalar schema probe (embedding width), same class of driver read as
+    # the k-means centroid seeds — not a data collect.
+    dim = len(e.select("embedding").head()["embedding"])
+    members = labels.select(
+        "vec_id", F.col("canonical_id").alias("cluster_id")
+    ).join(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+    )
+    cent = members.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.array(
+            *[F.avg(F.element_at(F.col("v"), i + 1)) for i in range(dim)]
+        ).alias("c"),
+    )
+    m = members.join(cent, "cluster_id")
+    cosv = cosine_fold(F.col("v"), F.col("c"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.round(cosv, 6).asc(), F.col("vec_id").asc()
+    )
+    return (
+        m.withColumn("cosv", cosv)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("keep_vec"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_pruned"),
+            F.round("cosv", 4).alias("keep_cos"),
+        )
+    )
+
+
 # ---------- text analysis over documents ----------
 
 @register(
@@ -5785,6 +5902,9 @@ EXTRA_NAMES = [
     # text_quality_filter, shingle family by dedup_ngram_jaccard)
     "text_repetition_signals",
     "text_decontaminate",
+    # r6: SemDeDup semantic prune (new; resolution family driver-covered
+    # by dedup_resolve_clusters, cosine family by dedup_embedding_cosine)
+    "dedup_semantic_prune",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
