@@ -464,3 +464,49 @@ def ktruss(
         if rounds is None:
             raise RuntimeError(f"ktruss did not stabilize in {max_rounds} rounds")
     return od.select("a", "b")
+
+
+def modularity(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity contributions for a given
+    partition: Q_c = e_in(c)/m - (deg_sum(c)/2m)^2; global Q = sum of
+    the ``q_contrib`` column.
+
+    ``und``: undirected distinct edges (a, b); ``labels``: (v, label).
+    The label dim is O(|V|) so both attachment joins are keyed shuffle
+    joins (never force-broadcast — the r5 gate rule); 2m rides in as a
+    1-row crossJoin, not a driver collect."""
+    nbr = und.select(F.col("a").alias("v")).unionByName(
+        und.select(F.col("b").alias("v"))
+    )
+    deg = nbr.groupBy("v").agg(F.count("*").alias("deg"))
+    m = und.agg(F.count("*").cast("double").alias("m"))
+    ein = (
+        und.join(labels.select(F.col("v").alias("a"), F.col("label").alias("la")), "a")
+        .join(labels.select(F.col("v").alias("b"), F.col("label").alias("lb")), "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    dsum = (
+        labels.join(deg, "v")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("deg").cast("bigint").alias("deg_sum"),
+        )
+    )
+    return (
+        dsum.join(ein, "community", "left")
+        .crossJoin(m)
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            "deg_sum",
+            F.round(
+                F.coalesce("e_in", F.lit(0)).cast("double") / F.col("m")
+                - F.pow(F.col("deg_sum").cast("double") / (2.0 * F.col("m")), 2),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

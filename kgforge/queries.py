@@ -5060,6 +5060,62 @@ def kg_communities_lpa(spark, sf_dir):
 
 
 @register(
+    "kg_modularity",
+    _SQL_EDGES
+    + _SQL_UND
+    + f"""
+    ,
+    nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+    l0 AS (SELECT DISTINCT v, v AS label FROM nbr),
+    {_sql_lpa_round('l0', 'l1')},
+    {_sql_lpa_round('l1', 'l2')},
+    {_sql_lpa_round('l2', 'l3')},
+    deg AS (SELECT v, COUNT(*) AS deg FROM nbr GROUP BY v),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und),
+    ein AS (
+      SELECT la.label AS community, COUNT(*) AS e_in
+      FROM und u
+      JOIN l3 la ON u.a = la.v
+      JOIN l3 lb ON u.b = lb.v AND la.label = lb.label
+      GROUP BY 1),
+    dsum AS (
+      SELECT l.label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(d.deg) AS BIGINT) AS deg_sum
+      FROM l3 l JOIN deg d ON l.v = d.v GROUP BY 1)
+    SELECT ds.community, ds.n_members,
+           CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in, ds.deg_sum,
+           ROUND(CAST(COALESCE(e.e_in, 0) AS DOUBLE) / m.m
+                 - POWER(CAST(ds.deg_sum AS DOUBLE) / (2.0 * m.m), 2), 6)
+             AS q_contrib
+    FROM dsum ds LEFT JOIN ein e ON ds.community = e.community, m
+    """,
+)
+def kg_modularity(spark, sf_dir):
+    """Newman MODULARITY of the LPA partition — the quality score that
+    closes the community-detection loop (detect with kg_communities_lpa,
+    evaluate here): per community c, Q_c = e_in(c)/m - (deg_sum(c)/2m)^2;
+    global Q is the sum of the rows.  Same deterministic 3-round
+    synchronous LPA as the detection query (shared graph/algo loop), so
+    both engines score the SAME partition.
+
+    Scale shape: e_in is the edge table joined to the vertex-scale label
+    dim twice — keyed shuffle joins, NOT broadcast (labels are O(|V|);
+    the r5 gate rule); deg_sum is one groupBy over the neighbor list;
+    2m is a 1-row aggregate crossJoined in (broadcast of literally one
+    row), never a driver collect.  Scoring lives in graph/algo.modularity
+    (unit-pinned on a two-triangle bridge graph with hand-computed Q)."""
+    from .graph.algo import lpa_communities, modularity
+
+    und = _und_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    ).localCheckpoint(eager=True)
+    labels = lpa_communities(nbr, rounds=3)
+    return modularity(und, labels)
+
+
+@register(
     "kg_ego_network",
     _SQL_EDGES
     + """
@@ -5905,6 +5961,9 @@ EXTRA_NAMES = [
     # r6: SemDeDup semantic prune (new; resolution family driver-covered
     # by dedup_resolve_clusters, cosine family by dedup_embedding_cosine)
     "dedup_semantic_prune",
+    # r6: partition-quality score for LPA (new; community family
+    # driver-covered by kg_communities_lpa)
+    "kg_modularity",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

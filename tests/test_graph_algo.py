@@ -276,3 +276,43 @@ def test_betweenness_depth_truncation(spark):
     assert rows and all(r.bc == 0.0 for r in rows)
     n_seeds = {r.v: r.n_seeds for r in rows}
     assert n_seeds[2] == 2  # reached by 1 and 3 within one hop
+
+
+# ---------- modularity ----------
+
+def test_modularity_two_triangle_bridge_hand_computed(spark):
+    """Two triangles joined by one bridge, ground-truth partition:
+    m=7, each triangle has e_in=3, deg_sum=7 ->
+    Q_c = 3/7 - (7/14)^2 = 0.178571 each, global Q = 0.357143."""
+    from kgforge.graph.algo import modularity
+
+    und = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "a bigint, b bigint",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "v bigint, label bigint",
+    )
+    rows = {r.community: r for r in modularity(und, labels).collect()}
+    assert set(rows) == {1, 4}
+    for c in (1, 4):
+        assert rows[c].n_members == 3
+        assert rows[c].e_in == 3
+        assert rows[c].deg_sum == 7
+        assert rows[c].q_contrib == pytest.approx(3 / 7 - 0.25, abs=1e-6)
+    assert sum(r.q_contrib for r in rows.values()) == pytest.approx(
+        0.357143, abs=1e-6
+    )
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: e_in=m, deg_sum=2m -> Q = 0 exactly."""
+    from kgforge.graph.algo import modularity
+
+    und = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a bigint, b bigint")
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "v bigint, label bigint"
+    )
+    [r] = modularity(und, labels).collect()
+    assert (r.e_in, r.deg_sum, r.q_contrib) == (3, 6, 0.0)
