@@ -510,3 +510,65 @@ def modularity(und: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+def random_walks(nbr: DataFrame, length: int = 4) -> DataFrame:
+    """DeepWalk-style corpus generation (Perozzi et al. 2014,
+    arXiv:1403.6652), DETERMINISTIC: one walk per start vertex, next hop
+    = neighbor at index hash(walk, step, cur) % deg(cur) over the
+    rank-indexed adjacency — a seeded surrogate for uniform sampling
+    that both engines can replay bit-identically (shared charfold hash).
+
+    ``nbr``: directed neighbor list (v, u), both directions of each
+    undirected edge.  Returns (walk_id, pos, node) corpus rows,
+    pos = 0..length.
+
+    Scale shape: state is ONE row per walk per step; each step is two
+    keyed shuffle joins (vertex info, then the indexed adjacency — both
+    O(|V|)/O(|E|) dims, never force-broadcast); the frontier is
+    localCheckpointed per step so the plan stays linear in length; the
+    corpus streams out as a union of per-step frontiers, no global sort."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import MOD, charfold
+
+    w = Window.partitionBy("v").orderBy("u")
+    nbrx = nbr.withColumn("idx", F.row_number().over(w) - 1).localCheckpoint(
+        eager=True
+    )
+    vinfo = (
+        nbr.groupBy("v")
+        .agg(F.count("*").alias("deg"))
+        .withColumn("h", charfold(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
+    frontier = vinfo.select(
+        F.col("v").alias("walk_id"), F.col("v").alias("cur"), F.col("h").alias("hw")
+    )
+    out = frontier.select(
+        "walk_id", F.lit(0).cast("bigint").alias("pos"), F.col("cur").alias("node")
+    )
+    for t in range(1, length + 1):
+        f = frontier.join(
+            vinfo.select(F.col("v").alias("cur"), F.col("h").alias("hc"), "deg"),
+            "cur",
+        ).withColumn(
+            "tgt",
+            ((F.col("hw") * 31 + F.lit(t) * 1000003 + F.col("hc")) % MOD)
+            % F.col("deg"),
+        )
+        nx = nbrx.select(
+            F.col("v").alias("nv"), F.col("idx").alias("nidx"), F.col("u")
+        )
+        step = f.join(nx, (f["cur"] == nx["nv"]) & (f["tgt"] == nx["nidx"]))
+        frontier = step.select(
+            "walk_id", F.col("u").alias("cur"), "hw"
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id",
+                F.lit(t).cast("bigint").alias("pos"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

@@ -5115,6 +5115,61 @@ def kg_modularity(spark, sf_dir):
     return modularity(und, labels)
 
 
+def _sql_walk_step(t: int) -> str:
+    """One deterministic walk hop: next = neighbor at index
+    hash(walk, step, cur) % deg(cur) — the SQL twin of the Spark step
+    inside graph/algo.random_walks."""
+    return f"""
+    w{t} AS (
+      SELECT w.walk_id, x.u AS cur, w.hw
+      FROM w{t - 1} w
+      JOIN vinfo i ON i.v = w.cur
+      JOIN nbrx x ON x.v = w.cur
+        AND x.idx = ((w.hw * 31 + {t} * 1000003 + i.h) % {MOD}) % i.deg)"""
+
+
+@register(
+    "kg_random_walks",
+    _SQL_EDGES
+    + _SQL_UND
+    + f"""
+    ,
+    nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+    nbrx AS (SELECT v, u,
+                    ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) - 1 AS idx
+             FROM nbr),
+    vinfo AS (SELECT v, COUNT(*) AS deg, {sql_charfold('v')} AS h
+              FROM nbr GROUP BY v),
+    w0 AS (SELECT v AS walk_id, v AS cur, h AS hw FROM vinfo),
+    {','.join(_sql_walk_step(t) for t in range(1, 5))}
+    SELECT walk_id, CAST(0 AS BIGINT) AS pos, cur AS node FROM w0
+    UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM w1
+    UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM w2
+    UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM w3
+    UNION ALL SELECT walk_id, CAST(4 AS BIGINT), cur FROM w4
+    """,
+)
+def kg_random_walks(spark, sf_dir):
+    """Random-walk CORPUS GENERATION over the canonical graph — the
+    DeepWalk/node2vec preprocessing step (Perozzi et al. 2014): one
+    length-4 walk per vertex, emitted as (walk_id, pos, node) training
+    rows for a downstream skip-gram embedder.  The next-hop choice is a
+    deterministic hash over (walk, step, current) into the rank-indexed
+    adjacency — a seeded surrogate for uniform neighbor sampling that
+    DuckDB replays bit-identically (shared charfold), so the whole
+    corpus is oracle-checked, not just its shape.  Walk loop:
+    graph/algo.random_walks (per-step state = one row per walk; two
+    keyed shuffle joins per hop, adjacency never broadcast)."""
+    from .graph.algo import random_walks
+
+    und = _und_edges(spark, sf_dir)
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    ).localCheckpoint(eager=True)
+    return random_walks(nbr, length=4)
+
+
 @register(
     "kg_ego_network",
     _SQL_EDGES
@@ -5964,6 +6019,9 @@ EXTRA_NAMES = [
     # r6: partition-quality score for LPA (new; community family
     # driver-covered by kg_communities_lpa)
     "kg_modularity",
+    # r6: DeepWalk corpus generation (new; iterative-join family
+    # driver-covered by kg_pagerank_converged/kg_cc_components)
+    "kg_random_walks",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

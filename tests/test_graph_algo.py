@@ -316,3 +316,42 @@ def test_modularity_single_community_is_zero(spark):
     )
     [r] = modularity(und, labels).collect()
     assert (r.e_in, r.deg_sum, r.q_contrib) == (3, 6, 0.0)
+
+
+# ---------- random walks ----------
+
+@pytest.fixture(scope="module")
+def walk_graph(spark):
+    """Path 1-2-3-4 plus a pendant 5 on 2: mixed degrees (1, 2, 3)."""
+    und = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e")], "a string, b string"
+    )
+    return (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_random_walks_every_hop_is_an_edge(spark, walk_graph):
+    from kgforge.graph.algo import random_walks
+
+    corpus = random_walks(walk_graph, length=3).collect()
+    edges = {(r.v, r.u) for r in walk_graph.collect()}
+    bywalk = {}
+    for r in corpus:
+        bywalk.setdefault(r.walk_id, {})[r.pos] = r.node
+    assert len(bywalk) == 5  # one walk per vertex
+    for wid, seq in bywalk.items():
+        assert sorted(seq) == [0, 1, 2, 3]  # full length, no dead ends
+        assert seq[0] == wid  # walk starts at its id
+        for t in range(3):
+            assert (seq[t], seq[t + 1]) in edges
+
+
+def test_random_walks_deterministic(spark, walk_graph):
+    from kgforge.graph.algo import random_walks
+
+    a = {(r.walk_id, r.pos, r.node) for r in random_walks(walk_graph, 3).collect()}
+    b = {(r.walk_id, r.pos, r.node) for r in random_walks(walk_graph, 3).collect()}
+    assert a == b and len(a) == 20
