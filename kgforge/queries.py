@@ -2696,6 +2696,90 @@ def token_counts(spark, sf_dir):
     return _doc_tokens(spark, sf_dir).groupBy("tok").agg(F.count("*").alias("cnt"))
 
 
+# Count-min width: sized BELOW the corpus vocabulary on purpose so the
+# sketch actually collides and the reported rel_err measures the real
+# overestimate (production sizing is W ~ e/epsilon >> vocab of hot keys;
+# at W >= vocab the measurement is degenerate 0.0 everywhere).
+_CMS_W = 8  # depth = 3 rows from MINHASH_AB
+_CMS_JAB = [(j, a, b) for j, (a, b) in enumerate(MINHASH_AB[:3])]
+
+
+@register(
+    "token_cms_topk",
+    f"""
+    WITH {SQL_TOK},
+    js(j, a, b) AS (SELECT * FROM (VALUES
+      {', '.join(f'({j}, {a}, {b})' for j, a, b in _CMS_JAB)})),
+    th AS (SELECT tok, {sql_charfold('tok')} AS h FROM tok),
+    cells AS (
+      SELECT j.j, (j.a * t.h + j.b) % {MOD} % {_CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cell_n
+      FROM th t, js j GROUP BY 1, 2),
+    exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM tok GROUP BY tok),
+    top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20),
+    probes AS (
+      SELECT tp.tok, tp.exact_n, j.j,
+             (j.a * {sql_charfold('tp.tok')} + j.b) % {MOD} % {_CMS_W} AS bucket
+      FROM top tp, js j),
+    est AS (
+      SELECT p.tok, p.exact_n, MIN(c.cell_n) AS cms_est
+      FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+      GROUP BY 1, 2)
+    SELECT tok, exact_n, cms_est, cms_est >= exact_n AS over_ok,
+           ROUND(CAST(cms_est - exact_n AS DOUBLE) / exact_n, 4) AS rel_err
+    FROM est
+    """,
+)
+def token_cms_topk(spark, sf_dir):
+    """COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005) as
+    pure relational algebra: the d x W sketch is ONE groupBy over the
+    token stream keyed by (row, bucket) — map-side combine reduces each
+    partition to <= d*W cells before the shuffle, which IS the mergeable-
+    sketch property, and the shared charfold hash makes DuckDB replay
+    the sketch bit-identically, so estimates are oracle-checked exactly,
+    not bounded.  Report: top-20 exact heavy hitters with their CMS
+    estimate, the one-sided guarantee est >= exact pinned as a boolean
+    column, and the realized relative error (the HLL-twin measurement
+    pattern).  The cells dim is <= d*W rows BY CONSTRUCTION
+    (independent of corpus size) — the one broadcast here that needs no
+    size gate."""
+    toks = _doc_tokens(spark, sf_dir).select("tok")
+    buckets = F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % MOD % _CMS_W).cast("bigint")
+            for _, a, b in _CMS_JAB
+        ]
+    )
+    cells = (
+        toks.withColumn("h", charfold(F.col("tok")))
+        .select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "tok").limit(20)
+    probes = top.withColumn("h", charfold(F.col("tok"))).select(
+        "tok", "exact_n", F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("over_ok"),
+            F.round(
+                (F.col("cms_est") - F.col("exact_n")).cast("double")
+                / F.col("exact_n"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
 @register(
     "multimodal_bytes",
     """
@@ -6022,6 +6106,9 @@ EXTRA_NAMES = [
     # r6: DeepWalk corpus generation (new; iterative-join family
     # driver-covered by kg_pagerank_converged/kg_cc_components)
     "kg_random_walks",
+    # r6: count-min heavy hitters (new; sketch family driver-covered by
+    # the q_retention_cohorts exact row + its HLL twin in EXTRA)
+    "token_cms_topk",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
