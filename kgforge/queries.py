@@ -3925,6 +3925,111 @@ def sample_weighted_reservoir(spark, sf_dir):
     )
 
 
+_DSIR_B = 64  # hashed-bigram feature buckets
+
+
+@register(
+    "curate_dsir_sample",
+    f"""
+    WITH {SQL_TOK},
+    bg0 AS (SELECT doc_id, tok,
+                   LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM tok),
+    bg AS (SELECT doc_id,
+                  {sql_charfold("tok || ' ' || nxt")} % {_DSIR_B} AS bucket
+           FROM bg0 WHERE nxt IS NOT NULL),
+    bgl AS (SELECT b.doc_id, b.bucket,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS ist
+            FROM bg b JOIN documents d ON d.doc_id = b.doc_id),
+    cnt AS (SELECT bucket, COUNT(*) AS rc, SUM(ist) AS tc
+            FROM bgl GROUP BY 1),
+    tots AS (SELECT COUNT(*) AS tr, SUM(ist) AS tt FROM bgl),
+    sc AS (SELECT cnt.bucket,
+                  ln((cnt.tc + 1.0) / (tots.tt + {_DSIR_B}.0))
+                  - ln((cnt.rc + 1.0) / (tots.tr + {_DSIR_B}.0)) AS s
+           FROM cnt, tots),
+    c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM bg GROUP BY 1, 2),
+    lw AS (SELECT c.doc_id, SUM(c.c * sc.s) AS logw
+           FROM c JOIN sc ON sc.bucket = c.bucket GROUP BY 1),
+    keyed AS (
+      SELECT doc_id, logw,
+             logw + -ln(-ln(
+               ({sql_charfold("md5(CAST(doc_id AS VARCHAR) || ':dsir')")} + 1.0)
+               / ({MOD} + 1.0))) AS k
+      FROM lw)
+    SELECT doc_id, ROUND(logw, 4) AS log_w, ROUND(k, 4) AS sel_key
+    FROM keyed ORDER BY ROUND(k, 6) DESC, doc_id LIMIT 25
+    """,
+)
+def curate_dsir_sample(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (public method:
+    Xie et al. 2023, arXiv:2302.03169): select raw-corpus documents that
+    look like a TARGET domain (here lang='en') by importance weight
+    under hashed-bigram feature distributions.  log w(d) = sum over the
+    doc's feature buckets of count * (ln p_target - ln p_raw), both
+    distributions add-1 smoothed over B=64 hashed buckets; selection is
+    Gumbel-top-k (key = log w + Gumbel noise), which samples WITHOUT
+    replacement proportionally to w — with the repo's deterministic
+    hash-uniform standing in for rand() so the sample itself is
+    oracle-checked (the sample_weighted_reservoir pattern).
+
+    Scale shape: bigram features are a per-doc window (LEAD), one
+    partition-local pass; bucket counts are ONE groupBy with map-side
+    combine; the per-bucket score dim is <= B rows BY CONSTRUCTION
+    (broadcast needs no gate); per-doc log-weights are one (doc, bucket)
+    groupBy; top-k compiles to TakeOrderedAndProject — no global sort,
+    no driver state."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens(spark, sf_dir)
+    wname = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("nxt", F.lead("tok").over(wname))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            (charfold(F.concat_ws(" ", "tok", "nxt")) % _DSIR_B).alias("bucket"),
+        )
+    )
+    bgl = bg.join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("ist")),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+    cnt = bgl.groupBy("bucket").agg(
+        F.count("*").alias("rc"), F.sum("ist").alias("tc")
+    )
+    tots = bgl.agg(F.count("*").alias("tr"), F.sum("ist").alias("tt"))
+    sc = cnt.crossJoin(tots).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + 1.0) / (F.col("tt") + float(_DSIR_B)))
+            - F.log((F.col("rc") + 1.0) / (F.col("tr") + float(_DSIR_B)))
+        ).alias("s"),
+    )
+    c = bgl.groupBy("doc_id", "bucket").agg(F.count("*").alias("c"))
+    lw = (
+        c.join(F.broadcast(sc), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("s")).alias("logw"))
+    )
+    u = (
+        charfold(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir"))))
+        + 1.0
+    ) / F.lit(float(MOD) + 1.0)
+    keyed = lw.select(
+        "doc_id", "logw", (F.col("logw") + -F.log(-F.log(u))).alias("k")
+    )
+    return (
+        keyed.orderBy(F.desc(F.round("k", 6)), "doc_id")
+        .limit(25)
+        .select(
+            "doc_id",
+            F.round("logw", 4).alias("log_w"),
+            F.round("k", 4).alias("sel_key"),
+        )
+    )
+
+
 @register(
     "text_pmi_bigrams",
     f"""
@@ -6109,6 +6214,10 @@ EXTRA_NAMES = [
     # r6: count-min heavy hitters (new; sketch family driver-covered by
     # the q_retention_cohorts exact row + its HLL twin in EXTRA)
     "token_cms_topk",
+    # r6: DSIR importance resampling (new; seeded-sampling family
+    # driver-covered by q_train_split/q_cv_folds slots' history,
+    # weighted-reservoir twin already in EXTRA)
+    "curate_dsir_sample",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
