@@ -2255,6 +2255,95 @@ def dedup_containment(spark, sf_dir):
 
 
 @register(
+    "dedup_repeated_spans",
+    f"""
+    WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS arr
+                    FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+             {sql_charfold("array_to_string(list_slice(arr, i, i + 7), ' ')")}
+               AS gh
+      FROM tokarr, UNNEST(generate_series(1, len(arr) - 7)) AS t(i)),
+    dup AS (SELECT gh FROM grams GROUP BY gh
+            HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+    flag AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flag)
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """EXACT-SUBSTRING dedup spans (public method: Lee et al. 2021,
+    arXiv:2107.06499 'Deduplicating Training Data Makes Language Models
+    Better' — their suffix-array repeated-substring pass, re-expressed
+    relationally): every 8-token gram occurring in >= 2 distinct
+    documents marks its positions; per document, overlapping/adjacent
+    marked windows merge into MAXIMAL repeated spans (gaps-and-islands:
+    LAG gap flag -> running-sum island id -> min/max per island).  The
+    output is the cut-list a training pipeline feeds to span excision —
+    complementing the doc-level near-dup family (MinHash/SimHash/
+    Jaccard) with the sub-document case they cannot see.
+
+    Scale shape: gram hashing is row-local (higher-order split/slice/
+    charfold, no Python); the >= 2-docs filter is ONE groupBy on the
+    gram hash with map-side combine; hit positions come back via a semi
+    join on the (small) duplicated-gram dim; island merging is a
+    per-document window — partition-local, no global sort.  At 100 TB
+    the duplicated-gram dim is the only reduced state (bounded by
+    actually-repeated content, the quantity of interest)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    gram_strs = F.when(
+        F.size(toks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 7),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(
+        "doc_id", F.posexplode(gram_strs).alias("p", "gram")
+    ).select(
+        "doc_id",
+        F.col("p").cast("bigint").alias("pos"),
+        charfold(F.col("gram")).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi").select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(wd) > 8, 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + 7).alias("span_end"),
+        (F.max("pos") + 7 - F.min("pos") + 1).alias("span_tokens"),
+        F.count("*").alias("n_grams"),
+    ).drop("island")
+
+
+@register(
     "dedup_shingle_df_caps",
     f"""
     WITH {SQL_SHINGLES},
@@ -6218,6 +6307,9 @@ EXTRA_NAMES = [
     # driver-covered by q_train_split/q_cv_folds slots' history,
     # weighted-reservoir twin already in EXTRA)
     "curate_dsir_sample",
+    # r6: exact-substring repeated spans (new; sub-document dedup family
+    # driver-covered by dedup_minhash_pairs + containment twin in EXTRA)
+    "dedup_repeated_spans",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -50,3 +50,39 @@ def test_pruned_members_are_cluster_minus_keep(spark, prune_dir):
         F.count("*").alias("kept"),
     ).collect()[0]
     assert agg.in_clusters == agg.kept + agg.pruned
+
+
+# ---------- dedup_repeated_spans ----------
+
+@pytest.fixture(scope="module")
+def span_dir(spark, tmp_path_factory):
+    """Three docs sharing two distinct 8-token phrases: doc 1 carries
+    both (separated by unique filler), docs 2 and 3 one each."""
+    pa = "alpha beta gamma delta epsilon zeta eta theta"
+    pb = "iota kappa lam mu nu xi omi pi"
+    rows = [
+        (1, pa + " f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 " + pb, "en", "s", 0),
+        (2, "g1 g2 g3 " + pa, "en", "s", 0),
+        (3, pb, "en", "s", 0),
+    ]
+    d = tmp_path_factory.mktemp("spans")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repeated_spans_islands(spark, span_dir):
+    from kgforge.queries import ALL_QUERIES
+
+    out = {
+        (r.doc_id, r.span_start, r.span_end): (r.span_tokens, r.n_grams)
+        for r in ALL_QUERIES["dedup_repeated_spans"](spark, span_dir).collect()
+    }
+    # doc 1: TWO maximal islands (the filler gap > 8 splits them)
+    assert out == {
+        (1, 0, 7): (8, 1),
+        (1, 18, 25): (8, 1),
+        (2, 3, 10): (8, 1),
+        (3, 0, 7): (8, 1),
+    }
