@@ -2302,7 +2302,11 @@ def dedup_repeated_spans(spark, sf_dir):
     join on the (small) duplicated-gram dim; island merging is a
     per-document window — partition-local, no global sort.  At 100 TB
     the duplicated-gram dim is the only reduced state (bounded by
-    actually-repeated content, the quantity of interest)."""
+    actually-repeated content, the quantity of interest).  The gram
+    subtree is deliberately NOT checkpointed although two consumers read
+    it (the DF aggregate and the semi join): recomputing a row-local
+    expression over two scans beats materializing an O(corpus-tokens)
+    intermediate — scan-bound, no spill risk."""
     d = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     gram_strs = F.when(
@@ -2670,11 +2674,17 @@ def dedup_semantic_prune(spark, sf_dir):
     # Scalar schema probe (embedding width), same class of driver read as
     # the k-means centroid seeds — not a data collect.
     dim = len(e.select("embedding").head()["embedding"])
-    members = labels.select(
-        "vec_id", F.col("canonical_id").alias("cluster_id")
-    ).join(
-        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
-        "vec_id",
+    members = (
+        labels.select("vec_id", F.col("canonical_id").alias("cluster_id"))
+        .join(
+            e.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            "vec_id",
+        )
+        # two consumers (centroid pass, scoring pass) — cluster-member
+        # sized, so materializing beats re-running the CC-output join
+        .localCheckpoint(eager=True)
     )
     cent = members.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size"),
