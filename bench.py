@@ -43,6 +43,12 @@ HEADLINE = [
     "kg_kcore",
     # r6 additions
     "kg_pagerank_converged",
+    # r6b additions (new operator families: substring dedup, sketch,
+    # importance sampling, walk corpus)
+    "dedup_repeated_spans",
+    "token_cms_topk",
+    "curate_dsir_sample",
+    "kg_random_walks",
 ]
 
 
