@@ -2798,9 +2798,11 @@ def token_counts(spark, sf_dir):
 # Count-min width: sized BELOW the corpus vocabulary on purpose so the
 # sketch actually collides and the reported rel_err measures the real
 # overestimate (production sizing is W ~ e/epsilon >> vocab of hot keys;
-# at W >= vocab the measurement is degenerate 0.0 everywhere).
-_CMS_W = 8  # depth = 3 rows from MINHASH_AB
-_CMS_JAB = [(j, a, b) for j, (a, b) in enumerate(MINHASH_AB[:3])]
+# at W >= vocab the measurement is degenerate 0.0 everywhere).  Single
+# source: functions/sketches (the SQL template below must hash exactly
+# like the Spark cells).
+from .functions.sketches import CMS_JAB as _CMS_JAB  # noqa: E402
+from .functions.sketches import CMS_W as _CMS_W  # noqa: E402
 
 
 @register(
@@ -2842,29 +2844,17 @@ def token_cms_topk(spark, sf_dir):
     column, and the realized relative error (the HLL-twin measurement
     pattern).  The cells dim is <= d*W rows BY CONSTRUCTION
     (independent of corpus size) — the one broadcast here that needs no
-    size gate."""
+    size gate.  Sketch mechanics: functions/sketches (cells are
+    EXACTLY mergeable across batches — cms_merge of per-epoch sketches
+    equals the one-shot sketch, pinned by tests/test_sketches.py)."""
+    from .functions.sketches import cms_cells, cms_estimate
+
     toks = _doc_tokens(spark, sf_dir).select("tok")
-    buckets = F.array(
-        *[
-            ((F.lit(a) * F.col("h") + F.lit(b)) % MOD % _CMS_W).cast("bigint")
-            for _, a, b in _CMS_JAB
-        ]
-    )
-    cells = (
-        toks.withColumn("h", charfold(F.col("tok")))
-        .select(F.posexplode(buckets).alias("j", "bucket"))
-        .groupBy("j", "bucket")
-        .agg(F.count("*").alias("cell_n"))
-    )
+    cells = cms_cells(toks)
     exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
     top = exact.orderBy(F.desc("exact_n"), "tok").limit(20)
-    probes = top.withColumn("h", charfold(F.col("tok"))).select(
-        "tok", "exact_n", F.posexplode(buckets).alias("j", "bucket")
-    )
     return (
-        probes.join(F.broadcast(cells), ["j", "bucket"])
-        .groupBy("tok", "exact_n")
-        .agg(F.min("cell_n").alias("cms_est"))
+        cms_estimate(cells, top)
         .select(
             "tok",
             "exact_n",
