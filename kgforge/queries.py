@@ -4333,6 +4333,95 @@ def text_bm25_search(spark, sf_dir):
 
 
 @register(
+    "retrieval_hybrid_rrf",
+    _SQL_BM25_BASE
+    + ",\n"
+    + _SQL_COS.strip().rstrip()
+    + f"""
+    , q AS (SELECT unnest(['spark', 'model', 'graph']) AS tok),
+    lex0 AS (
+      SELECT t.doc_id, SUM({_SQL_BM25_SCORE}) AS score
+      FROM tf t
+      JOIN q ON t.tok = q.tok
+      JOIN df d ON t.tok = d.tok
+      JOIN dl l ON t.doc_id = l.doc_id, stats s
+      GROUP BY t.doc_id),
+    lex AS (SELECT doc_id, lex_rank FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+               AS lex_rank
+      FROM lex0) WHERE lex_rank <= 20),
+    vec AS (SELECT doc_id, vec_rank FROM (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(c, 6) DESC, vec_id)
+               AS vec_rank
+      FROM cos) WHERE vec_rank <= 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             COALESCE(1.0 / (60 + l.lex_rank), 0)
+             + COALESCE(1.0 / (60 + v.vec_rank), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           ROUND(rrf, 6) AS rrf_score
+    FROM fused ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT 15
+    """,
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL by reciprocal-rank fusion (Cormack et al. 2009):
+    the lexical leg (per-term BM25 over the corpus for the fixed keyword
+    query) and the dense leg (exact cosine vs the query embedding,
+    vec_id 0 — the testdata's doc-aligned vector space) each produce a
+    top-20 ranking; fusion scores 1/(60+r) per leg, full-outer joined so
+    single-leg hits survive with one term — the standard RAG retrieval
+    front-end as ONE declarative plan.
+
+    Scale shape: both legs are the already-audited retrieval plans
+    (posting semi-join via a 3-row broadcast; one-scan fold cosine
+    against a 1-row broadcast query vector); each leg reduces to <= 20
+    rows BEFORE the fusion join, so the full-outer join is a 40-row
+    problem regardless of corpus size; final top-15 is
+    TakeOrderedAndProject."""
+    from .functions.similarity import cosine_topk
+
+    tf, dl, stats, df = _bm25_base(spark, sf_dir)
+    q = spark.createDataFrame([(w,) for w in BM25_QUERY_TERMS], "tok string")
+    scored = (
+        tf.join(F.broadcast(q), on="tok")
+        .join(F.broadcast(df), on="tok")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", _bm25_score_col())
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+    wl = Window.orderBy(F.desc(F.round("score", 6)), "doc_id")
+    lex = (
+        scored.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 20)
+        .select("doc_id", "lex_rank")
+    )
+    vec = cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("rnk").alias("vec_rank")
+    )
+    fused = lex.join(vec, on="doc_id", how="full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.withColumn("rrf", rrf)
+        .orderBy(F.desc(F.round("rrf", 6)), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+@register(
     "q_value_outliers",
     """
     WITH m AS (
@@ -6310,6 +6399,9 @@ EXTRA_NAMES = [
     # r6: exact-substring repeated spans (new; sub-document dedup family
     # driver-covered by dedup_minhash_pairs + containment twin in EXTRA)
     "dedup_repeated_spans",
+    # r6: hybrid BM25+dense RRF retrieval (new; both legs driver-covered
+    # by ann_cosine_topk + the BM25 driver slots)
+    "retrieval_hybrid_rrf",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
