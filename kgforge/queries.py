@@ -5482,6 +5482,85 @@ def kg_modularity(spark, sf_dir):
     return modularity(und, labels)
 
 
+@register(
+    "kg_sage_features",
+    _SQL_EDGES
+    + _SQL_UND
+    + """
+    ,
+    nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM nbr GROUP BY v),
+    nodes AS (SELECT md5(t.tok || ':' || l.ent_type) AS canonical_id,
+                     CAST(COUNT(*) AS BIGINT) AS mentions
+              FROM tok t JOIN lex l ON t.tok = l.tok GROUP BY 1),
+    feats AS (SELECT d.v, d.deg, n.mentions
+              FROM deg d JOIN nodes n ON n.canonical_id = d.v),
+    agg AS (
+      SELECT nb.v, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+             AVG(f.deg) AS mdeg, AVG(f.mentions) AS mmen,
+             CAST(MAX(f.deg) AS BIGINT) AS xdeg
+      FROM nbr nb JOIN feats f ON f.v = nb.u GROUP BY nb.v)
+    SELECT f.v AS canonical_id, f.deg, f.mentions, a.n_nbrs,
+           ROUND(a.mdeg, 4) AS nbr_mean_deg,
+           ROUND(a.mmen, 4) AS nbr_mean_mentions,
+           a.xdeg AS nbr_max_deg
+    FROM feats f JOIN agg a ON a.v = f.v
+    """,
+)
+def kg_sage_features(spark, sf_dir):
+    """One GraphSAGE message-passing round (Hamilton et al. 2017,
+    arXiv:1706.02216 — the mean aggregator) as relational algebra: node
+    features h0 = [degree, mention_count], neighborhood aggregation
+    h1(v) = [h0(v) || mean/max over neighbors of h0(u)] — the
+    GNN-training feature table a downstream model consumes, produced
+    without any GNN framework.
+
+    Scale shape: the feature dim is O(|V|) and attaches via KEYED joins
+    (never force-broadcast — the gate rule); aggregation is ONE
+    edge-keyed shuffle per hop with map-side combine; stacking K hops
+    repeats the join+agg block K times (each round reads only the
+    previous round's fixed-width feature table, the same per-round
+    shape as the PageRank loop)."""
+    und = _und_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    ).localCheckpoint(eager=True)
+    deg = nbr.groupBy("v").agg(F.count("*").alias("deg"))
+    nodes = kg_nodes(spark, sf_dir).groupBy("canonical_id").agg(
+        F.sum("mention_count").alias("mentions")
+    )
+    feats = deg.join(
+        nodes.select(F.col("canonical_id").alias("v"), "mentions"), "v"
+    ).localCheckpoint(eager=True)
+    agg = (
+        nbr.join(
+            feats.select(
+                F.col("v").alias("u"),
+                F.col("deg").alias("udeg"),
+                F.col("mentions").alias("umen"),
+            ),
+            "u",
+        )
+        .groupBy("v")
+        .agg(
+            F.count("*").alias("n_nbrs"),
+            F.avg("udeg").alias("mdeg"),
+            F.avg("umen").alias("mmen"),
+            F.max("udeg").alias("xdeg"),
+        )
+    )
+    return feats.join(agg, "v").select(
+        F.col("v").alias("canonical_id"),
+        "deg",
+        "mentions",
+        "n_nbrs",
+        F.round("mdeg", 4).alias("nbr_mean_deg"),
+        F.round("mmen", 4).alias("nbr_mean_mentions"),
+        F.col("xdeg").alias("nbr_max_deg"),
+    )
+
+
 def _sql_walk_step(t: int) -> str:
     """One deterministic walk hop: next = neighbor at index
     hash(walk, step, cur) % deg(cur) — the SQL twin of the Spark step
@@ -6402,6 +6481,9 @@ EXTRA_NAMES = [
     # r6: hybrid BM25+dense RRF retrieval (new; both legs driver-covered
     # by ann_cosine_topk + the BM25 driver slots)
     "retrieval_hybrid_rrf",
+    # r6: GraphSAGE-style hop aggregation (new; feature-join family
+    # driver-covered by kg_clustering_coeff's degree machinery)
+    "kg_sage_features",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
