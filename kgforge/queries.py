@@ -1302,6 +1302,71 @@ def q_profile_events(spark, sf_dir):
 
 
 @register(
+    "q_event_type_graph",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    cu AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM ut),
+    cooc AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS cooc
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT c.type_a, c.type_b, c.cooc,
+           ROUND((CAST(c.cooc AS DOUBLE) * nu.n) / (ca.c * cb.c), 4) AS lift
+    FROM cooc c
+    JOIN cu ca ON ca.event_type = c.type_a
+    JOIN cu cb ON cb.event_type = c.type_b, nu
+    """,
+)
+def q_event_type_graph(spark, sf_dir):
+    """GRAPH INDUCTION from the event log: co-occurrence edges between
+    event types that appear for the same user, weighted by lift
+    P(a,b)/(P(a)P(b)) over the user population — turning a behavioral
+    stream into an affinity graph the graph-analytics family can then
+    consume (the KG analog of market-basket association mining).
+
+    Scale shape: the (user, type) presence table is one distinct pass;
+    the pairing self-join is keyed on user_id and bounded per user by
+    the TYPE VOCABULARY (each user contributes <= |types| rows, so the
+    join fan-out is |users| x types² worst-case with a small constant —
+    never row x row); the per-type marginal dim is type-vocabulary
+    sized; the user population total is a 1-row crossJoin."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
+    cu = ut.groupBy("event_type").agg(F.count("*").alias("c"))
+    nu = ut.agg(F.countDistinct("user_id").cast("double").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    cooc = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("cooc"))
+    )
+    return (
+        cooc.join(
+            F.broadcast(cu.select(F.col("event_type").alias("type_a"),
+                                  F.col("c").alias("ca"))), "type_a"
+        )
+        .join(
+            F.broadcast(cu.select(F.col("event_type").alias("type_b"),
+                                  F.col("c").alias("cb"))), "type_b"
+        )
+        .crossJoin(nu)
+        .select(
+            "type_a", "type_b", "cooc",
+            F.round(
+                (F.col("cooc").cast("double") * F.col("n"))
+                / (F.col("ca") * F.col("cb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
     "q_funnel_steps",
     """
     WITH s1 AS (SELECT user_id, MIN(ts) AS ts FROM events
@@ -1625,6 +1690,67 @@ def kg_pred_histogram(spark, sf_dir):
     return t.groupBy("pred").agg(
         F.count("*").alias("n_triples"),
         F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "kg_schema_stats",
+    SQL_TRIPLES
+    + """
+    ,
+    cell AS (SELECT subj_type, pred, obj_type, CAST(COUNT(*) AS BIGINT) AS n
+             FROM triples GROUP BY 1, 2, 3),
+    tp AS (SELECT subj_type, obj_type, SUM(n) AS tp FROM cell GROUP BY 1, 2),
+    np AS (SELECT pred, SUM(n) AS np FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM cell)
+    SELECT c.subj_type, c.pred, c.obj_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / tp.tp, 4) AS p_pred_given_pair,
+           ROUND((CAST(c.n AS DOUBLE) / tp.tp) / (np.np / tot.total), 4)
+             AS lift
+    FROM cell c
+    JOIN tp ON tp.subj_type = c.subj_type AND tp.obj_type = c.obj_type
+    JOIN np ON np.pred = c.pred, tot
+    """,
+)
+def kg_schema_stats(spark, sf_dir):
+    """SCHEMA INDUCTION statistics: for every (subj_type, pred, obj_type)
+    cell, P(pred | type pair) and its lift vs the relation's base rate —
+    the signal a KG-construction pipeline uses to learn which relations
+    a type pair licenses (and to flag extraction errors: lift << 1 cells
+    are schema-violating candidates).
+
+    Scale shape: ONE groupBy over triples feeds every marginal (cells,
+    type-pair totals, relation totals, grand total roll up from the
+    CELL table, not from re-scans); the marginal dims are type-vocabulary
+    sized — bounded by construction; the grand total rides in as a 1-row
+    crossJoin."""
+    t = _kg_triples_df(spark, sf_dir)
+    cell = (
+        t.groupBy("subj_type", "pred", "obj_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tp = cell.groupBy("subj_type", "obj_type").agg(F.sum("n").alias("tp"))
+    np_ = cell.groupBy("pred").agg(F.sum("n").alias("np"))
+    tot = cell.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        cell.join(tp, ["subj_type", "obj_type"])
+        .join(np_, "pred")
+        .crossJoin(tot)
+        .select(
+            "subj_type",
+            "pred",
+            "obj_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tp"), 4).alias(
+                "p_pred_given_pair"
+            ),
+            F.round(
+                (F.col("n").cast("double") / F.col("tp"))
+                / (F.col("np") / F.col("total")),
+                4,
+            ).alias("lift"),
+        )
     )
 
 
@@ -6484,6 +6610,12 @@ EXTRA_NAMES = [
     # r6: GraphSAGE-style hop aggregation (new; feature-join family
     # driver-covered by kg_clustering_coeff's degree machinery)
     "kg_sage_features",
+    # r6: schema-induction lift stats (new; counter family driver-covered
+    # by kg_pred_histogram)
+    "kg_schema_stats",
+    # r6: event-type affinity graph induction (new; events family
+    # driver-covered by the retention/funnel slots' history)
+    "q_event_type_graph",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
