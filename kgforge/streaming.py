@@ -656,3 +656,142 @@ def read_graph_state(spark: SparkSession, state_dir: str):
         spark.read.parquet(os.path.join(edir, "edges")),
         spark.read.parquet(os.path.join(edir, "canonical")),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental count-min sketch (same epoch discipline as incremental dedup)
+# ---------------------------------------------------------------------------
+
+def run_incremental_cms(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+) -> None:
+    """Continuous corpus frequency sketching: stream documents (json:
+    doc_id, text); per micro-batch write the batch's count-min CELL
+    DELTA (functions/sketches.cms_cells — at most CMS_D x CMS_W rows,
+    O(1) regardless of batch size) under the same epoch discipline as
+    run_incremental_dedup:
+
+      state_dir/epoch=N/cells/ + metrics.json + _COMPLETE
+
+    Because cells are SUMS, the accumulated sketch is exactly the
+    cell-wise sum across epochs (functions/sketches.cms_merge — the
+    mergeable-sketch identity, pinned by tests/test_sketches.py), so
+    the read rule is read_cms_cells and compaction
+    (compact_cms_epochs) pre-aggregates losslessly: unlike the dedup
+    state, whose rows are append-only facts, the folded CMS snapshot is
+    itself a <= CMS_D x CMS_W row table.  Replays after restart are
+    absorbed by the _COMPLETE marker exactly as in the dedup job."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .functions.sketches import cms_cells
+
+    def upsert(batch_df, epoch_id: int) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        edir = os.path.join(state_dir, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(edir, "_COMPLETE")):
+            return  # replayed batch after restart
+        toks = batch_df.select(
+            F.explode(F.split("text", " ")).alias("tok")
+        )
+        cms_cells(toks).write.mode("overwrite").parquet(
+            os.path.join(edir, "cells")
+        )
+        cells = spark.read.parquet(os.path.join(edir, "cells"))
+        metrics = {
+            "epoch": epoch_id,
+            "n_batch_docs": batch_df.count(),
+            "n_cells": cells.count(),
+            "batch_total": cells.agg(F.sum("cell_n")).collect()[0][0],
+        }
+        with open(os.path.join(edir, "metrics.json"), "w") as f:
+            _json.dump(metrics, f)
+        open(os.path.join(edir, "_COMPLETE"), "w").close()
+        if compact_every and len(dedup_state_layout(state_dir)) > compact_every:
+            compact_cms_epochs(spark, state_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("json")
+        .load(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms_cells(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated sketch: cell-wise sum over the layout's sources
+    (newest compacted snapshot + strictly-newer epoch deltas).  Equals
+    the one-shot sketch of the whole stream EXACTLY (mergeability is an
+    identity, not an approximation)."""
+    import os
+
+    dirs = [os.path.join(d, "cells") for d in dedup_state_layout(state_dir)]
+    if not dirs:
+        raise FileNotFoundError(f"no completed epoch under {state_dir}")
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell_n").alias("cell_n"))
+    )
+
+
+def compact_cms_epochs(spark: SparkSession, state_dir: str) -> dict | None:
+    """Fold epoch cell deltas (plus any previous snapshot) into ONE
+    pre-aggregated ``compacted=N`` sketch — same crash discipline as
+    compact_epochs (_COMPLETE inside the tmp dir, atomic rename,
+    source cleanup after; dedup_state_layout ignores debris).  The
+    folded table is itself a sketch of <= CMS_D x CMS_W rows, so unlike
+    the dedup fold this compaction is CONSTANT-SIZE output no matter
+    how many epochs it absorbs."""
+    import json as _json
+    import os
+    import shutil
+
+    srcs = dedup_state_layout(state_dir)
+    if len(srcs) <= 1:
+        return None
+    through = int(srcs[-1].rstrip("/").rsplit("=", 1)[1])
+    final = os.path.join(state_dir, f"compacted={through}")
+    if os.path.exists(os.path.join(final, "_COMPLETE")):
+        return None
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+    from pyspark.sql import functions as F
+
+    merged = (
+        spark.read.parquet(*[os.path.join(d, "cells") for d in srcs])
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell_n").alias("cell_n"))
+    )
+    merged.coalesce(1).write.parquet(os.path.join(tmp, "cells"))
+    cells = spark.read.parquet(os.path.join(tmp, "cells"))
+    metrics = {
+        "through_epoch": through,
+        "n_sources_folded": len(srcs),
+        "n_cells": cells.count(),
+        "total_count": cells.agg(F.sum("cell_n")).collect()[0][0],
+    }
+    with open(os.path.join(tmp, "metrics.json"), "w") as f:
+        _json.dump(metrics, f)
+    open(os.path.join(tmp, "_COMPLETE"), "w").close()
+    os.replace(tmp, final)
+    for d in srcs:
+        shutil.rmtree(d, ignore_errors=True)
+    return metrics
