@@ -6,6 +6,7 @@ run_incremental_dedup / run_incremental_graph):
     spark-submit --py-files dist/kgforge.zip jobs/maintain_job.py \\
         [--dedup-state /path/to/dedup_state [--rebuild-pairs]] \\
         [--graph-state /path/to/graph_state [--keep-last 2]] \\
+        [--cms-state /path/to/cms_state] \\
         [--run-id m1]
 
 Two independent maintenance actions, both safe to run from cron between
@@ -21,6 +22,9 @@ document — never concurrently with an in-flight upsert):
 * ``--graph-state``: drops all but the newest ``--keep-last`` FULL
   graph snapshots via streaming.prune_graph_epochs (graph epochs are
   snapshots, not deltas — retention is deletion).
+* ``--cms-state``: folds count-min cell deltas into one pre-aggregated
+  snapshot via streaming.compact_cms_epochs — constant-size output
+  (<= CMS_D x CMS_W rows) no matter how many epochs it absorbs.
 
 Prints a one-line JSON summary (what was folded/pruned, state sizes),
 so fleet schedulers can alert on it.  Exit code 0 even when there was
@@ -40,14 +44,18 @@ def main() -> None:
     ap.add_argument("--rebuild-pairs", action="store_true")
     ap.add_argument("--graph-state", default=None)
     ap.add_argument("--keep-last", type=int, default=2)
+    ap.add_argument("--cms-state", default=None)
     ap.add_argument("--run-id", default="maintain0")
     args = ap.parse_args()
-    if not args.dedup_state and not args.graph_state:
-        ap.error("nothing to do: pass --dedup-state and/or --graph-state")
+    if not args.dedup_state and not args.graph_state and not args.cms_state:
+        ap.error(
+            "nothing to do: pass --dedup-state, --graph-state and/or --cms-state"
+        )
 
     from pyspark.sql import SparkSession
 
     from kgforge.streaming import (
+        compact_cms_epochs,
         compact_epochs,
         dedup_state_layout,
         prune_graph_epochs,
@@ -65,6 +73,17 @@ def main() -> None:
         summary["dedup"] = {
             "sources_before": before,
             "sources_after": len(dedup_state_layout(args.dedup_state)),
+            "compacted": metrics is not None,
+            **(metrics or {}),
+        }
+        spark.stop()
+    if args.cms_state:
+        spark = SparkSession.builder.appName("kgforge-maintain-job").getOrCreate()
+        before = len(dedup_state_layout(args.cms_state))
+        metrics = compact_cms_epochs(spark, args.cms_state)
+        summary["cms"] = {
+            "sources_before": before,
+            "sources_after": len(dedup_state_layout(args.cms_state)),
             "compacted": metrics is not None,
             **(metrics or {}),
         }

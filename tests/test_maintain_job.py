@@ -76,3 +76,37 @@ def test_maintain_job_idempotent_noop(spark, tmp_path, capsys, monkeypatch):
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert summary["dedup"]["compacted"] is want_compacted
         assert summary["dedup"]["sources_after"] == 1
+
+
+def test_maintain_job_cms_fold(spark, tmp_path, capsys, monkeypatch):
+    """--cms-state folds cell deltas to one constant-size snapshot with
+    the merged sketch unchanged."""
+    from jobs.maintain_job import main
+    from kgforge.streaming import read_cms_cells, run_incremental_cms
+
+    docs = [(i, f"tok{i % 5} tok{i % 3} common") for i in range(20)]
+    inp, state, ckpt = tmp_path / "cin", tmp_path / "cstate", tmp_path / "cckpt"
+    os.makedirs(inp)
+    for b in range(4):
+        with open(inp / f"b{b}.json", "w") as f:
+            for doc_id, text in docs[b * 5 : (b + 1) * 5]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    run_incremental_cms(spark, str(inp), str(state), str(ckpt))
+    before = {
+        (r.j, r.bucket): r.cell_n
+        for r in read_cms_cells(spark, str(state)).collect()
+    }
+    monkeypatch.setattr(sys, "argv", ["maintain_job.py", "--cms-state", str(state)])
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["cms"]["compacted"] is True
+    assert summary["cms"]["sources_before"] == 4
+    assert summary["cms"]["sources_after"] == 1
+    layout = dedup_state_layout(str(state))
+    assert len(layout) == 1 and layout[0].endswith("compacted=3")
+    after = {
+        (r.j, r.bucket): r.cell_n
+        for r in read_cms_cells(spark, str(state)).collect()
+    }
+    assert after == before
