@@ -5946,6 +5946,61 @@ def kg_pagerank_converged(spark, sf_dir):
     )
 
 
+def _sql_hits_round(t: int) -> str:
+    """One synchronous HITS round — auth from in-neighbor hubs, hub from
+    out-neighbor auths, each L2-normalized (the SQL twin of one loop
+    body in graph/algo.hits)."""
+    return f"""
+    ar{t} AS (SELECT de.dst AS v, SUM(h.hub) AS s
+              FROM de JOIN hub{t - 1} h ON de.src = h.v GROUP BY de.dst),
+    an{t} AS (SELECT SQRT(SUM(s * s)) AS nrm FROM ar{t}),
+    auth{t} AS (SELECT verts.v, COALESCE(ar{t}.s, 0) / an{t}.nrm AS auth
+                FROM verts CROSS JOIN an{t}
+                LEFT JOIN ar{t} ON verts.v = ar{t}.v),
+    hr{t} AS (SELECT de.src AS v, SUM(a.auth) AS s
+              FROM de JOIN auth{t} a ON de.dst = a.v GROUP BY de.src),
+    hn{t} AS (SELECT SQRT(SUM(s * s)) AS nrm FROM hr{t}),
+    hub{t} AS (SELECT verts.v, COALESCE(hr{t}.s, 0) / hn{t}.nrm AS hub
+               FROM verts CROSS JOIN hn{t}
+               LEFT JOIN hr{t} ON verts.v = hr{t}.v)"""
+
+
+@register(
+    "kg_hits",
+    _SQL_EDGES
+    + f"""
+    , de AS (SELECT DISTINCT src, dst FROM edges),
+    verts AS (SELECT src AS v FROM de UNION SELECT dst FROM de),
+    hub0 AS (SELECT v, 1.0 AS hub FROM verts),
+    {_sql_hits_round(1)},
+    {_sql_hits_round(2)}
+    SELECT h.v, ROUND(h.hub, 8) AS hub, ROUND(a.auth, 8) AS auth
+    FROM hub2 h JOIN auth2 a ON a.v = h.v
+    """,
+)
+def kg_hits(spark, sf_dir):
+    """HITS hubs & authorities over the materialized KG (2 synchronous
+    rounds, L2-normalized): the DIRECTED importance primitive PageRank
+    doesn't give — a vertex that points at many good authorities (a
+    survey/aggregator entity) scores as a hub even with no in-links,
+    and vice versa.  Directionality matters in a KG: subjects that
+    assert many relations are hubs, frequently-referenced objects are
+    authorities.  Per-round shape: TWO edge-key shuffles (one per
+    orientation) + two scalar norm aggregates — the pagerank per-round
+    discipline doubled; vertex frames joined keyed, never
+    force-broadcast.  Oracle unrolls the identical two rounds.  Shared
+    loop: graph/algo.hits — rounds=None gives the convergence-mode
+    production twin under the non-silent guard (tests/test_graph_algo
+    pins hand-computed star-graph values and convergence behavior)."""
+    from .graph.algo import hits
+
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    de = e.select("src", "dst").distinct()
+    return hits(de, rounds=2).select(
+        "v", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
+
+
 _PACK_CAP = 128  # token budget per packed sequence (context-window bin)
 
 
@@ -6616,6 +6671,9 @@ EXTRA_NAMES = [
     # r6: event-type affinity graph induction (new; events family
     # driver-covered by the retention/funnel slots' history)
     "q_event_type_graph",
+    # r6: HITS hubs/authorities (new; power-iteration family
+    # driver-covered by kg_pagerank_converged)
+    "kg_hits",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -355,3 +355,59 @@ def test_random_walks_deterministic(spark, walk_graph):
     a = {(r.walk_id, r.pos, r.node) for r in random_walks(walk_graph, 3).collect()}
     b = {(r.walk_id, r.pos, r.node) for r in random_walks(walk_graph, 3).collect()}
     assert a == b and len(a) == 20
+
+
+# ---------- HITS ----------
+
+def test_hits_two_rounds_hand_computed(spark):
+    """a->c, b->c, c->d.  Worked by hand (L2 norm each half-round):
+    after round 2 auth: c=4/sqrt(17), d=1/sqrt(17);
+    hub: a=b=4/sqrt(33), c=1/sqrt(33); all else 0."""
+    import math
+
+    from kgforge.graph.algo import hits
+
+    de = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r.v: (r.hub, r.auth) for r in hits(de, rounds=2).collect()}
+    s17, s33 = math.sqrt(17), math.sqrt(33)
+    exp = {
+        "a": (4 / s33, 0.0),
+        "b": (4 / s33, 0.0),
+        "c": (1 / s33, 4 / s17),
+        "d": (0.0, 1 / s17),
+    }
+    assert set(got) == set(exp)
+    for v, (h, a) in exp.items():
+        assert abs(got[v][0] - h) < 1e-12 and abs(got[v][1] - a) < 1e-12
+
+
+def test_hits_convergence_mode_reaches_fixpoint(spark):
+    """rounds=None iterates the SAME loop to tol: at the fixed point one
+    more fixed-round step from the converged vectors changes nothing
+    beyond tol, and the symmetric hubs (a, b) stay exactly tied."""
+    from kgforge.graph.algo import hits
+
+    de = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    stats = {}
+    fixed = {
+        r.v: (r.hub, r.auth)
+        for r in hits(de, rounds=None, tol=1e-9, max_rounds=100, stats=stats).collect()
+    }
+    assert stats["last_delta"] < 1e-9
+    assert abs(fixed["a"][0] - fixed["b"][0]) < 1e-12
+    # principal-eigenvector structure: c dominates authorities
+    assert fixed["c"][1] > fixed["d"][1] > 0
+
+
+def test_hits_nonconvergence_raises(spark):
+    from kgforge.graph.algo import hits
+
+    de = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        hits(de, rounds=None, tol=1e-15, max_rounds=1)
