@@ -6508,6 +6508,108 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
+_LM_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+@register(
+    "text_lm_perplexity",
+    f"""
+    WITH {SQL_TOK},
+    tl AS (SELECT t.doc_id, t.pos, t.tok, d.lang,
+                  LAG(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+                    AS prev
+           FROM tok t JOIN documents d ON d.doc_id = t.doc_id),
+    trn AS (SELECT * FROM tl WHERE lang = 'en'),
+    c2 AS (SELECT prev, tok, CAST(COUNT(*) AS DOUBLE) AS cb
+           FROM trn WHERE prev IS NOT NULL GROUP BY 1, 2),
+    c1 AS (SELECT prev, CAST(COUNT(*) AS DOUBLE) AS cx
+           FROM trn WHERE prev IS NOT NULL GROUP BY 1),
+    cu AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cui FROM trn GROUP BY 1),
+    nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+           FROM trn),
+    sc AS (SELECT s.doc_id, s.lang,
+                  CASE WHEN c2.cb IS NOT NULL THEN ln(c2.cb / c1.cx)
+                       ELSE ln({_LM_BACKOFF} * (COALESCE(cu.cui, 0) + 1.0)
+                               / (nv.n + nv.v))
+                  END AS lp
+           FROM tl s CROSS JOIN nv
+           LEFT JOIN c2 ON c2.prev = s.prev AND c2.tok = s.tok
+           LEFT JOIN c1 ON c1.prev = s.prev
+           LEFT JOIN cu ON cu.tok = s.tok
+           WHERE s.prev IS NOT NULL),
+    ppl AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   exp(-AVG(lp)) AS p
+            FROM sc GROUP BY doc_id, lang)
+    SELECT doc_id, lang, n_scored, ROUND(p, 4) AS ppl
+    FROM ppl ORDER BY ROUND(p, 4) DESC, doc_id LIMIT 20
+    """,
+)
+def text_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359): train a bigram language model on the TARGET
+    corpus (lang='en' documents) with stupid backoff (Brants et al.
+    2007 — S(w|w') = c(w'w)/c(w') if seen, else 0.4·(c(w)+1)/(N+V),
+    add-1 on the unigram leg so OOV tokens score finitely), then score
+    EVERY document by per-token perplexity exp(-mean ln S).  The 20
+    highest-perplexity docs are the drop candidates — out-of-domain
+    (non-en) documents surface at the top, which is exactly the CCNet
+    gate a pretraining pipeline runs at corpus scale.
+
+    Scale shape: ONE token scan feeds train counts (bigram/context/
+    unigram groupBys, all map-side combined); the count tables are
+    vocab- and corpus-bounded dims attached by KEYED joins (the bigram
+    dim is vocab²-bounded — never force-broadcast, the gate rule);
+    scoring is one pass over token bigrams; the scalar (N, V) frame
+    rides a crossJoin (1 row); top-k compiles to
+    TakeOrderedAndProject — no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _doc_tokens(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tl = toks.withColumn("prev", F.lag("tok").over(w)).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    trn = tl.filter(F.col("lang") == "en").localCheckpoint(eager=True)
+    bg = trn.filter(F.col("prev").isNotNull())
+    c2 = bg.groupBy("prev", "tok").agg(F.count("*").cast("double").alias("cb"))
+    c1 = bg.groupBy("prev").agg(F.count("*").cast("double").alias("cx"))
+    cu = trn.groupBy("tok").agg(F.count("*").cast("double").alias("cui"))
+    nv = trn.agg(
+        F.count("*").cast("double").alias("n"),
+        F.countDistinct("tok").cast("double").alias("v"),
+    )
+    sc = (
+        tl.filter(F.col("prev").isNotNull())
+        .crossJoin(nv)
+        .join(c2, ["prev", "tok"], "left")
+        .join(c1, ["prev"], "left")
+        .join(cu, ["tok"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("cb").isNotNull(), F.log(F.col("cb") / F.col("cx"))
+            )
+            .otherwise(
+                F.log(
+                    F.lit(_LM_BACKOFF)
+                    * (F.coalesce("cui", F.lit(0.0)) + 1.0)
+                    / (F.col("n") + F.col("v"))
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    ppl = sc.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_scored"), F.exp(-F.avg("lp")).alias("p")
+    )
+    return (
+        ppl.orderBy(F.desc(F.round("p", 4)), "doc_id")
+        .limit(20)
+        .select("doc_id", "lang", "n_scored", F.round("p", 4).alias("ppl"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -6674,6 +6776,9 @@ EXTRA_NAMES = [
     # r6: HITS hubs/authorities (new; power-iteration family
     # driver-covered by kg_pagerank_converged)
     "kg_hits",
+    # r6: CCNet-style LM perplexity gate (new; quality family
+    # driver-covered by text_quality_filter)
+    "text_lm_perplexity",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
