@@ -664,3 +664,124 @@ def hits(
                 f"hits did not converge to tol={tol} in {max_rounds} rounds"
             )
     return hub.join(auth, on="v").select("v", "hub", "auth")
+
+
+def node2vec_walks(
+    nbr: DataFrame, *, length: int = 4, p: float = 4.0, q: float = 0.25
+) -> DataFrame:
+    """node2vec biased second-order walks (Grover & Leskovec 2016,
+    arXiv:1607.00653), DETERMINISTIC: the next hop is drawn from the
+    current vertex's neighbors with unnormalized weight
+    alpha = 1/p if returning to the previous vertex, 1 if the candidate
+    is a common neighbor (distance 1 from prev), 1/q otherwise — sampled
+    by CUMULATIVE-WEIGHT INVERSION at threshold u01 x total, with
+    u01 = charfold(md5(walk:step:cur))/MOD, the repo's WELL-MIXED
+    hash-uniform (the DSIR/reservoir pattern; the raw charfold of
+    sequential ids is nearly sequential and must NOT be used as a
+    uniform variate — measured: it drove cycle backtrack rate to 45%
+    vs the ~6% the bias implies).  p and q MUST be powers of two: every
+    alpha and every
+    partial sum is then exact in binary floating point, so the running
+    cumsum, the partition total, and the threshold comparison are
+    order-independent and engine-portable (the determinism precondition,
+    asserted).  Defaults p=4, q=0.25 bias outward (DFS-like) — the
+    "structural equivalence" regime.
+
+    ``nbr``: symmetric distinct neighbor list (v, u).  Returns
+    (walk_id, pos, node), pos = 0..length; hop 1 has no prev and is
+    uniform (exactly random_walks' first step).
+
+    Scale shape: per step the frontier (ONE row per walk) joins the
+    rank-indexed adjacency (edge-keyed shuffle), the distance-1 marker
+    is one LEFT join against the distinct edge set (no fanout), and the
+    pick is a per-walk window cumsum over that walk's candidate list —
+    partition-local, bounded by max degree; state is localCheckpointed
+    per step so the plan stays linear in length.  Nothing vertex-scale
+    is ever force-broadcast."""
+    from math import log2
+
+    from pyspark.sql import Window
+
+    from ..functions.hashing import MOD, charfold
+
+    assert log2(p).is_integer() and log2(q).is_integer(), (
+        "p and q must be powers of two for exact cross-engine sums"
+    )
+    w = Window.partitionBy("v").orderBy("u")
+    nbr = nbr.localCheckpoint(eager=True)
+    nbrx = nbr.withColumn("idx", F.row_number().over(w) - 1).localCheckpoint(
+        eager=True
+    )
+    vinfo = (
+        nbr.groupBy("v")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _mix(t: int) -> F.Column:
+        # well-mixed deterministic hash in [0, MOD) per (walk, step, cur)
+        return charfold(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("walk_id"), F.lit(str(t)), F.col("cur")
+                )
+            )
+        )
+
+    f0 = vinfo.select(F.col("v").alias("walk_id"), F.col("v").alias("cur"))
+    out = f0.select(
+        "walk_id", F.lit(0).cast("bigint").alias("pos"), F.col("cur").alias("node")
+    )
+    # hop 1: uniform (no prev yet)
+    f = f0.join(
+        vinfo.select(F.col("v").alias("cur"), "deg"), "cur"
+    ).withColumn("tgt", _mix(1) % F.col("deg"))
+    nx = nbrx.select(F.col("v").alias("nv"), F.col("idx").alias("nidx"), "u")
+    step = f.join(nx, (f["cur"] == nx["nv"]) & (f["tgt"] == nx["nidx"]))
+    frontier = step.select(
+        "walk_id", F.col("cur").alias("prev"), F.col("u").alias("cur")
+    ).localCheckpoint(eager=True)
+    out = out.unionByName(
+        frontier.select(
+            "walk_id", F.lit(1).cast("bigint").alias("pos"),
+            F.col("cur").alias("node"),
+        )
+    )
+    wwin = Window.partitionBy("walk_id").orderBy("idx")
+    for t in range(2, length + 1):
+        cand = (
+            frontier.join(nbrx.withColumnRenamed("v", "cur"), "cur")
+            .join(
+                nbr.select(
+                    F.col("v").alias("prev"), "u", F.lit(1).alias("isnb")
+                ),
+                ["prev", "u"],
+                "left",
+            )
+            .withColumn(
+                "alpha",
+                F.when(F.col("u") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("isnb") == 1, F.lit(1.0))
+                .otherwise(F.lit(1.0 / q)),
+            )
+        )
+        cw = cand.withColumn("cum", F.sum("alpha").over(wwin)).withColumn(
+            "tot",
+            F.sum("alpha").over(Window.partitionBy("walk_id")),
+        )
+        r = _mix(t).cast("double") / F.lit(float(MOD)) * F.col("tot")
+        picked = (
+            cw.filter(F.col("cum") >= r)
+            .withColumn("rn", F.row_number().over(wwin))
+            .filter(F.col("rn") == 1)
+        )
+        frontier = picked.select(
+            "walk_id", F.col("cur").alias("prev"), F.col("u").alias("cur")
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).cast("bigint").alias("pos"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

@@ -5742,6 +5742,89 @@ def kg_random_walks(spark, sf_dir):
     return random_walks(nbr, length=4)
 
 
+def _sql_n2v_step(t: int) -> str:
+    """One node2vec biased hop (p=4, q=0.25): alpha per candidate from
+    the (prev, cur, candidate) geometry, then cumulative-weight
+    inversion at threshold u01 × total with the WELL-MIXED hash-uniform
+    charfold(md5(walk:step:cur)) — the SQL twin of one loop body in
+    graph/algo.node2vec_walks.  All alphas are powers of two, so every
+    sum is exact and the cum >= r comparison is order-independent on
+    both engines."""
+    return f"""
+    cd{t} AS (SELECT f.walk_id, f.prev, f.cur, x.u, x.idx,
+                     CASE WHEN x.u = f.prev THEN 0.25
+                          WHEN e.v IS NOT NULL THEN 1.0
+                          ELSE 4.0 END AS alpha
+              FROM f{t - 1} f
+              JOIN nbrx x ON x.v = f.cur
+              LEFT JOIN nbr e ON e.v = f.prev AND e.u = x.u),
+    cw{t} AS (SELECT *,
+                     SUM(alpha) OVER (PARTITION BY walk_id ORDER BY idx)
+                       AS cum,
+                     SUM(alpha) OVER (PARTITION BY walk_id) AS tot
+              FROM cd{t}),
+    pk{t} AS (SELECT walk_id, cur, u,
+                     ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY idx)
+                       AS rn
+              FROM cw{t}
+              WHERE cum >= CAST(
+                {sql_charfold(f"md5(walk_id || ':{t}:' || cur)")}
+                AS DOUBLE) / {MOD} * tot),
+    f{t} AS (SELECT walk_id, cur AS prev, u AS cur
+             FROM pk{t} WHERE rn = 1)"""
+
+
+@register(
+    "kg_node2vec_walks",
+    _SQL_EDGES
+    + _SQL_UND
+    + f"""
+    ,
+    nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+    nbrx AS (SELECT v, u,
+                    ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) - 1 AS idx
+             FROM nbr),
+    vinfo AS (SELECT v, COUNT(*) AS deg FROM nbr GROUP BY v),
+    f0 AS (SELECT v AS walk_id, v AS cur FROM vinfo),
+    f1 AS (SELECT w.walk_id, w.cur AS prev, x.u AS cur
+           FROM f0 w JOIN vinfo i ON i.v = w.cur
+           JOIN nbrx x ON x.v = w.cur
+             AND x.idx =
+               {sql_charfold("md5(w.walk_id || ':1:' || w.cur)")} % i.deg),
+    {_sql_n2v_step(2)},
+    {_sql_n2v_step(3)},
+    {_sql_n2v_step(4)}
+    SELECT walk_id, CAST(0 AS BIGINT) AS pos, cur AS node FROM f0
+    UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM f1
+    UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM f2
+    UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM f3
+    UNION ALL SELECT walk_id, CAST(4 AS BIGINT), cur FROM f4
+    """,
+)
+def kg_node2vec_walks(spark, sf_dir):
+    """node2vec SECOND-ORDER biased walk corpus (Grover & Leskovec
+    2016) over the canonical graph — the upgrade from kg_random_walks'
+    uniform hops: each step weights candidates by where the walk CAME
+    FROM (return 1/p, common-neighbor 1, outward 1/q; p=4, q=0.25 =
+    the DFS-ish structural regime), so the emitted skip-gram corpus
+    encodes different structure than DeepWalk's.  Sampling is
+    cumulative-weight inversion with the deterministic hash-uniform,
+    and p/q are POWERS OF TWO so every weight sum is exact in binary —
+    the whole corpus is oracle-checked bit-identically, not just its
+    shape.  Walk loop: graph/algo.node2vec_walks (frontier = one row
+    per walk; per step one edge-keyed shuffle + one no-fanout LEFT
+    join for the distance-1 marker + a degree-bounded per-walk window;
+    nothing vertex-scale force-broadcast)."""
+    from .graph.algo import node2vec_walks
+
+    und = _und_edges(spark, sf_dir)
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    ).localCheckpoint(eager=True)
+    return node2vec_walks(nbr, length=4, p=4.0, q=0.25)
+
+
 @register(
     "kg_ego_network",
     _SQL_EDGES
@@ -6779,6 +6862,9 @@ EXTRA_NAMES = [
     # r6: CCNet-style LM perplexity gate (new; quality family
     # driver-covered by text_quality_filter)
     "text_lm_perplexity",
+    # r6: node2vec biased walks (new; walk family driver-covered with
+    # kg_random_walks by the iterative-join slots)
+    "kg_node2vec_walks",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -411,3 +411,73 @@ def test_hits_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         hits(de, rounds=None, tol=1e-15, max_rounds=1)
+
+
+# ---------- node2vec biased walks ----------
+
+def _cycle_nbrs(spark, n=20):
+    """Undirected n-cycle as a symmetric neighbor list."""
+    edges = [(f"v{i:02d}", f"v{(i + 1) % n:02d}") for i in range(n)]
+    und = spark.createDataFrame(edges, "a string, b string")
+    return (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_node2vec_every_hop_is_an_edge_and_deterministic(spark, walk_graph):
+    from kgforge.graph.algo import node2vec_walks
+
+    corpus = node2vec_walks(walk_graph, length=3).collect()
+    edges = {(r.v, r.u) for r in walk_graph.collect()}
+    bywalk = {}
+    for r in corpus:
+        bywalk.setdefault(r.walk_id, {})[r.pos] = r.node
+    assert len(bywalk) == 5
+    for wid, seq in bywalk.items():
+        assert sorted(seq) == [0, 1, 2, 3]
+        assert seq[0] == wid
+        for t in range(3):
+            assert (seq[t], seq[t + 1]) in edges
+    again = {
+        (r.walk_id, r.pos, r.node)
+        for r in node2vec_walks(walk_graph, length=3).collect()
+    }
+    assert again == {(r.walk_id, r.pos, r.node) for r in corpus}
+
+
+def test_node2vec_outward_bias_on_cycle(spark):
+    """On a cycle every biased hop chooses between returning (alpha
+    1/p = 0.25) and advancing (alpha 1/q = 4.0): backtrack probability
+    is 0.25/4.25 ~ 5.9% per hop vs 50% uniform.  40 biased hops -> a
+    handful of backtracks at most; uniform walks on the same graph
+    backtrack ~half the time.  Deterministic, so the counts are pinned
+    by the hash, not flaky."""
+    from kgforge.graph.algo import node2vec_walks, random_walks
+
+    nbr = _cycle_nbrs(spark, 20)
+
+    def backtracks(corpus):
+        bywalk = {}
+        for r in corpus:
+            bywalk.setdefault(r.walk_id, {})[r.pos] = r.node
+        n = 0
+        for seq in bywalk.values():
+            for t in range(2, max(seq) + 1):
+                if seq[t] == seq[t - 2]:
+                    n += 1
+        return n
+
+    biased = backtracks(node2vec_walks(nbr, length=3).collect())
+    uniform = backtracks(random_walks(nbr, length=3).collect())
+    assert biased <= 8  # E ~ 2.4 of 40
+    assert uniform >= 9  # E ~ 20 of 40 (weak-hash uniform drifts low)
+    assert biased < uniform
+
+
+def test_node2vec_rejects_non_power_of_two(spark, walk_graph):
+    from kgforge.graph.algo import node2vec_walks
+
+    with pytest.raises(AssertionError, match="powers of two"):
+        node2vec_walks(walk_graph, length=2, p=3.0, q=0.5)
