@@ -6693,6 +6693,148 @@ def text_lm_perplexity(spark, sf_dir):
     )
 
 
+_NB_B = 256  # hashed-feature buckets for the NB classifier
+
+
+@register(
+    "text_nb_classifier",
+    f"""
+    WITH {SQL_TOK},
+    lbl AS (SELECT doc_id,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                                             t -> t = 'a' OR t = 'the'))
+                             / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                             > 0.05
+                        THEN 'enlike' ELSE 'other' END AS label,
+                   doc_id % 5 = 0 AS is_test
+            FROM documents),
+    feat AS (SELECT t.doc_id, l.label,
+                    {sql_charfold('t.tok')} % {_NB_B} AS bucket,
+                    l.is_test
+             FROM tok t JOIN lbl l ON l.doc_id = t.doc_id),
+    cls AS (SELECT label, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd,
+                   CAST(COUNT(*) AS DOUBLE) AS nt
+            FROM feat WHERE NOT is_test GROUP BY label),
+    ndocs AS (SELECT CAST(SUM(nd) AS DOUBLE) AS total FROM cls),
+    cbl AS (SELECT label, bucket, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM feat WHERE NOT is_test GROUP BY 1, 2),
+    lik AS (SELECT l.label, b.bucket,
+                   ln((COALESCE(cbl.c, 0) + 1.0) / (l.nt + {_NB_B}))
+                     AS ll,
+                   ln(l.nd / ndocs.total) AS prior
+            FROM cls l CROSS JOIN ndocs
+            CROSS JOIN (SELECT DISTINCT bucket FROM feat) b
+            LEFT JOIN cbl ON cbl.label = l.label AND cbl.bucket = b.bucket),
+    tc AS (SELECT doc_id, label AS true_label, bucket,
+                  CAST(COUNT(*) AS DOUBLE) AS c
+           FROM feat WHERE is_test GROUP BY 1, 2, 3),
+    sc AS (SELECT tc.doc_id, tc.true_label, lik.label,
+                  ANY_VALUE(lik.prior) + SUM(tc.c * lik.ll) AS score
+           FROM tc JOIN lik ON lik.bucket = tc.bucket
+           GROUP BY 1, 2, 3),
+    pick AS (SELECT doc_id, true_label, label AS pred_label,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY ROUND(score, 6) DESC, label) AS rn
+             FROM sc)
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pick WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def text_nb_classifier(spark, sf_dir):
+    """Hashed-feature multinomial Naive Bayes document classifier — the
+    fasttext-style linear gate a pretraining pipeline trains IN the
+    engine (public method: McCallum & Nigam 1998 multinomial NB +
+    hashing trick, Weinberger et al. 2009): DISTILL the heuristic
+    stopword-ratio gate (lang_id_confusion's rule) into a trained model
+    — the standard "label with a heuristic, train a cheap classifier on
+    the labels" workflow (CCNet / RefinedWeb-style).  Train on the 80%
+    split (doc_id % 5 != 0, the q_train_split discipline), predict on
+    the held-out 20%, emit the CONFUSION MATRIX — training, inference
+    and evaluation as one relational job, no ML framework.
+
+    The target is deliberately NOT the lang column: this corpus gives
+    every lang the identical 31-token vocabulary, so lang is
+    token-unlearnable and NB provably collapses to the prior (measured
+    — all-'en' predictions); the heuristic label IS a function of token
+    frequencies, so the held-out confusion demonstrates real learning.
+
+    Model: P(label) from train doc counts; P(bucket|label) add-1
+    smoothed over B=256 charfold-hashed token buckets; prediction =
+    argmax of prior + Σ count·log-lik, ROUNDED to 6dp before the
+    argmax with ties to the smaller label so the decision is
+    engine-portable.
+
+    Scale shape: ONE token scan feeds train counts and test features
+    (both map-side-combined groupBys); the likelihood dim is ≤ B×L rows
+    BY CONSTRUCTION (bounded, broadcast-safe); scoring is one keyed
+    join + one (doc, label) aggregate; the argmax is a per-doc window
+    over L rows.  Nothing data-dependent is force-broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toksplit = F.split("text", " ")
+    ratio = F.size(
+        F.filter(toksplit, lambda t: t.isin("a", "the"))
+    ) / F.size(toksplit).cast("double")
+    lbl = d.select(
+        "doc_id",
+        F.when(ratio > 0.05, "enlike").otherwise("other").alias("label"),
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+    )
+    toks = _doc_tokens(spark, sf_dir)
+    feat = toks.join(lbl, "doc_id").select(
+        "doc_id",
+        "label",
+        (charfold(F.col("tok")) % _NB_B).alias("bucket"),
+        "is_test",
+    ).localCheckpoint(eager=True)
+    trn = feat.filter(~F.col("is_test"))
+    cls = trn.groupBy("label").agg(
+        F.countDistinct("doc_id").cast("double").alias("nd"),
+        F.count("*").cast("double").alias("nt"),
+    )
+    ndocs = cls.agg(F.sum("nd").alias("total"))
+    cbl = trn.groupBy("label", "bucket").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    buckets = feat.select("bucket").distinct()
+    lik = (
+        cls.crossJoin(ndocs)
+        .crossJoin(buckets)
+        .join(cbl, ["label", "bucket"], "left")
+        .select(
+            "label",
+            "bucket",
+            F.log(
+                (F.coalesce("c", F.lit(0.0)) + 1.0) / (F.col("nt") + _NB_B)
+            ).alias("ll"),
+            F.log(F.col("nd") / F.col("total")).alias("prior"),
+        )
+    )
+    tc = (
+        feat.filter("is_test")
+        .groupBy("doc_id", F.col("label").alias("true_label"), "bucket")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    sc = (
+        tc.join(lik, "bucket")
+        .groupBy("doc_id", "true_label", "label")
+        .agg(
+            (F.any_value("prior") + F.sum(F.col("c") * F.col("ll"))).alias(
+                "score"
+            )
+        )
+    )
+    wpick = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 6)), "label"
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("label").alias("pred_label"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -6865,6 +7007,9 @@ EXTRA_NAMES = [
     # r6: node2vec biased walks (new; walk family driver-covered with
     # kg_random_walks by the iterative-join slots)
     "kg_node2vec_walks",
+    # r6: in-engine NB train/predict/eval (new; classifier family
+    # driver-covered by text_quality_filter + lang_id_confusion)
+    "text_nb_classifier",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
