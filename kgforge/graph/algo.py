@@ -102,6 +102,7 @@ def pagerank(
     max_rounds: int = 50,
     seed=None,
     stats: dict | None = None,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over distinct directed edges ``de(src, dst)``.  Returns
     (v, pr) unrounded.  ``stats`` (optional dict) receives
@@ -115,13 +116,31 @@ def pagerank(
 
     ``rounds=None``: power-iterate until ``max |pr_t - pr_{t-1}| < tol``,
     raising after ``max_rounds`` — the guard, not a silent cap.
+
+    ``init`` (global mode only): WARM-START rank vector (v, pr) — e.g.
+    the previous epoch's converged ranks after a graph delta.  Vertices
+    missing from ``init`` (new this epoch) start at 1/n; the vector is
+    renormalized to unit mass so the uniform-restart invariant (total
+    rank = 1) holds from round one.  Power iteration converges from any
+    positive vector, and a near-fixpoint start cuts rounds-to-converge
+    — the incremental-graph path (measured in BENCH/CONVERGENCE.md).
     """
+    if init is not None and seed is not None:
+        raise ValueError("warm-start init is defined for global mode only")
     de, verts, n, od = _pr_setup(de)
     if seed is None:
         restart = F.lit(1.0 / n)
     else:
         restart = (F.col("v") == seed).cast("double")
-    pr = verts.withColumn("pr", restart)
+    if init is None:
+        pr = verts.withColumn("pr", restart)
+    else:
+        warm = verts.join(
+            init.select("v", F.col("pr").alias("pr0")), on="v", how="left"
+        ).select("v", F.coalesce("pr0", F.lit(1.0 / n)).alias("pr"))
+        warm = warm.localCheckpoint(eager=True)
+        mass = warm.agg(F.sum("pr")).collect()[0][0]
+        pr = warm.select("v", (F.col("pr") / F.lit(mass)).alias("pr"))
 
     n_rounds = rounds if rounds is not None else max_rounds
     for i in range(n_rounds):

@@ -73,6 +73,53 @@ def main() -> None:
         )
     )
 
+    # warm start (the incremental-graph path): "previous epoch" = the
+    # graph minus a deterministic 10% edge delta; converge there, then
+    # re-converge on the FULL graph from those ranks — rounds saved vs
+    # the cold run above is the per-epoch win
+    cold_rounds = st["rounds"]
+    prev_de = de.filter(
+        F.xxhash64("src", "dst") % 10 != 0
+    ).localCheckpoint(eager=True)
+    prev_pr = pagerank(
+        prev_de, rounds=None, tol=TOL, max_rounds=150
+    ).localCheckpoint(eager=True)
+    stw: dict = {}
+    t0 = time.monotonic()
+    warm = pagerank(
+        de, rounds=None, tol=TOL, max_rounds=150, stats=stw, init=prev_pr
+    ).localCheckpoint(eager=True)
+    w = time.monotonic() - t0
+    resid_w = pagerank_residual(de, warm)
+    assert resid_w <= TOL, f"unconverged warm fixpoint: {resid_w}"
+    rows.append(
+        (
+            "PageRank WARM-START (10% edge delta)",
+            stw["rounds"],
+            w,
+            f"init = prev-epoch converged ranks ({prev_de.count()} edges); "
+            f"cold {cold_rounds} rounds -> warm {stw['rounds']}; "
+            f"residual {resid_w:.2e} <= tol",
+        )
+    )
+
+    from kgforge.graph.algo import hits
+
+    sth: dict = {}
+    t0 = time.monotonic()
+    hv = hits(de, rounds=None, tol=TOL, max_rounds=100, stats=sth)
+    hv.localCheckpoint(eager=True).count()
+    w = time.monotonic() - t0
+    rows.append(
+        (
+            f"HITS (tol={TOL:g}, L2-normalized)",
+            sth["rounds"],
+            w,
+            f"last delta {sth['last_delta']:.2e}; stop = hub AND auth "
+            "vectors both moved < tol",
+        )
+    )
+
     st = {}
     t0 = time.monotonic()
     labels = lpa_communities(nbr, rounds=None, max_rounds=50, stats=st)
@@ -121,6 +168,21 @@ def main() -> None:
     for name, r, w, note in rows:
         lines.append(f"| {name} | {r} | {w:.1f} | {w / r:.2f} | {note} |")
     lines += [
+        "",
+        "Warm-start verdict, honestly: on THIS corpus it saves zero "
+        "rounds — the graph is a near-clique whose spectral gap is so "
+        "large that even the uniform init converges in 4, so there is "
+        "nothing to cut (wall-clock deltas between the two PageRank "
+        "rows are session noise, not the mechanism).  The mechanism is "
+        "real where mixing is slow: "
+        "tests/test_graph_algo.py::"
+        "test_pagerank_warm_start_after_delta_saves_rounds pins "
+        "warm < cold rounds on a 13-vertex chain after a one-edge "
+        "delta, and the fixpoint reached is identical to the cold one "
+        "at 1e-7.  At 100 TB the corpus graph is NOT a clique — "
+        "long-chain canonical-entity components are exactly the "
+        "slowly-mixing case, so per-epoch re-ranking should warm-start "
+        "from the previous epoch's snapshot.",
         "",
         "The driver-slot query `kg_pagerank_converged` consumes the "
         "converged PageRank with a fixpoint-asserting oracle (vertex "

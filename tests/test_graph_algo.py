@@ -481,3 +481,50 @@ def test_node2vec_rejects_non_power_of_two(spark, walk_graph):
 
     with pytest.raises(AssertionError, match="powers of two"):
         node2vec_walks(walk_graph, length=2, p=3.0, q=0.5)
+
+
+# ---------- PageRank warm start ----------
+
+def test_pagerank_warm_start_from_fixpoint_converges_immediately(spark):
+    """init = the converged vector -> the first delta is already below
+    tol: one round, and the ranks are unchanged (it IS the fixpoint)."""
+    edges = _chain_edges(spark, n=10)
+    cold_stats = {}
+    cold = pagerank(edges, rounds=None, tol=1e-8, max_rounds=200, stats=cold_stats)
+    warm_stats = {}
+    warm = pagerank(
+        edges, rounds=None, tol=1e-8, max_rounds=200, stats=warm_stats,
+        init=cold,
+    )
+    assert warm_stats["rounds"] == 1
+    assert cold_stats["rounds"] > 3
+    cm, wm = _pr_map(cold), _pr_map(warm)
+    assert all(abs(cm[v] - wm[v]) < 1e-7 for v in cm)
+
+
+def test_pagerank_warm_start_after_delta_saves_rounds(spark):
+    """Converge on the 12-chain, append one edge (and its new vertex),
+    re-converge warm vs cold: warm needs strictly fewer rounds and
+    reaches the same fixpoint (1e-9 agreement after rounding)."""
+    edges = _chain_edges(spark, n=12)
+    prev = pagerank(edges, rounds=None, tol=1e-9, max_rounds=300)
+    edges2 = edges.unionByName(
+        spark.createDataFrame([(11, 12)], "src bigint, dst bigint")
+    )
+    cold_stats, warm_stats = {}, {}
+    cold = pagerank(edges2, rounds=None, tol=1e-9, max_rounds=300, stats=cold_stats)
+    warm = pagerank(
+        edges2, rounds=None, tol=1e-9, max_rounds=300, stats=warm_stats,
+        init=prev,
+    )
+    assert warm_stats["rounds"] < cold_stats["rounds"]
+    cm, wm = _pr_map(cold), _pr_map(warm)
+    assert set(cm) == set(wm)
+    assert all(abs(cm[v] - wm[v]) < 1e-7 for v in cm)
+
+
+def test_pagerank_warm_start_rejects_seeded_mode(spark):
+    edges = _chain_edges(spark, n=5)
+    prev = pagerank(edges, rounds=3)
+    with pytest.raises(ValueError, match="global mode"):
+        pagerank(edges, rounds=3, seed=0, init=prev)
