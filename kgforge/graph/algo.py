@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 def _pr_setup(de: DataFrame):
     """(de, verts, n, od) shared by the iteration loop and the external
-    fixpoint-residual check."""
+    fixpoint-residual check.  If ``de`` carries a ``w`` column the walk
+    is WEIGHTED: out-"degree" is the out-weight sum and each edge
+    forwards pr·w/Σw — with w ≡ 1.0 this reduces bit-identically to
+    the uniform split (1.0·pr/COUNT == pr/SUM(1.0) in IEEE754)."""
+    if "w" not in de.columns:
+        de = de.withColumn("w", F.lit(1.0))
     de = de.localCheckpoint(eager=True)
     verts = (
         de.select(F.col("src").alias("v"))
@@ -35,7 +40,7 @@ def _pr_setup(de: DataFrame):
         .localCheckpoint(eager=True)
     )
     n = verts.count()
-    od = de.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    od = de.groupBy("src").agg(F.sum("w").alias("deg"))
     return de, verts, n, od
 
 
@@ -51,7 +56,7 @@ def _pr_step(de, verts, n, od, pr, damping, seed, restart) -> DataFrame:
         de.join(pr.withColumnRenamed("v", "src"), on="src")
         .join(od, on="src")
         .groupBy(F.col("dst").alias("v"))
-        .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        .agg(F.sum(F.col("pr") * F.col("w") / F.col("deg")).alias("s"))
     )
     if seed is None:
         new_col = (

@@ -5987,6 +5987,60 @@ def kg_pagerank(spark, sf_dir):
     return pagerank(de, rounds=3).select("v", F.round("pr", 8).alias("pr"))
 
 
+def _sql_wpr_round(prev: str, c: str, dang: str, out: str) -> str:
+    """One WEIGHTED power round: each edge forwards pr·w/Σw (out-weight
+    sum), dangling mass redistributed uniformly — the SQL twin of
+    _pr_step over a weighted edge list."""
+    return f"""
+    {dang} AS (SELECT COALESCE(SUM(p.pr), 0) AS dang FROM {prev} p
+      LEFT JOIN od ON p.v = od.src WHERE od.src IS NULL),
+    {c} AS (SELECT wde.dst AS v, SUM(p.pr * wde.w / od.deg) AS s
+      FROM wde JOIN {prev} p ON wde.src = p.v JOIN od ON wde.src = od.src
+      GROUP BY wde.dst),
+    {out} AS (SELECT verts.v,
+             0.15 / nn.n + 0.85 * (COALESCE({c}.s, 0)
+                                   + {dang}.dang / nn.n) AS pr
+      FROM verts CROSS JOIN nn CROSS JOIN {dang}
+      LEFT JOIN {c} ON verts.v = {c}.v)"""
+
+
+@register(
+    "kg_pagerank_weighted",
+    _SQL_EDGES
+    + f"""
+    , wde AS (SELECT src, dst, CAST(SUM(weight) AS DOUBLE) AS w
+              FROM edges GROUP BY 1, 2),
+    verts AS (SELECT src AS v FROM wde UNION SELECT dst FROM wde),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    od AS (SELECT src, SUM(w) AS deg FROM wde GROUP BY src),
+    pr0 AS (SELECT v, 1.0 / n AS pr FROM verts, nn),
+    {_sql_wpr_round('pr0', 'c1', 'dang1', 'pr1')},
+    {_sql_wpr_round('pr1', 'c2', 'dang2', 'pr2')},
+    {_sql_wpr_round('pr2', 'c3', 'dang3', 'pr3')}
+    SELECT v, ROUND(pr, 8) AS pr FROM pr3
+    """,
+)
+def kg_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank (3 power rounds, d=0.85): edge weight = triple
+    multiplicity (how many times the KG asserted src→dst, summed over
+    predicates), so rank flows proportionally to assertion EVIDENCE
+    instead of splitting uniformly — the ranking a KG consumer wants
+    when one entity pair co-occurs 50× and another once.  Same
+    per-round shape as kg_pagerank (one contribution shuffle on the
+    edge key + a tiny dangling aggregate); the weight rides the edge
+    row, so the weighted walk costs exactly what the uniform walk
+    costs.  Shared loop: graph/algo.pagerank detects the ``w`` column
+    (w≡1.0 reduces bit-identically to the uniform split — pinned by
+    test_graph_algo); rounds=None gives the convergence-mode twin."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    wde = e.groupBy("src", "dst").agg(
+        F.sum("weight").cast("double").alias("w")
+    )
+    from .graph.algo import pagerank
+
+    return pagerank(wde, rounds=3).select("v", F.round("pr", 8).alias("pr"))
+
+
 @register(
     "kg_pagerank_converged",
     _SQL_EDGES
@@ -7010,6 +7064,9 @@ EXTRA_NAMES = [
     # r6: in-engine NB train/predict/eval (new; classifier family
     # driver-covered by text_quality_filter + lang_id_confusion)
     "text_nb_classifier",
+    # r6: evidence-weighted rank twin (new; family driver-covered by
+    # kg_pagerank_converged)
+    "kg_pagerank_weighted",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -528,3 +528,32 @@ def test_pagerank_warm_start_rejects_seeded_mode(spark):
     prev = pagerank(edges, rounds=3)
     with pytest.raises(ValueError, match="global mode"):
         pagerank(edges, rounds=3, seed=0, init=prev)
+
+
+# ---------- weighted PageRank ----------
+
+def test_pagerank_weight_one_reduces_to_uniform_bitwise(spark):
+    """An explicit w=1.0 column must give BIT-IDENTICAL ranks to the
+    unweighted call (1.0·pr/SUM(1.0) == pr/COUNT in IEEE754) — the
+    invariant that keeps every existing unrolled oracle green."""
+    edges = _chain_edges(spark, n=9)
+    plain = _pr_map(pagerank(edges, rounds=3))
+    w1 = _pr_map(pagerank(edges.withColumn("w", F.lit(1.0)), rounds=3))
+    assert plain == w1
+
+
+def test_pagerank_weights_redirect_mass(spark):
+    """Fork 0->{1,2} with w(0->1)=9, w(0->2)=1: vertex 1 must outrank
+    vertex 2, and the exact round-1 split is 0.15/3 + 0.85·(1/3)·(9/10)
+    vs ·(1/10) (hand-computed, dangling mass from 1 and 2 uniform)."""
+    de = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0)], "src bigint, dst bigint, w double"
+    )
+    got = _pr_map(pagerank(de, rounds=1))
+    third = 1.0 / 3.0
+    dang = 2 * third  # vertices 1 and 2 dangle
+    base = 0.15 / 3 + 0.85 * (dang / 3)
+    assert abs(got[1] - (base + 0.85 * third * 0.9)) < 1e-12
+    assert abs(got[2] - (base + 0.85 * third * 0.1)) < 1e-12
+    assert abs(got[0] - base) < 1e-12
+    assert got[1] > got[2]
