@@ -49,6 +49,13 @@ HEADLINE = [
     "token_cms_topk",
     "curate_dsir_sample",
     "kg_random_walks",
+    # r6c additions (directed centrality, biased walks, weighted rank,
+    # LM quality gate, in-engine classifier)
+    "kg_hits",
+    "kg_node2vec_walks",
+    "kg_pagerank_weighted",
+    "text_lm_perplexity",
+    "text_nb_classifier",
 ]
 
 
