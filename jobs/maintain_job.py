@@ -7,6 +7,7 @@ run_incremental_dedup / run_incremental_graph):
         [--dedup-state /path/to/dedup_state [--rebuild-pairs]] \\
         [--graph-state /path/to/graph_state [--keep-last 2]] \\
         [--cms-state /path/to/cms_state] \\
+        [--rank-state /path/to/rank_state] \\
         [--run-id m1]
 
 Two independent maintenance actions, both safe to run from cron between
@@ -25,6 +26,11 @@ document — never concurrently with an in-flight upsert):
 * ``--cms-state``: folds count-min cell deltas into one pre-aggregated
   snapshot via streaming.compact_cms_epochs — constant-size output
   (<= CMS_D x CMS_W rows) no matter how many epochs it absorbs.
+* ``--rank-state`` (requires --graph-state): refreshes a CONVERGED
+  PageRank snapshot for the newest graph epoch via
+  streaming.refresh_pagerank_state, WARM-STARTED from the previous
+  rank snapshot (graph/algo.pagerank init=) — derived state under the
+  same epoch=N/_COMPLETE discipline, single-snapshot retention.
 
 Prints a one-line JSON summary (what was folded/pruned, state sizes),
 so fleet schedulers can alert on it.  Exit code 0 even when there was
@@ -45,12 +51,15 @@ def main() -> None:
     ap.add_argument("--graph-state", default=None)
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--cms-state", default=None)
+    ap.add_argument("--rank-state", default=None)
     ap.add_argument("--run-id", default="maintain0")
     args = ap.parse_args()
     if not args.dedup_state and not args.graph_state and not args.cms_state:
         ap.error(
             "nothing to do: pass --dedup-state, --graph-state and/or --cms-state"
         )
+    if args.rank_state and not args.graph_state:
+        ap.error("--rank-state requires --graph-state (the epoch to rank)")
 
     from pyspark.sql import SparkSession
 
@@ -59,6 +68,7 @@ def main() -> None:
         compact_epochs,
         dedup_state_layout,
         prune_graph_epochs,
+        refresh_pagerank_state,
     )
 
     summary: dict = {"run_id": args.run_id}
@@ -91,6 +101,14 @@ def main() -> None:
     if args.graph_state:
         pruned = prune_graph_epochs(args.graph_state, keep_last=args.keep_last)
         summary["graph"] = {"pruned_epochs": pruned, "keep_last": args.keep_last}
+    if args.rank_state:
+        spark = SparkSession.builder.appName("kgforge-maintain-job").getOrCreate()
+        metrics = refresh_pagerank_state(spark, args.graph_state, args.rank_state)
+        summary["ranks"] = {
+            "refreshed": metrics is not None,
+            **(metrics or {}),
+        }
+        spark.stop()
     summary["wall_sec"] = round(time.monotonic() - t0, 1)
     print(json.dumps(summary))
 

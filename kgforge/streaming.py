@@ -795,3 +795,84 @@ def compact_cms_epochs(spark: SparkSession, state_dir: str) -> dict | None:
     for d in srcs:
         shutil.rmtree(d, ignore_errors=True)
     return metrics
+
+
+def refresh_pagerank_state(
+    spark: SparkSession,
+    graph_state_dir: str,
+    ranks_dir: str,
+    *,
+    tol: float = 1e-6,
+    max_rounds: int = 150,
+) -> dict | None:
+    """Maintain a CONVERGED PageRank snapshot alongside the incremental
+    graph state: ``ranks_dir/epoch=N/ranks`` (+ metrics.json +
+    _COMPLETE) mirrors the newest complete epoch of
+    ``run_incremental_graph``'s state.  Each refresh WARM-STARTS from
+    the newest published rank snapshot (graph/algo.pagerank
+    ``init=``) — the incremental-analytics path: on slowly-mixing
+    graphs the near-fixpoint start cuts rounds-to-converge (pinned by
+    test_graph_algo; measured honestly in BENCH/CONVERGENCE.md — zero
+    savings on the near-clique corpus, real savings on chains), and on
+    any graph it never costs an extra round.
+
+    Idempotent + crash-safe under the shared epoch discipline: returns
+    None when ranks for the latest graph epoch are already published
+    ("already fresh" is cron success); the snapshot lands in
+    ``epoch=N.tmp`` with _COMPLETE written inside and ONE atomic rename
+    publishes it.  Rank epochs older than the newest are deleted after
+    publication — ranks are DERIVED state, re-derivable from the graph
+    epoch, so single-snapshot retention suffices (the warm-start source
+    is always the newest snapshot anyway).  Same concurrency rule as
+    compact_epochs: run between triggers, never concurrently with the
+    graph upsert writing the epoch being read."""
+    import json as _json
+    import os
+    import shutil
+
+    from .graph.algo import pagerank
+
+    latest = latest_complete_epoch(graph_state_dir)
+    if latest is None:
+        return None
+    final = os.path.join(ranks_dir, f"epoch={latest}")
+    if os.path.exists(os.path.join(final, "_COMPLETE")):
+        return None
+    prev_n = (
+        latest_complete_epoch(ranks_dir) if os.path.isdir(ranks_dir) else None
+    )
+    init = (
+        spark.read.parquet(os.path.join(ranks_dir, f"epoch={prev_n}", "ranks"))
+        if prev_n is not None
+        else None
+    )
+    edges = spark.read.parquet(
+        os.path.join(graph_state_dir, f"epoch={latest}", "edges")
+    )
+    de = edges.select("src", "dst").distinct()
+    stats: dict = {}
+    pr = pagerank(
+        de, rounds=None, tol=tol, max_rounds=max_rounds, stats=stats, init=init
+    )
+    os.makedirs(ranks_dir, exist_ok=True)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # debris from a crashed attempt
+    pr.write.parquet(os.path.join(tmp, "ranks"))
+    metrics = {
+        "epoch": latest,
+        "rounds": stats["rounds"],
+        "last_delta": stats["last_delta"],
+        "warm_from": prev_n,
+        "n_vertices": spark.read.parquet(os.path.join(tmp, "ranks")).count(),
+    }
+    with open(os.path.join(tmp, "metrics.json"), "w") as f:
+        _json.dump(metrics, f)
+    open(os.path.join(tmp, "_COMPLETE"), "w").close()
+    os.rename(tmp, final)
+    for name in os.listdir(ranks_dir):
+        if name.startswith("epoch=") and not name.endswith(".tmp"):
+            n = int(name.split("=", 1)[1])
+            if n < latest:
+                shutil.rmtree(os.path.join(ranks_dir, name))
+    return metrics
