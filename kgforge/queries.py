@@ -6645,6 +6645,119 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
+# target training mixture over langs — the static data-mixing recipe
+# (what DoReMi-style optimization would output; here a fixed policy)
+_MIX_TARGET = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+_MIX_VALUES = ", ".join(
+    f"('{lang}', {w})" for lang, w in sorted(_MIX_TARGET.items())
+)
+
+
+@register(
+    "curate_domain_mixture",
+    f"""
+    WITH tgt(lang, w) AS (SELECT * FROM (VALUES {_MIX_VALUES})),
+    avail AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY lang),
+    cap AS (SELECT CAST(MIN(FLOOR(avail.n / tgt.w)) AS BIGINT) AS n_total
+            FROM avail JOIN tgt ON tgt.lang = avail.lang),
+    takes AS (SELECT tgt.lang, avail.n AS n_avail,
+                     CAST(FLOOR(cap.n_total * tgt.w) AS BIGINT) AS n_take
+              FROM tgt JOIN avail ON avail.lang = tgt.lang CROSS JOIN cap),
+    ranked AS (SELECT d.doc_id, d.lang,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY d.lang
+                        ORDER BY {sql_charfold(
+                            "md5(CAST(d.doc_id AS VARCHAR) || ':mix')"
+                        )}, d.doc_id) AS rn
+               FROM documents d),
+    sel AS (SELECT r.lang, r.doc_id
+            FROM ranked r JOIN takes t ON t.lang = r.lang
+            WHERE r.rn <= t.n_take),
+    agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected,
+                   CAST(SUM(doc_id) AS BIGINT) AS sel_checksum
+            FROM sel GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_selected) AS DOUBLE) AS s FROM agg)
+    SELECT t.lang, t.n_avail, t.n_take, a.n_selected,
+           ROUND(a.n_selected / tot.s, 4) AS achieved_share,
+           a.sel_checksum
+    FROM takes t JOIN agg a ON a.lang = t.lang CROSS JOIN tot
+    """,
+)
+def curate_domain_mixture(spark, sf_dir):
+    """Static domain-mixture balancing — the data-MIXING primitive of a
+    pretraining pipeline (the static-proportions core of DoReMi, Xie et
+    al. 2023, arXiv:2305.10429: given target domain weights, assemble
+    the largest corpus that honors them without oversampling any
+    domain).  n_total = min over domains of floor(avail/target) — the
+    binding domain caps the corpus; per-domain take = floor(n_total ×
+    weight); the documents taken are the first n_take under a
+    DETERMINISTIC per-domain hash order (charfold(md5(doc:mix)), the
+    seeded-sampling discipline), so the SAMPLE ITSELF is pinned — the
+    per-domain `sel_checksum` (exact integer sum of selected doc_ids)
+    is oracle-verified, not just the counts.
+
+    Scale shape: the target dim is a constant literal (L rows); avail/
+    cap/takes are one groupBy plus scalar aggregates; selection is one
+    per-domain window rank (partition-local sort bounded by domain
+    size — at 100 TB this is the classic per-domain shuffle, salted
+    only if one domain dominates, and rank-then-filter avoids any
+    global sort); the checksum aggregate is map-side combined."""
+    d = _t(spark, sf_dir, "documents")
+    tgt = spark.createDataFrame(
+        sorted(_MIX_TARGET.items()), "lang string, w double"
+    )
+    avail = d.groupBy("lang").agg(F.count("*").alias("n_avail"))
+    cap = (
+        avail.join(F.broadcast(tgt), "lang")
+        .agg(
+            F.min(F.floor(F.col("n_avail") / F.col("w")))
+            .cast("bigint")
+            .alias("n_total")
+        )
+    )
+    takes = (
+        tgt.join(avail, "lang")
+        .crossJoin(cap)
+        .select(
+            "lang",
+            "n_avail",
+            F.floor(F.col("n_total") * F.col("w")).cast("bigint").alias(
+                "n_take"
+            ),
+        )
+    )
+    h = charfold(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    )
+    wmix = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select("doc_id", "lang").withColumn(
+        "rn", F.row_number().over(wmix)
+    )
+    sel = ranked.join(F.broadcast(takes.select("lang", "n_take")), "lang").filter(
+        F.col("rn") <= F.col("n_take")
+    )
+    agg = sel.groupBy("lang").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("doc_id").cast("bigint").alias("sel_checksum"),
+    )
+    tot = agg.agg(F.sum("n_selected").cast("double").alias("s"))
+    return (
+        takes.join(agg, "lang")
+        .crossJoin(tot)
+        .select(
+            "lang",
+            "n_avail",
+            "n_take",
+            "n_selected",
+            F.round(F.col("n_selected") / F.col("s"), 4).alias(
+                "achieved_share"
+            ),
+            "sel_checksum",
+        )
+    )
+
+
 _LM_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
 
 
@@ -7067,6 +7180,9 @@ EXTRA_NAMES = [
     # r6: evidence-weighted rank twin (new; family driver-covered by
     # kg_pagerank_converged)
     "kg_pagerank_weighted",
+    # r6: static data-mixing policy (new; sampling family driver-covered
+    # by q_train_split/q_cv_folds)
+    "curate_domain_mixture",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
