@@ -5826,6 +5826,53 @@ def kg_node2vec_walks(spark, sf_dir):
 
 
 @register(
+    "kg_metapaths",
+    _SQL_EDGES
+    + """
+    , de AS (SELECT DISTINCT src, dst, pred FROM edges),
+    p AS (SELECT e1.pred AS pred1, e2.pred AS pred2,
+                 e1.src AS a, e2.dst AS c
+          FROM de e1 JOIN de e2 ON e1.dst = e2.src AND e1.src <> e2.dst)
+    SELECT pred1, pred2, CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT a || ':' || c) AS BIGINT) AS n_endpoint_pairs
+    FROM p GROUP BY 1, 2
+    """,
+)
+def kg_metapaths(spark, sf_dir):
+    """METAPATH census — length-2 predicate-typed path counts
+    (pred1 → pred2), the schema-level connectivity profile
+    metapath2vec-style samplers and KG-completion rules consume (Dong
+    et al. 2017, KDD; Lao & Cohen 2010 path-ranking): for every ordered
+    predicate pair, how many directed 2-paths compose them and between
+    how many distinct endpoint pairs (composition support vs fan-out —
+    a pair with many paths but few endpoints is a hub artifact, not a
+    compositional rule).  Length-2 cycles (a → b → a) are excluded.
+
+    Scale shape: ONE self-join on the shared mid vertex — the wedge
+    join, keyed on the join vertex, never all-pairs; the result grain
+    is predicate-vocabulary-bounded (≤ |P|² rows).  Hub wedge fan-out
+    is the same skew the degree-ordered triangle count bounds; at
+    100 TB orient or salt the mid-vertex key the same way."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    de = e.select("src", "dst", "pred").distinct()
+    e1 = de.select(
+        F.col("src").alias("a"), F.col("dst").alias("m"),
+        F.col("pred").alias("pred1"),
+    )
+    e2 = de.select(
+        F.col("src").alias("m"), F.col("dst").alias("c"),
+        F.col("pred").alias("pred2"),
+    )
+    p = e1.join(e2, "m").filter(F.col("a") != F.col("c"))
+    return p.groupBy("pred1", "pred2").agg(
+        F.count("*").alias("n_paths"),
+        F.countDistinct(F.concat_ws(":", "a", "c")).alias(
+            "n_endpoint_pairs"
+        ),
+    )
+
+
+@register(
     "kg_ego_network",
     _SQL_EDGES
     + """
@@ -7369,6 +7416,9 @@ EXTRA_NAMES = [
     # r6: bloom membership prefilter (new; sketch family driver-covered
     # alongside token_cms_topk's slot rationale)
     "text_decontaminate_bloom",
+    # r6: predicate-typed path census (new; wedge family driver-covered
+    # by kg_triangles/kg_two_hop history)
+    "kg_metapaths",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
