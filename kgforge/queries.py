@@ -2668,6 +2668,154 @@ def embed_centroids(spark, sf_dir):
     )
 
 
+def _sql_pca_round(t: int) -> str:
+    """One matrix-free power half-pair: scores s = X_c·v (per-vector
+    dot), new direction w = X_cᵀ·s (per-dim weighted sum), then L2
+    normalize — the SQL twin of one loop body in embed_pca_power."""
+    return f"""
+    s{t} AS (SELECT xc.vec_id, SUM(xc.val * v{t - 1}.v) AS s
+             FROM xc JOIN v{t - 1} ON v{t - 1}.d = xc.d GROUP BY 1),
+    w{t} AS (SELECT xc.d, SUM(xc.val * s{t}.s) AS w
+             FROM xc JOIN s{t} ON s{t}.vec_id = xc.vec_id GROUP BY 1),
+    n{t} AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w{t}),
+    v{t} AS (SELECT d, w / nrm AS v FROM w{t} CROSS JOIN n{t})"""
+
+
+@register(
+    "embed_pca_power",
+    f"""
+    WITH x AS (SELECT vec_id,
+                      CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                        AS d,
+                      CAST(unnest(embedding) AS DOUBLE) AS val
+               FROM embeddings),
+    mu AS (SELECT d, AVG(val) AS m FROM x GROUP BY d),
+    xc AS (SELECT x.vec_id, x.d, x.val - mu.m AS val
+           FROM x JOIN mu ON mu.d = x.d),
+    nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM x),
+    v0r AS (SELECT d,
+                   {sql_charfold("md5('pca:' || CAST(d AS VARCHAR))")}
+                     / {MOD}.0 - 0.5 AS r
+            FROM (SELECT DISTINCT d FROM x)),
+    v0n AS (SELECT SQRT(SUM(r * r)) AS nrm FROM v0r),
+    v0 AS (SELECT d, r / nrm AS v FROM v0r CROSS JOIN v0n),
+    {_sql_pca_round(1)},
+    {_sql_pca_round(2)},
+    pick AS (SELECT d, v FROM v2 ORDER BY ROUND(ABS(v), 6) DESC, d LIMIT 1),
+    sg AS (SELECT CASE WHEN pick.v < 0 THEN -1.0 ELSE 1.0 END AS sgn
+           FROM pick),
+    s3 AS (SELECT xc.vec_id, SUM(xc.val * v2.v) AS s
+           FROM xc JOIN v2 ON v2.d = xc.d GROUP BY 1),
+    lam AS (SELECT SUM(s * s) / nv.n AS eig FROM s3 CROSS JOIN nv
+            GROUP BY nv.n),
+    tv AS (SELECT SUM(val * val) / nv.n AS tot FROM xc CROSS JOIN nv
+           GROUP BY nv.n)
+    SELECT v2.d AS dim, ROUND(sg.sgn * v2.v, 6) AS loading,
+           ROUND(lam.eig, 4) AS eigenvalue,
+           ROUND(lam.eig / tv.tot, 4) AS var_ratio
+    FROM v2 CROSS JOIN sg CROSS JOIN lam CROSS JOIN tv
+    """,
+)
+def embed_pca_power(spark, sf_dir):
+    """Top PRINCIPAL COMPONENT of the embedding table by matrix-free
+    power iteration (Golub & Van Loan; the PCA every embedding-curation
+    pipeline runs before whitening / ABTT de-biasing, Mu & Viswanath
+    2018): two synchronous iterations of v ← X_cᵀ(X_c v)/‖·‖ over the
+    CENTERED data, never materializing the d×d covariance — the
+    iteration the oracle unrolls and DuckDB replays exactly.  Output:
+    the 64 loadings (sign-canonicalized at the max-|loading| dim so
+    both engines agree), the Rayleigh eigenvalue λ = ‖X_c v‖²/n, and
+    the explained-variance ratio λ/tr(C)·— the number that tells a
+    curation pipeline whether its embeddings have a dominant
+    "frequency direction" to strip.
+
+    Scale shape: the matrix lives in the LONG (vec_id, d, val) layout —
+    the distributed-matrix form, n·d rows partitioned by vector; each
+    half-step is ONE keyed join + ONE map-side-combined groupBy (s: join
+    on d — the v dim is d rows, broadcast-trivial; w: join on vec_id);
+    the centering dim mu is d rows; no step ever holds more than a
+    d-vector of driver state, and nothing quadratic in n or d exists
+    anywhere — this is exactly how the computation shards at 10⁹
+    vectors.  Deterministic init from the hash-uniform (seeded, so the
+    2-iteration snapshot is reproducible and oracle-pinned);
+    convergence to the true eigenvector adds iterations, not new
+    machinery."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "val")
+    ).select("vec_id", F.col("d").cast("bigint").alias("d"),
+             F.col("val").cast("double").alias("val"))
+    mu = x.groupBy("d").agg(F.avg("val").alias("m"))
+    xc = (
+        x.join(mu, "d")
+        .select("vec_id", "d", (F.col("val") - F.col("m")).alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    nv = x.agg(F.countDistinct("vec_id").cast("double").alias("n"))
+    v0r = (
+        x.select("d").distinct()
+        .select(
+            "d",
+            (
+                charfold(
+                    F.md5(F.concat(F.lit("pca:"), F.col("d").cast("string")))
+                )
+                / float(MOD)
+                - 0.5
+            ).alias("r"),
+        )
+    )
+    v0n = v0r.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
+    v = v0r.crossJoin(v0n).select("d", (F.col("r") / F.col("nrm")).alias("v"))
+    for _ in range(2):
+        s = (
+            xc.join(v, "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+        )
+        w = (
+            xc.join(s, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
+        )
+        n_ = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(n_).select(
+            "d", (F.col("w") / F.col("nrm")).alias("v")
+        ).localCheckpoint(eager=True)
+    pick = v.orderBy(F.desc(F.round(F.abs("v"), 6)), "d").limit(1)
+    sg = pick.select(
+        F.when(F.col("v") < 0, -1.0).otherwise(1.0).alias("sgn")
+    )
+    s3 = (
+        xc.join(v, "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+    )
+    lam = (
+        s3.crossJoin(nv)
+        .groupBy("n")
+        .agg((F.sum(F.col("s") * F.col("s")) / F.first("n")).alias("eig"))
+        .select("eig")
+    )
+    tv = (
+        xc.crossJoin(nv)
+        .groupBy("n")
+        .agg((F.sum(F.col("val") * F.col("val")) / F.first("n")).alias("tot"))
+        .select("tot")
+    )
+    return (
+        v.crossJoin(sg)
+        .crossJoin(lam)
+        .crossJoin(tv)
+        .select(
+            F.col("d").alias("dim"),
+            F.round(F.col("sgn") * F.col("v"), 6).alias("loading"),
+            F.round("eig", 4).alias("eigenvalue"),
+            F.round(F.col("eig") / F.col("tot"), 4).alias("var_ratio"),
+        )
+    )
+
+
 _SQL_EMB_BUCKET = """
 eb AS (
   SELECT vec_id, embedding,
@@ -7419,6 +7567,9 @@ EXTRA_NAMES = [
     # r6: predicate-typed path census (new; wedge family driver-covered
     # by kg_triangles/kg_two_hop history)
     "kg_metapaths",
+    # r6: matrix-free top-PC power iteration (new; embedding family
+    # driver-covered by the ann/centroid slots' history)
+    "embed_pca_power",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
