@@ -56,6 +56,11 @@ HEADLINE = [
     "kg_pagerank_weighted",
     "text_lm_perplexity",
     "text_nb_classifier",
+    # r6c late additions (data mixing, bloom prefilter, metapaths, PCA)
+    "curate_domain_mixture",
+    "text_decontaminate_bloom",
+    "kg_metapaths",
+    "embed_pca_power",
 ]
 
 
