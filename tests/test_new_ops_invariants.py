@@ -1,0 +1,60 @@
+"""Semantic invariants of the r6c operators — properties the DuckDB
+equality oracle cannot express (it checks that both engines agree, not
+that the answer means what it claims).  All at sf0.001 for speed."""
+
+import math
+
+from kgforge.queries import EXTRA_QUERIES, _MIX_TARGET
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pca_loadings_unit_norm_and_eigenvalue_bounds(spark):
+    rows = EXTRA_QUERIES["embed_pca_power"](spark, SF).collect()
+    assert len(rows) == 64
+    norm2 = sum(r.loading ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3  # loadings rounded to 6dp
+    eig, ratio = rows[0].eigenvalue, rows[0].var_ratio
+    assert all(r.eigenvalue == eig for r in rows)
+    # Rayleigh quotient of any unit vector: 0 < lambda <= tr(C), and the
+    # power-iterated direction captures at least the average dim share
+    assert 0 < ratio <= 1.0
+    assert ratio >= 1.0 / 64 - 1e-4
+    # sign canon: the max-|loading| dim is non-negative
+    assert max(rows, key=lambda r: abs(r.loading)).loading >= 0
+
+
+def test_domain_mixture_honors_targets_and_caps(spark):
+    rows = EXTRA_QUERIES["curate_domain_mixture"](spark, SF).collect()
+    assert {r.lang for r in rows} == set(_MIX_TARGET)
+    total = sum(r.n_selected for r in rows)
+    for r in rows:
+        assert r.n_selected == r.n_take  # every take satisfied
+        assert r.n_take <= r.n_avail  # never oversample a domain
+        # achieved share within flooring slack: each of the L domains
+        # floors away < 1 doc, shifting any share by < (1 + L·w)/total
+        slack = (1 + len(_MIX_TARGET)) / total + 1e-4
+        assert abs(r.achieved_share - _MIX_TARGET[r.lang]) <= slack
+
+
+def test_bloom_one_sided_and_consistent(spark):
+    r = EXTRA_QUERIES["text_decontaminate_bloom"](spark, SF).collect()[0]
+    assert r.no_false_negatives  # the guarantee, verified
+    assert r.n_flagged == r.n_true + r.n_false_pos
+    assert 0 <= (r.fpr or 0.0) <= 1.0
+    assert r.bits_set <= 4096
+
+
+def test_nb_confusion_partitions_heldout(spark):
+    rows = EXTRA_QUERIES["text_nb_classifier"](spark, SF).collect()
+    # every held-out doc appears exactly once in the confusion matrix
+    from kgforge.queries import _t
+    n_test = _t(spark, SF, "documents").filter("doc_id % 5 = 0").count()
+    assert sum(r.n_docs for r in rows) == n_test
+
+
+def test_metapaths_support_bounds(spark):
+    rows = EXTRA_QUERIES["kg_metapaths"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_endpoint_pairs <= r.n_paths

@@ -4,10 +4,16 @@ round must hold a DRIVER slot in that round's snapshot — this test
 enforces it mechanically instead of by checklist.
 
 Mechanism: the round base is the most recent commit whose message starts
-with "round N:" (the driver's end-of-round record commit).  The diff of
-kgforge/queries.py from that base to the working tree is mapped onto
-registered-query function spans; every changed registered query must be
-in QUERIES (driver), not EXTRA_QUERIES.
+with "round N:" (the driver's end-of-round record commit).  Each
+registered query's span TEXT (decorator through function body) is
+extracted BY NAME from both the base file and the working tree and
+compared; every query whose text differs must be in QUERIES (driver),
+not EXTRA_QUERIES.  Name-keyed text comparison is immune to git diff's
+insertion-anchoring ambiguity (an unchanged block adjacent to an
+inserted one can be line-attributed as "added" depending on where the
+hunk anchors — observed r6c: kg_ktruss's insertion re-anchored under
+later edits and falsely marked kg_kcore's untouched header as changed),
+while still counting comment-only edits, the established precedent.
 """
 
 from __future__ import annotations
@@ -30,25 +36,16 @@ def _round_base() -> str | None:
     return sha or None
 
 
-def _changed_lines(base: str) -> set[int]:
-    """New-file line numbers changed since base in kgforge/queries.py."""
-    out = subprocess.run(
-        ["git", "diff", "-U0", base, "--", "kgforge/queries.py"],
-        cwd=REPO, capture_output=True, text=True, check=True,
-    )
-    lines: set[int] = set()
-    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@",
-                         out.stdout, re.M):
-        start = int(m.group(1))
-        count = int(m.group(2)) if m.group(2) is not None else 1
-        lines.update(range(start, start + max(count, 1)))
-    return lines
-
-
-def _query_spans() -> dict[str, tuple[int, int]]:
+def _query_spans(src_lines: list[str] | None = None) -> dict[str, tuple[int, int]]:
     """name -> (first_line, last_line) spanning the @register decorator
-    through the end of the query function body."""
-    src = (REPO / "kgforge" / "queries.py").read_text().splitlines()
+    through the end of the query function body.  ``src_lines`` defaults
+    to the working-tree file; pass another version's lines to span the
+    base file."""
+    src = (
+        src_lines
+        if src_lines is not None
+        else (REPO / "kgforge" / "queries.py").read_text().splitlines()
+    )
     spans: dict[str, tuple[int, int]] = {}
     starts: list[tuple[int, str]] = []  # (line_no, name)
     i = 0
@@ -92,9 +89,6 @@ def test_changed_queries_hold_driver_slots():
     base = _round_base()
     if base is None:
         pytest.skip("no round base commit found")
-    changed = _changed_lines(base)
-    if not changed:
-        pytest.skip("queries.py unchanged this round")
 
     from kgforge.queries import EXTRA_QUERIES, QUERIES
 
@@ -108,11 +102,23 @@ def test_changed_queries_hold_driver_slots():
     ).stdout
     existed = set(re.findall(r'@register\(\s*\n?\s*"([^"]+)"', base_src))
 
-    spans = _query_spans()
+    def _span_text(lines, spans, name):
+        lo, hi = spans[name]
+        return "\n".join(lines[lo - 1:hi])
+
+    head_lines = (REPO / "kgforge" / "queries.py").read_text().splitlines()
+    base_lines = base_src.splitlines()
+    head_spans = _query_spans(head_lines)
+    base_spans = _query_spans(base_lines)
+    if head_spans == base_spans and head_lines == base_lines:
+        pytest.skip("queries.py unchanged this round")
     changed_queries = {
         name
-        for name, (lo, hi) in spans.items()
-        if name in existed and any(lo <= ln <= hi for ln in changed)
+        for name in head_spans
+        if name in existed
+        and name in base_spans
+        and _span_text(head_lines, head_spans, name)
+        != _span_text(base_lines, base_spans, name)
     }
     # names registered but demoted: changed + EXTRA = policy violation
     hiding = sorted(
