@@ -2668,17 +2668,22 @@ def embed_centroids(spark, sf_dir):
     )
 
 
-def _sql_pca_round(t: int) -> str:
-    """One matrix-free power half-pair: scores s = X_c·v (per-vector
-    dot), new direction w = X_cᵀ·s (per-dim weighted sum), then L2
-    normalize — the SQL twin of one loop body in embed_pca_power."""
+def _sql_pca_round(t: int, src: str = "xc", p: str = "") -> str:
+    """One matrix-free power half-pair: scores s = X·v (per-vector
+    dot), new direction w = Xᵀ·s (per-dim weighted sum), then L2
+    normalize — the SQL twin of one loop body in embed_pca_power.
+    ``src`` names the long-form matrix CTE, ``p`` prefixes the
+    iteration CTEs so a second spectral estimate (embed_abtt's
+    deflated pass) can coexist in one query."""
     return f"""
-    s{t} AS (SELECT xc.vec_id, SUM(xc.val * v{t - 1}.v) AS s
-             FROM xc JOIN v{t - 1} ON v{t - 1}.d = xc.d GROUP BY 1),
-    w{t} AS (SELECT xc.d, SUM(xc.val * s{t}.s) AS w
-             FROM xc JOIN s{t} ON s{t}.vec_id = xc.vec_id GROUP BY 1),
-    n{t} AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w{t}),
-    v{t} AS (SELECT d, w / nrm AS v FROM w{t} CROSS JOIN n{t})"""
+    {p}s{t} AS (SELECT {src}.vec_id, SUM({src}.val * {p}v{t - 1}.v) AS s
+             FROM {src} JOIN {p}v{t - 1} ON {p}v{t - 1}.d = {src}.d
+             GROUP BY 1),
+    {p}w{t} AS (SELECT {src}.d, SUM({src}.val * {p}s{t}.s) AS w
+             FROM {src} JOIN {p}s{t} ON {p}s{t}.vec_id = {src}.vec_id
+             GROUP BY 1),
+    {p}n{t} AS (SELECT SQRT(SUM(w * w)) AS nrm FROM {p}w{t}),
+    {p}v{t} AS (SELECT d, w / nrm AS v FROM {p}w{t} CROSS JOIN {p}n{t})"""
 
 
 @register(
@@ -2812,6 +2817,188 @@ def embed_pca_power(spark, sf_dir):
             F.round(F.col("sgn") * F.col("v"), 6).alias("loading"),
             F.round("eig", 4).alias("eigenvalue"),
             F.round(F.col("eig") / F.col("tot"), 4).alias("var_ratio"),
+        )
+    )
+
+
+def _power_direction(xc, salt: str, rounds: int = 2):
+    """Spark twin of the unrolled power blocks: hash-seeded unit init
+    (charfold(md5(salt || d))), then ``rounds`` synchronous v ←
+    Xᵀ(Xv)/‖·‖ passes over the long-form matrix ``xc(vec_id, d,
+    val)``.  Returns (d, v)."""
+    v0r = (
+        xc.select("d").distinct()
+        .select(
+            "d",
+            (
+                charfold(
+                    F.md5(F.concat(F.lit(salt), F.col("d").cast("string")))
+                )
+                / float(MOD)
+                - 0.5
+            ).alias("r"),
+        )
+    )
+    v0n = v0r.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
+    v = v0r.crossJoin(v0n).select("d", (F.col("r") / F.col("nrm")).alias("v"))
+    for _ in range(rounds):
+        s = (
+            xc.join(v, "d")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+        )
+        w = (
+            xc.join(s, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
+        )
+        n_ = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(n_).select(
+            "d", (F.col("w") / F.col("nrm")).alias("v")
+        ).localCheckpoint(eager=True)
+    return v
+
+
+def _sql_abtt_init(salt: str, p: str, src: str) -> str:
+    """Hash-seeded unit init vector CTEs for a prefixed power pass."""
+    return f"""
+    {p}v0r AS (SELECT d,
+                   {sql_charfold(f"md5('{salt}' || CAST(d AS VARCHAR))")}
+                     / {MOD}.0 - 0.5 AS r
+            FROM (SELECT DISTINCT d FROM {src})),
+    {p}v0n AS (SELECT SQRT(SUM(r * r)) AS nrm FROM {p}v0r),
+    {p}v0 AS (SELECT d, r / nrm AS v FROM {p}v0r CROSS JOIN {p}v0n)"""
+
+
+@register(
+    "embed_abtt",
+    f"""
+    WITH x AS (SELECT vec_id,
+                      CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                        AS d,
+                      CAST(unnest(embedding) AS DOUBLE) AS val
+               FROM embeddings),
+    mu AS (SELECT d, AVG(val) AS m FROM x GROUP BY d),
+    xc AS (SELECT x.vec_id, x.d, x.val - mu.m AS val
+           FROM x JOIN mu ON mu.d = x.d),
+    nv AS (SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM x),
+    {_sql_abtt_init('pca:', '', 'xc')},
+    {_sql_pca_round(1)},
+    {_sql_pca_round(2)},
+    sc AS (SELECT xc.vec_id, SUM(xc.val * v2.v) AS s
+           FROM xc JOIN v2 ON v2.d = xc.d GROUP BY 1),
+    xp AS (SELECT xc.vec_id, xc.d, xc.val - sc.s * v2.v AS val
+           FROM xc JOIN sc ON sc.vec_id = xc.vec_id
+           JOIN v2 ON v2.d = xc.d),
+    {_sql_abtt_init('abtt:', 'a', 'xp')},
+    {_sql_pca_round(1, 'xp', 'a')},
+    {_sql_pca_round(2, 'xp', 'a')},
+    sa AS (SELECT xp.vec_id, SUM(xp.val * av2.v) AS s
+           FROM xp JOIN av2 ON av2.d = xp.d GROUP BY 1),
+    m1 AS (SELECT SUM(s * s) / nv.n AS eig FROM sc CROSS JOIN nv
+           GROUP BY nv.n),
+    t1 AS (SELECT SUM(val * val) / nv.n AS tr FROM xc CROSS JOIN nv
+           GROUP BY nv.n),
+    m2 AS (SELECT SUM(s * s) / nv.n AS eig FROM sa CROSS JOIN nv
+           GROUP BY nv.n),
+    t2 AS (SELECT SUM(val * val) / nv.n AS tr FROM xp CROSS JOIN nv
+           GROUP BY nv.n)
+    SELECT ROUND(m1.eig, 4) AS eig_before,
+           ROUND(t1.tr, 4) AS trace_before,
+           ROUND(m1.eig / t1.tr, 4) AS ratio_before,
+           ROUND(m2.eig, 4) AS eig_after,
+           ROUND(t2.tr, 4) AS trace_after,
+           ROUND(m2.eig / t2.tr, 4) AS ratio_after
+    FROM m1 CROSS JOIN t1 CROSS JOIN m2 CROSS JOIN t2
+    """,
+)
+def embed_abtt(spark, sf_dir):
+    """ALL-BUT-THE-TOP embedding post-processing (Mu & Viswanath 2018,
+    arXiv:1702.01417) with the isotropy gain MEASURED: center, find the
+    top principal direction (the shared power-iteration blocks), remove
+    each vector's projection onto it (x' = x_c − (x_c·v)v), then
+    re-estimate the dominant-direction share on the RESIDUAL — the
+    before/after (λ/trace) pair is the isotropy report a curation
+    pipeline uses to decide whether embeddings need de-biasing before
+    cosine retrieval / SemDeDup.  Exact identity checks ride the
+    result: trace_after = trace_before − eig_before (the removed
+    energy IS the top eigenvalue) and eig_after ≤ eig_before (the
+    residual's dominant direction is the second eigenvalue) — pinned
+    in tests/test_new_ops_invariants.py.
+
+    Scale shape: identical to embed_pca_power twice — each half-step
+    one keyed join + one map-side-combined groupBy over the long n·d
+    layout; the deflation xp is one (vec_id)-keyed join + one d-keyed
+    join, row-local arithmetic; d-row direction dims broadcast-trivial;
+    nothing quadratic anywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("d", "val")
+    ).select("vec_id", F.col("d").cast("bigint").alias("d"),
+             F.col("val").cast("double").alias("val"))
+    mu = x.groupBy("d").agg(F.avg("val").alias("m"))
+    xc = (
+        x.join(mu, "d")
+        .select("vec_id", "d", (F.col("val") - F.col("m")).alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    nv = x.agg(F.countDistinct("vec_id").cast("double").alias("n"))
+    v = _power_direction(xc, "pca:")
+    sc = (
+        xc.join(v, "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+    )
+    xp = (
+        xc.join(sc, "vec_id")
+        .join(v, "d")
+        .select(
+            "vec_id", "d",
+            (F.col("val") - F.col("s") * F.col("v")).alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    av = _power_direction(xp, "abtt:")
+    sa = (
+        xp.join(av, "d")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+    )
+
+    def _rayleigh(scores):
+        return (
+            scores.crossJoin(nv)
+            .groupBy("n")
+            .agg((F.sum(F.col("s") * F.col("s")) / F.first("n")).alias("eig"))
+            .select("eig")
+        )
+
+    def _trace(mat):
+        return (
+            mat.crossJoin(nv)
+            .groupBy("n")
+            .agg(
+                (F.sum(F.col("val") * F.col("val")) / F.first("n")).alias("tr")
+            )
+            .select("tr")
+        )
+
+    m1, t1 = _rayleigh(sc), _trace(xc)
+    m2, t2 = (
+        _rayleigh(sa).withColumnRenamed("eig", "eig2"),
+        _trace(xp).withColumnRenamed("tr", "tr2"),
+    )
+    return (
+        m1.crossJoin(t1)
+        .crossJoin(m2)
+        .crossJoin(t2)
+        .select(
+            F.round("eig", 4).alias("eig_before"),
+            F.round("tr", 4).alias("trace_before"),
+            F.round(F.col("eig") / F.col("tr"), 4).alias("ratio_before"),
+            F.round("eig2", 4).alias("eig_after"),
+            F.round("tr2", 4).alias("trace_after"),
+            F.round(F.col("eig2") / F.col("tr2"), 4).alias("ratio_after"),
         )
     )
 
@@ -7570,6 +7757,8 @@ EXTRA_NAMES = [
     # r6: matrix-free top-PC power iteration (new; embedding family
     # driver-covered by the ann/centroid slots' history)
     "embed_pca_power",
+    # r6: ABTT whitening with measured isotropy gain (new; same family)
+    "embed_abtt",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

@@ -58,3 +58,12 @@ def test_metapaths_support_bounds(spark):
     assert rows
     for r in rows:
         assert 1 <= r.n_endpoint_pairs <= r.n_paths
+
+
+def test_abtt_energy_identities(spark):
+    r = EXTRA_QUERIES["embed_abtt"](spark, SF).collect()[0]
+    # removing the projection removes EXACTLY the Rayleigh energy
+    assert abs(r.trace_after - (r.trace_before - r.eig_before)) < 2e-4
+    # the residual's dominant direction can only be weaker
+    assert r.eig_after <= r.eig_before + 1e-4
+    assert 0 < r.ratio_after <= 1 and 0 < r.ratio_before <= 1
