@@ -61,6 +61,7 @@ HEADLINE = [
     "text_decontaminate_bloom",
     "kg_metapaths",
     "embed_pca_power",
+    "embed_abtt",
 ]
 
 
