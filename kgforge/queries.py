@@ -7210,6 +7210,157 @@ def text_decontaminate_bloom(spark, sf_dir):
     )
 
 
+_CORRUPT_BLOCK = 10  # tokens per corruption block
+_CORRUPT_SPAN = 3  # masked span length within each block
+
+
+@register(
+    "curate_span_corruption",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    m AS (SELECT doc_id, toks,
+                 list_transform(toks, (x, j) ->
+                   {sql_charfold(
+                       "md5(CAST(doc_id AS VARCHAR) || ':' || "
+                       f"CAST((j - 1) // {_CORRUPT_BLOCK} AS VARCHAR)"
+                       " || ':corrupt')"
+                   )} % {_CORRUPT_BLOCK - _CORRUPT_SPAN + 1}) AS starts
+          FROM d),
+    r AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 list_filter(
+                   list_transform(toks, (x, j) -> CASE
+                     WHEN (j - 1) % {_CORRUPT_BLOCK} = starts[j]
+                       THEN '<extra_id_' ||
+                            CAST((j - 1) // {_CORRUPT_BLOCK} AS VARCHAR) || '>'
+                     WHEN (j - 1) % {_CORRUPT_BLOCK} > starts[j]
+                          AND (j - 1) % {_CORRUPT_BLOCK}
+                              < starts[j] + {_CORRUPT_SPAN}
+                       THEN NULL
+                     ELSE x END),
+                   x -> x IS NOT NULL) AS inp,
+                 list_filter(
+                   list_transform(toks, (x, j) -> CASE
+                     WHEN (j - 1) % {_CORRUPT_BLOCK} = starts[j]
+                       THEN '<extra_id_' ||
+                            CAST((j - 1) // {_CORRUPT_BLOCK} AS VARCHAR)
+                            || '> ' || x
+                     WHEN (j - 1) % {_CORRUPT_BLOCK} > starts[j]
+                          AND (j - 1) % {_CORRUPT_BLOCK}
+                              < starts[j] + {_CORRUPT_SPAN}
+                       THEN x
+                     ELSE NULL END),
+                   x -> x IS NOT NULL) AS tgt,
+                 len(list_filter(
+                   list_transform(toks, (x, j) ->
+                     CASE WHEN (j - 1) % {_CORRUPT_BLOCK} >= starts[j]
+                               AND (j - 1) % {_CORRUPT_BLOCK}
+                                   < starts[j] + {_CORRUPT_SPAN}
+                          THEN 1 ELSE NULL END),
+                   x -> x IS NOT NULL)) AS n_masked
+          FROM m)
+    SELECT doc_id, n_tokens, CAST(n_masked AS BIGINT) AS n_masked,
+           {sql_charfold("array_to_string(inp, ' ')")} AS input_hash,
+           {sql_charfold("array_to_string(tgt, ' ')")} AS target_hash
+    FROM r
+    """,
+)
+def curate_span_corruption(spark, sf_dir):
+    """T5-style SPAN-CORRUPTION example synthesis (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4): every document becomes an (input, target)
+    pair — contiguous token spans replaced by `<extra_id_k>` sentinels
+    in the input, with the target spelling out sentinel + masked
+    tokens.  Masking is DETERMINISTIC: each {_CORRUPT_BLOCK}-token
+    block masks one {_CORRUPT_SPAN}-token span whose offset is
+    hash(doc, block) — pseudo-random placement at a fixed ~30% rate,
+    bit-replayable on both engines, so the SYNTHESIZED EXAMPLES
+    themselves are oracle-checked (via charfold of the reconstructed
+    strings, the chunk_documents discipline — compact result, exact
+    comparison).  Sentinel ids are block indices (deterministic;
+    sequential renumbering is a row-local rewrite).
+
+    Scale shape: ENTIRELY row-local — nested higher-order expressions
+    (transform/filter/array_join) inside whole-stage codegen; no
+    explode, no shuffle, no window; the corpus scan is the whole cost.
+    This is the shape example-synthesis must have at 100 TB: any
+    per-token shuffle would dominate the training-prep bill."""
+    nblk = _CORRUPT_BLOCK - _CORRUPT_SPAN + 1
+    toks = F.split(F.col("text"), " ")
+
+    def _start(j):
+        # j is 1-based inside Spark's transform index? No: Spark's
+        # (x, i) lambda index is 0-based — the SQL twin uses (j - 1).
+        blk = F.floor(j / _CORRUPT_BLOCK).cast("bigint")
+        return (
+            charfold(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        blk.cast("string"),
+                        F.lit(":corrupt"),
+                    )
+                )
+            )
+            % nblk
+        )
+
+    def _sentinel(j):
+        return F.concat(
+            F.lit("<extra_id_"),
+            F.floor(j / _CORRUPT_BLOCK).cast("bigint").cast("string"),
+            F.lit(">"),
+        )
+
+    def _off(j):
+        return j % _CORRUPT_BLOCK
+
+    inp = F.filter(
+        F.transform(
+            toks,
+            lambda x, j: F.when(_off(j) == _start(j), _sentinel(j))
+            .when(
+                (_off(j) > _start(j)) & (_off(j) < _start(j) + _CORRUPT_SPAN),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tgt = F.filter(
+        F.transform(
+            toks,
+            lambda x, j: F.when(
+                _off(j) == _start(j), F.concat(_sentinel(j), F.lit(" "), x)
+            )
+            .when(
+                (_off(j) > _start(j)) & (_off(j) < _start(j) + _CORRUPT_SPAN),
+                x,
+            )
+            .otherwise(F.lit(None).cast("string")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    masked = F.filter(
+        F.transform(
+            toks,
+            lambda x, j: F.when(
+                (_off(j) >= _start(j)) & (_off(j) < _start(j) + _CORRUPT_SPAN),
+                F.lit(1),
+            ).otherwise(F.lit(None).cast("int")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(masked).cast("bigint").alias("n_masked"),
+        charfold(F.array_join(inp, " ")).alias("input_hash"),
+        charfold(F.array_join(tgt, " ")).alias("target_hash"),
+    )
+
+
 # target training mixture over langs — the static data-mixing recipe
 # (what DoReMi-style optimization would output; here a fixed policy)
 _MIX_TARGET = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
@@ -7759,6 +7910,9 @@ EXTRA_NAMES = [
     "embed_pca_power",
     # r6: ABTT whitening with measured isotropy gain (new; same family)
     "embed_abtt",
+    # r6: T5 span-corruption example synthesis (new; example-synthesis
+    # family driver-covered by pack_sequences/chunk history)
+    "curate_span_corruption",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

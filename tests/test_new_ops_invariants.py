@@ -67,3 +67,59 @@ def test_abtt_energy_identities(spark):
     # the residual's dominant direction can only be weaker
     assert r.eig_after <= r.eig_before + 1e-4
     assert 0 < r.ratio_after <= 1 and 0 < r.ratio_before <= 1
+
+
+def _py_charfold(s: str) -> int:
+    from kgforge.functions.hashing import MOD
+    a = 7
+    for c in s:
+        a = (a * 31 + ord(c)) % MOD
+    return a
+
+
+def test_span_corruption_matches_python_rederivation(spark):
+    """Re-derive the corrupted example for a few docs in plain Python
+    (same md5+charfold offsets, same sentinel scheme) and match the
+    query's hashes — pins the EXAMPLES, not just engine agreement."""
+    import hashlib
+
+    import duckdb
+
+    from kgforge.queries import _CORRUPT_BLOCK, _CORRUPT_SPAN
+
+    nblk = _CORRUPT_BLOCK - _CORRUPT_SPAN + 1
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "ORDER BY doc_id LIMIT 5"
+    ).fetchall()
+    out = {
+        r.doc_id: r
+        for r in EXTRA_QUERIES["curate_span_corruption"](spark, SF)
+        .filter("doc_id < %d" % (docs[-1][0] + 1))
+        .collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        inp, tgt, n_masked = [], [], 0
+        for j, x in enumerate(toks):
+            blk, off = j // _CORRUPT_BLOCK, j % _CORRUPT_BLOCK
+            start = _py_charfold(
+                hashlib.md5(f"{doc_id}:{blk}:corrupt".encode()).hexdigest()
+            ) % nblk
+            sent = f"<extra_id_{blk}>"
+            if off == start:
+                inp.append(sent)
+                tgt.append(f"{sent} {x}")
+                n_masked += 1
+            elif start < off < start + _CORRUPT_SPAN:
+                tgt.append(x)
+                n_masked += 1
+            else:
+                inp.append(x)
+        r = out[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.n_masked == n_masked
+        assert r.input_hash == _py_charfold(" ".join(inp))
+        assert r.target_hash == _py_charfold(" ".join(tgt))
+        assert 0 < n_masked <= len(toks)
