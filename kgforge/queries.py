@@ -3050,6 +3050,98 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 @register(
+    "curate_contrastive_triplets",
+    f"""
+    WITH {_SQL_EMB_BUCKET},
+    dots AS (
+      SELECT a.vec_id AS anchor, b.vec_id AS other, SUM(a.x * b.x) AS dot
+      FROM flat a JOIN flat b
+        ON a.i = b.i AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2),
+    cand AS (SELECT d.anchor, d.other,
+                    d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c
+             FROM dots d
+             JOIN norms na ON na.vec_id = d.anchor
+             JOIN norms nb ON nb.vec_id = d.other),
+    pos AS (SELECT anchor, other AS pos_id, c AS pc,
+                   ROW_NUMBER() OVER (PARTITION BY anchor
+                                      ORDER BY ROUND(c, 6) DESC, other) AS rn
+            FROM cand),
+    neg AS (SELECT anchor, other AS neg_id, c AS nc,
+                   ROW_NUMBER() OVER (PARTITION BY anchor
+                                      ORDER BY ROUND(c, 6) ASC, other) AS rn
+            FROM cand)
+    SELECT p.anchor, p.pos_id, ROUND(p.pc, 4) AS pos_cos,
+           n.neg_id, ROUND(n.nc, 4) AS neg_cos
+    FROM pos p JOIN neg n ON n.anchor = p.anchor
+    WHERE p.rn = 1 AND n.rn = 1 AND p.pos_id <> n.neg_id
+    """,
+)
+def curate_contrastive_triplets(spark, sf_dir):
+    """CONTRASTIVE TRIPLET MINING for embedding training — (anchor,
+    positive, hard negative) rows, the data-prep step behind
+    SimCSE/SBERT-style fine-tuning (Gao et al. 2021; Reimers 2019) and
+    the in-batch-negatives recipe: per anchor, positive = most-similar
+    bucket-mate, hard negative = LEAST-similar vector in the SAME LSH
+    bucket — a vector that collides with the anchor under the coarse
+    hash yet is far in cosine, which is precisely the "looks similar,
+    isn't" example that makes negatives hard (random negatives are
+    trivially easy; same-bucket ones share the anchor's sign pattern).
+    Anchors whose bucket has only one distinct mate (pos == neg) are
+    dropped — a triplet needs two distinct partners.
+
+    Scale shape: the candidate set is the sign-bucket self-join
+    (bucket-bounded, never all-pairs — n_planes is the population
+    knob, the dedup_embedding_cosine discipline); the Spark side
+    carries whole vectors through the join and folds cosines JVM-side
+    (zip_with/aggregate, no per-dimension explode — that form is the
+    oracle twin only); pos/neg selection is one per-anchor window over
+    the anchor's bucket mates."""
+    from .functions.similarity import _as_double, cosine_fold, sign_bucket
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        sign_bucket(F.col("embedding")).alias("bucket"),
+        _as_double(F.col("embedding")).alias("v"),
+    ).localCheckpoint(eager=True)
+    a = e.select(F.col("vec_id").alias("anchor"), "bucket",
+                 F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("other"), "bucket",
+                 F.col("v").alias("vb"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("anchor") != F.col("other"))
+        .select(
+            "anchor", "other",
+            cosine_fold(F.col("va"), F.col("vb")).alias("c"),
+        )
+    )
+    wpos = Window.partitionBy("anchor").orderBy(
+        F.desc(F.round("c", 6)), "other"
+    )
+    wneg = Window.partitionBy("anchor").orderBy(F.round("c", 6), "other")
+    pos = (
+        cand.withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor", F.col("other").alias("pos_id"),
+            F.round("c", 4).alias("pos_cos"),
+        )
+    )
+    neg = (
+        cand.withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor", F.col("other").alias("neg_id"),
+            F.round("c", 4).alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor").filter(
+        F.col("pos_id") != F.col("neg_id")
+    )
+
+
+@register(
     "dedup_semantic_prune",
     f"""
     WITH RECURSIVE {_SQL_EMB_BUCKET},
@@ -7913,6 +8005,9 @@ EXTRA_NAMES = [
     # r6: T5 span-corruption example synthesis (new; example-synthesis
     # family driver-covered by pack_sequences/chunk history)
     "curate_span_corruption",
+    # r6: contrastive triplet mining (new; embedding family
+    # driver-covered alongside the ann/dedup_embedding slots)
+    "curate_contrastive_triplets",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
