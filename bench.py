@@ -62,6 +62,8 @@ HEADLINE = [
     "kg_metapaths",
     "embed_pca_power",
     "embed_abtt",
+    "curate_span_corruption",
+    "curate_contrastive_triplets",
 ]
 
 

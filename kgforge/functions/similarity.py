@@ -425,3 +425,62 @@ def ivf_topk(
             F.round("c", 4).alias("cos_sim"), "rnk",
         )
     )
+
+
+def contrastive_triplets(
+    embeddings: DataFrame,
+    n_planes: int = N_PLANES,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(anchor, positive, hard-negative) mining for contrastive
+    training: per anchor, positive = most-similar same-bucket vector,
+    hard negative = LEAST-similar same-bucket vector (collides under
+    the sign hash yet far in cosine — the informative negative).
+    Anchors with a single distinct partner are dropped.
+
+    ``n_planes`` is THE scale knob: candidate work is
+    Σ_buckets |bucket|² with |bucket| ≈ n/2^planes — the registered
+    query fixes 4 planes so DuckDB replays the buckets, and 4 planes at
+    100x (200k vectors → 12.5k/bucket ≈ 2.5e9 fold pairs) is the
+    measured DNF cliff (docs/SCALE.md); the production setting grows
+    planes with log2(n) to hold bucket populations flat."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        "vec_id",
+        sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).localCheckpoint(eager=True)
+    a = e.select(F.col("vec_id").alias("anchor"), "bucket",
+                 F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("other"), "bucket",
+                 F.col("v").alias("vb"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("anchor") != F.col("other"))
+        .select(
+            "anchor", "other",
+            cosine_fold(F.col("va"), F.col("vb")).alias("c"),
+        )
+    )
+    wpos = Window.partitionBy("anchor").orderBy(
+        F.desc(F.round("c", 6)), "other"
+    )
+    wneg = Window.partitionBy("anchor").orderBy(F.round("c", 6), "other")
+    pos = (
+        cand.withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor", F.col("other").alias("pos_id"),
+            F.round("c", 4).alias("pos_cos"),
+        )
+    )
+    neg = (
+        cand.withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor", F.col("other").alias("neg_id"),
+            F.round("c", 4).alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor").filter(F.col("pos_id") != F.col("neg_id"))

@@ -3091,54 +3091,20 @@ def curate_contrastive_triplets(spark, sf_dir):
     dropped — a triplet needs two distinct partners.
 
     Scale shape: the candidate set is the sign-bucket self-join
-    (bucket-bounded, never all-pairs — n_planes is the population
-    knob, the dedup_embedding_cosine discipline); the Spark side
-    carries whole vectors through the join and folds cosines JVM-side
-    (zip_with/aggregate, no per-dimension explode — that form is the
-    oracle twin only); pos/neg selection is one per-anchor window over
-    the anchor's bucket mates."""
-    from .functions.similarity import _as_double, cosine_fold, sign_bucket
+    (bucket-bounded, never all-pairs); this REGISTERED form fixes
+    n_planes=4 so DuckDB can replay the buckets (embedding[1..4]) —
+    which at the 100x fixture is the measured DNF cliff (12.5k-vector
+    buckets → 2.5e9 fold pairs, docs/SCALE.md), so at scale the plane
+    count IS the design: functions/similarity.contrastive_triplets
+    (n_planes=k) holds bucket populations ≈ n/2^k flat (vetted at
+    n_planes=12 over 200k vectors).  The Spark side carries whole
+    vectors through the join and folds cosines JVM-side
+    (zip_with/aggregate — the per-dimension explode is the oracle twin
+    only); pos/neg selection is one per-anchor window over the
+    anchor's bucket mates."""
+    from .functions.similarity import contrastive_triplets
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        sign_bucket(F.col("embedding")).alias("bucket"),
-        _as_double(F.col("embedding")).alias("v"),
-    ).localCheckpoint(eager=True)
-    a = e.select(F.col("vec_id").alias("anchor"), "bucket",
-                 F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("other"), "bucket",
-                 F.col("v").alias("vb"))
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("anchor") != F.col("other"))
-        .select(
-            "anchor", "other",
-            cosine_fold(F.col("va"), F.col("vb")).alias("c"),
-        )
-    )
-    wpos = Window.partitionBy("anchor").orderBy(
-        F.desc(F.round("c", 6)), "other"
-    )
-    wneg = Window.partitionBy("anchor").orderBy(F.round("c", 6), "other")
-    pos = (
-        cand.withColumn("rn", F.row_number().over(wpos))
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor", F.col("other").alias("pos_id"),
-            F.round("c", 4).alias("pos_cos"),
-        )
-    )
-    neg = (
-        cand.withColumn("rn", F.row_number().over(wneg))
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor", F.col("other").alias("neg_id"),
-            F.round("c", 4).alias("neg_cos"),
-        )
-    )
-    return pos.join(neg, "anchor").filter(
-        F.col("pos_id") != F.col("neg_id")
-    )
+    return contrastive_triplets(_t(spark, sf_dir, "embeddings"), n_planes=4)
 
 
 @register(
