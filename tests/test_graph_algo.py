@@ -557,3 +557,76 @@ def test_pagerank_weights_redirect_mass(spark):
     assert abs(got[2] - (base + 0.85 * third * 0.1)) < 1e-12
     assert abs(got[0] - base) < 1e-12
     assert got[1] > got[2]
+
+
+# ---------- randomized invariants (seeded, deterministic) ----------
+
+def _random_digraph(spark, seed, n=14, m=30):
+    import random
+
+    rng = random.Random(seed)
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    edges = sorted((a, b) for a, b in edges if a != b)
+    return spark.createDataFrame(edges, "src bigint, dst bigint")
+
+
+def test_hits_norms_on_random_graphs(spark):
+    """On any digraph: both vectors L2-normalize to 1 each round and all
+    scores are non-negative (raw sums of non-negatives)."""
+    from kgforge.graph.algo import hits
+
+    for seed in (7, 23):
+        de = _random_digraph(spark, seed)
+        rows = hits(de, rounds=2).collect()
+        h2 = sum(r.hub ** 2 for r in rows)
+        a2 = sum(r.auth ** 2 for r in rows)
+        assert abs(h2 - 1.0) < 1e-9 and abs(a2 - 1.0) < 1e-9
+        assert all(r.hub >= 0 and r.auth >= 0 for r in rows)
+
+
+def test_weighted_pagerank_conserves_mass_on_random_graphs(spark):
+    """Uniform restart + uniform dangling redistribution conserve total
+    rank mass 1 regardless of edge weights."""
+    import random
+
+    for seed in (3, 11):
+        de = _random_digraph(spark, seed)
+        rng = random.Random(seed + 100)
+        wde = de.withColumn(
+            "w", (F.pmod(F.xxhash64("src", "dst"), F.lit(7)) + 1).cast("double")
+        )
+        pr = pagerank(wde, rounds=4)
+        mass = sum(r.pr for r in pr.collect())
+        assert abs(mass - 1.0) < 1e-9
+
+
+def test_node2vec_valid_on_random_graph(spark):
+    """Biased walks on a random undirected graph: every hop is an edge,
+    one full-length walk per vertex, byte-deterministic."""
+    from kgforge.graph.algo import node2vec_walks
+
+    de = _random_digraph(spark, 42)
+    und = de.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .localCheckpoint(eager=True)
+    )
+    n_verts = nbr.select("v").distinct().count()
+    corpus = node2vec_walks(nbr, length=3).collect()
+    edges = {(r.v, r.u) for r in nbr.collect()}
+    bywalk = {}
+    for r in corpus:
+        bywalk.setdefault(r.walk_id, {})[r.pos] = r.node
+    assert len(bywalk) == n_verts
+    for seq in bywalk.values():
+        assert sorted(seq) == [0, 1, 2, 3]
+        for t in range(3):
+            assert (seq[t], seq[t + 1]) in edges
+    again = {
+        (r.walk_id, r.pos, r.node)
+        for r in node2vec_walks(nbr, length=3).collect()
+    }
+    assert again == {(r.walk_id, r.pos, r.node) for r in corpus}
