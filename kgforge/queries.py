@@ -6135,6 +6135,73 @@ def kg_random_walks(spark, sf_dir):
     return random_walks(nbr, length=4)
 
 
+_SKIPGRAM_WIN = 2  # context window over walk positions
+
+
+@register(
+    "kg_walk_skipgrams",
+    _SQL_EDGES
+    + _SQL_UND
+    + f"""
+    ,
+    nbr AS (SELECT a AS v, b AS u FROM und UNION ALL SELECT b, a FROM und),
+    nbrx AS (SELECT v, u,
+                    ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) - 1 AS idx
+             FROM nbr),
+    vinfo AS (SELECT v, COUNT(*) AS deg, {sql_charfold('v')} AS h
+              FROM nbr GROUP BY v),
+    w0 AS (SELECT v AS walk_id, v AS cur, h AS hw FROM vinfo),
+    {','.join(_sql_walk_step(t) for t in range(1, 5))},
+    corpus AS (
+      SELECT walk_id, CAST(0 AS BIGINT) AS pos, cur AS node FROM w0
+      UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM w1
+      UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM w2
+      UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM w3
+      UNION ALL SELECT walk_id, CAST(4 AS BIGINT), cur FROM w4)
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM corpus a JOIN corpus b
+      ON a.walk_id = b.walk_id AND a.pos <> b.pos
+      AND ABS(a.pos - b.pos) <= {_SKIPGRAM_WIN}
+    GROUP BY 1, 2
+    """,
+)
+def kg_walk_skipgrams(spark, sf_dir):
+    """SKIP-GRAM PAIR EXTRACTION from the walk corpus — the step that
+    turns kg_random_walks into actual embedding training data (the
+    word2vec/DeepWalk (center, context) pairs with counts, window ±2
+    over walk positions).  Completes the graph→embedding-training
+    bridge end-to-end: walks → co-occurrence pairs → (downstream) SGNS.
+    Pair counts are exact and bit-replayable because the walks are.
+
+    Scale shape: the pairing is a self-join on walk_id with a
+    position-band predicate — each walk contributes at most
+    (len+1)·2W rows, so the join is LINEAR in the corpus (walk-keyed,
+    never all-pairs); the count is one map-side-combined groupBy on
+    the (center, context) key."""
+    from .graph.algo import random_walks
+
+    und = _und_edges(spark, sf_dir)
+    nbr = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    ).localCheckpoint(eager=True)
+    corpus = random_walks(nbr, length=4).localCheckpoint(eager=True)
+    a = corpus.select("walk_id", F.col("pos").alias("pa"),
+                      F.col("node").alias("center"))
+    b = corpus.select("walk_id", F.col("pos").alias("pb"),
+                      F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("pa") != F.col("pb"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= _SKIPGRAM_WIN)
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _sql_n2v_step(t: int) -> str:
     """One node2vec biased hop (p=4, q=0.25): alpha per candidate from
     the (prev, cur, candidate) geometry, then cumulative-weight
@@ -6263,6 +6330,61 @@ def kg_metapaths(spark, sf_dir):
             "n_endpoint_pairs"
         ),
     )
+
+
+@register(
+    "kg_qa_pairs",
+    SQL_TRIPLES
+    + """
+    , dt AS (SELECT DISTINCT subj, pred, obj FROM triples)
+    SELECT 'rel' AS template, subj, obj,
+           'What is the relation between "' || subj || '" and "' || obj
+             || '"?' AS question,
+           pred AS answer
+    FROM dt
+    UNION ALL
+    SELECT 'cloze', subj, obj, subj || ' ' || pred || ' ___', obj
+    FROM dt
+    """,
+)
+def kg_qa_pairs(spark, sf_dir):
+    """KG→INSTRUCTION-DATA verbalization — turn every distinct triple
+    into supervised (question, answer) examples, the standard
+    KBQA/instruction-tuning synthesis step (KG-to-text verbalization,
+    e.g. KELM, Agarwal et al. 2021): a relation-prediction template
+    ("What is the relation between X and Y?" → pred) and a cloze
+    template ("X pred ___" → obj).  This is the final leg of the
+    KG→training bridge: kg_edge_split gives the split,
+    kg_negative_samples the negatives, kg_walk_skipgrams the embedding
+    pairs, and this the text-supervision pairs.
+
+    Scale shape: one distinct over triples then ROW-LOCAL string
+    templating (whole-stage codegen, no shuffle beyond the distinct);
+    adding templates adds union legs, not passes — at 100 TB the
+    triple distinct is the only cost and it is already materialized by
+    the cascade."""
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    rel = t.select(
+        F.lit("rel").alias("template"),
+        "subj",
+        "obj",
+        F.concat(
+            F.lit('What is the relation between "'),
+            F.col("subj"),
+            F.lit('" and "'),
+            F.col("obj"),
+            F.lit('"?'),
+        ).alias("question"),
+        F.col("pred").alias("answer"),
+    )
+    cloze = t.select(
+        F.lit("cloze").alias("template"),
+        "subj",
+        "obj",
+        F.concat_ws(" ", "subj", "pred", F.lit("___")).alias("question"),
+        F.col("obj").alias("answer"),
+    )
+    return rel.unionByName(cloze)
 
 
 @register(
@@ -7974,6 +8096,10 @@ EXTRA_NAMES = [
     # r6: contrastive triplet mining (new; embedding family
     # driver-covered alongside the ann/dedup_embedding slots)
     "curate_contrastive_triplets",
+    # r6: DeepWalk skip-gram pairs + KG->QA verbalization (new;
+    # KG-consumption family driver-covered by kg_predict_json slots)
+    "kg_walk_skipgrams",
+    "kg_qa_pairs",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
