@@ -64,6 +64,8 @@ HEADLINE = [
     "embed_abtt",
     "curate_span_corruption",
     "curate_contrastive_triplets",
+    "kg_walk_skipgrams",
+    "kg_qa_pairs",
 ]
 
 
