@@ -5,7 +5,8 @@ documents pipeline (quality gate → exact dedup → sequence packing):
     spark-submit --py-files dist/kgforge.zip jobs/curate_job.py \\
         --input  /path/to/documents_table \\
         --output /path/to/curated_out \\
-        [--pack-cap 128] [--strata lang] [--run-id c1]
+        [--pack-cap 128] [--strata lang] [--run-id c1] \\
+        [--lm-ppl-max 40.0] [--bench /path/to/eval_docs]
 
 Reads documents(doc_id, <strata>, text) (parquet; Iceberg catalogs plug
 in via ``--input table:<name>``), writes:
@@ -34,6 +35,12 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--pack-cap", type=int, default=128)
     ap.add_argument("--strata", default="lang")
+    ap.add_argument("--lm-ppl-max", type=float, default=None,
+                    help="CCNet LM gate: drop docs with bigram-LM "
+                         "perplexity above this (off by default)")
+    ap.add_argument("--bench", default=None,
+                    help="docs-shaped parquet of eval data; docs sharing "
+                         ">= 3 distinct shingles with it are dropped")
     ap.add_argument("--run-id", default="curate0")
     args = ap.parse_args()
 
@@ -50,9 +57,11 @@ def main() -> None:
         docs = spark.read.parquet(args.input)
     docs = docs.select("doc_id", args.strata, "text")
 
+    bench_docs = spark.read.parquet(args.bench) if args.bench else None
     t0 = time.monotonic()
     curated, packed, stats = curate(
-        docs, pack_cap=args.pack_cap, strata_col=args.strata
+        docs, pack_cap=args.pack_cap, strata_col=args.strata,
+        lm_ppl_max=args.lm_ppl_max, bench_docs=bench_docs,
     )
     curated.write.mode("overwrite").partitionBy(args.strata).parquet(
         f"{args.output}/curated"
@@ -70,6 +79,8 @@ def main() -> None:
     agg = stats.agg(
         F.sum("n_raw").alias("r"),
         F.sum("n_kept").alias("k"),
+        F.sum("n_lm_dropped").alias("lm"),
+        F.sum("n_contaminated").alias("ct"),
         F.sum("n_unique").alias("u"),
         F.sum("n_tokens_final").alias("t"),
     ).collect()[0]
@@ -78,6 +89,8 @@ def main() -> None:
         "run_id": args.run_id,
         "n_raw": int(agg.r or 0),  # empty input -> all-NULL agg row
         "n_kept": int(agg.k or 0),
+        "n_lm_dropped": int(agg.lm or 0),
+        "n_contaminated": int(agg.ct or 0),
         "n_unique": int(agg.u or 0),
         "n_tokens_final": int(agg.t or 0),
         "n_bins": n_bins,

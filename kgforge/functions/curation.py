@@ -90,33 +90,94 @@ def pack_bins(
 
 
 def curate(
-    docs: DataFrame, pack_cap: int = PACK_CAP, strata_col: str = "lang"
+    docs: DataFrame,
+    pack_cap: int = PACK_CAP,
+    strata_col: str = "lang",
+    *,
+    lm_ppl_max: float | None = None,
+    bench_docs: DataFrame | None = None,
+    contam_min_shingles: int = 3,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full funnel: docs(doc_id, <strata>, text) ->
     (curated, packed, stats).
 
     curated — quality-passing, fingerprint-deduped rows (+ n_tokens,
     fingerprint); packed — bin assignment over the curated set; stats —
-    per-stratum (n_raw, n_kept, n_unique, n_tokens_final), the
-    attributable-drop report."""
-    from .quality import quality_flags
+    per-stratum (n_raw, n_kept, n_lm_dropped, n_contaminated, n_unique,
+    n_tokens_final), the attributable-drop report.
+
+    Optional advanced gates (r6c), each a composable stage with its own
+    drop counter — off by default so the base funnel is unchanged:
+
+    * ``lm_ppl_max``: the CCNet LM gate — drop heuristic-passing docs
+      whose bigram-LM perplexity (quality.bigram_perplexity, trained on
+      the corpus's lang=='en' slice) exceeds the threshold.
+    * ``bench_docs``: benchmark decontamination — drop docs sharing
+      >= ``contam_min_shingles`` distinct 3-token shingles with this
+      eval-set frame (docs-shaped).  The eval-gram dim is eval-sized
+      (MBs at 100 TB); the scale prefilter twin is the Bloom bits table
+      (text_decontaminate_bloom) in front of this exact join."""
+    from .quality import bigram_perplexity, quality_flags
 
     q = quality_flags(docs).localCheckpoint(eager=True)
     kept = q.filter("keep")
+
+    lm_dropped = None
+    if lm_ppl_max is not None:
+        ppl = bigram_perplexity(docs)
+        kept = kept.join(ppl.select("doc_id", "ppl"), "doc_id", "left")
+        lm_dropped = (
+            kept.filter(F.col("ppl") > lm_ppl_max)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        kept = kept.filter(
+            F.col("ppl").isNull() | (F.col("ppl") <= lm_ppl_max)
+        ).drop("ppl")
+
+    contaminated = None
+    if bench_docs is not None:
+        from .hashing import shingles_of
+
+        bsh = (
+            shingles_of(bench_docs).select("sh").distinct()
+            .localCheckpoint(eager=True)
+        )
+        contaminated = (
+            shingles_of(kept)
+            .join(bsh, "sh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("sh").alias("k"))
+            .filter(F.col("k") >= contam_min_shingles)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        kept = kept.join(contaminated, "doc_id", "left_anti")
+
     curated = dedup_exact(kept).localCheckpoint(eager=True)
     packed = pack_bins(curated, cap=pack_cap, strata_col=strata_col)
     uniq_ids = curated.select("doc_id", F.lit(1).alias("__u"))
-    stats = (
-        q.join(uniq_ids, on="doc_id", how="left")
-        .groupBy(strata_col)
-        .agg(
-            F.count("*").alias("n_raw"),
-            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
-            F.sum(F.coalesce("__u", F.lit(0)).cast("bigint")).alias("n_unique"),
-            F.coalesce(
-                F.sum(F.when(F.col("__u").isNotNull(), F.col("n_tokens"))),
-                F.lit(0),
-            ).cast("bigint").alias("n_tokens_final"),
+    flagged = q.join(uniq_ids, on="doc_id", how="left")
+    for name, ids in (("__lm", lm_dropped), ("__ct", contaminated)):
+        marker = (
+            ids.select("doc_id", F.lit(1).alias(name))
+            if ids is not None
+            else q.select("doc_id", F.lit(None).cast("int").alias(name))
         )
+        flagged = flagged.join(marker, on="doc_id", how="left")
+    stats = flagged.groupBy(strata_col).agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sum(F.coalesce("__lm", F.lit(0)).cast("bigint")).alias(
+            "n_lm_dropped"
+        ),
+        F.sum(F.coalesce("__ct", F.lit(0)).cast("bigint")).alias(
+            "n_contaminated"
+        ),
+        F.sum(F.coalesce("__u", F.lit(0)).cast("bigint")).alias("n_unique"),
+        F.coalesce(
+            F.sum(F.when(F.col("__u").isNotNull(), F.col("n_tokens"))),
+            F.lit(0),
+        ).cast("bigint").alias("n_tokens_final"),
     )
     return curated, packed, stats

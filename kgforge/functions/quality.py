@@ -203,3 +203,64 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+LM_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    target_lang: str = "en",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-document bigram-LM perplexity vs a target-domain LM trained
+    IN the same pass (the CCNet gate, Wenzek et al. 2020): train stupid-
+    backoff bigram counts on ``lang == target_lang`` documents, score
+    every document by exp(-mean ln S).  Returns (doc_id, n_scored, ppl).
+    The library twin of the oracle-checked text_lm_perplexity query —
+    same model, reusable against any docs frame (curate_job's gate).
+
+    Scale shape: ONE token scan feeds the count tables (map-side
+    combined); count dims attach by KEYED joins; the scalar (N, V)
+    frame rides a crossJoin."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        F.posexplode(F.split(text_col, " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tl = toks.withColumn("prev", F.lag("tok").over(w))
+    trn = tl.filter(F.col("lang") == target_lang).localCheckpoint(eager=True)
+    bg = trn.filter(F.col("prev").isNotNull())
+    c2 = bg.groupBy("prev", "tok").agg(F.count("*").cast("double").alias("cb"))
+    c1 = bg.groupBy("prev").agg(F.count("*").cast("double").alias("cx"))
+    cu = trn.groupBy("tok").agg(F.count("*").cast("double").alias("cui"))
+    nv = trn.agg(
+        F.count("*").cast("double").alias("n"),
+        F.countDistinct("tok").cast("double").alias("v"),
+    )
+    sc = (
+        tl.filter(F.col("prev").isNotNull())
+        .crossJoin(nv)
+        .join(c2, ["prev", "tok"], "left")
+        .join(c1, ["prev"], "left")
+        .join(cu, ["tok"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("cb").isNotNull(), F.log(F.col("cb") / F.col("cx")))
+            .otherwise(
+                F.log(
+                    F.lit(LM_BACKOFF)
+                    * (F.coalesce("cui", F.lit(0.0)) + 1.0)
+                    / (F.col("n") + F.col("v"))
+                )
+            )
+            .alias("lp"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"), F.exp(-F.avg("lp")).alias("ppl")
+    )

@@ -96,3 +96,56 @@ def test_curate_job_empty_input(spark, tmp_path, capsys, monkeypatch):
     assert summary["n_raw"] == 0 and summary["n_kept"] == 0
     assert summary["n_unique"] == 0 and summary["n_tokens_final"] == 0
     assert summary["n_bins"] == 0
+
+
+def test_curate_advanced_gates(spark, tmp_path, capsys, monkeypatch):
+    """LM-perplexity gate + benchmark decontamination as funnel stages:
+    an out-of-domain gibberish doc trips the LM gate, a doc sharing its
+    shingles with the bench set is dropped as contaminated, and both
+    drops are attributable in the summary counters."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.curate_job import main
+
+    rows = []
+    for i in range(30):
+        text = f"unique document number {i} with enough plain tokens here"
+        rows.append({"doc_id": i, "lang": "en", "text": text})
+    # out-of-domain doc: tokens the en LM never saw -> OOV backoff only
+    rows.append({"doc_id": 97, "lang": "de",
+                 "text": "zzq wvx qqj zzt lkr pqm nvw xxu"})
+    # contaminated doc: copies a bench passage verbatim
+    bench_text = "held out benchmark passage that must not leak into training"
+    rows.append({"doc_id": 98, "lang": "en",
+                 "text": bench_text + " plus trailing tokens"})
+    inp, bench = tmp_path / "docs", tmp_path / "bench"
+    inp.mkdir(); bench.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(inp / "p.parquet"))
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"doc_id": 0, "lang": "en", "text": bench_text}]
+        ),
+        str(bench / "p.parquet"),
+    )
+
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py",
+        "--input", str(inp),
+        "--output", str(tmp_path / "out"),
+        "--lm-ppl-max", "60.0",
+        "--bench", str(bench),
+        "--run-id", "c-gates",
+    ])
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_lm_dropped"] >= 1  # the gibberish doc
+    assert summary["n_contaminated"] == 1  # the bench-copying doc
+    # gated docs never reach the curated output
+    import pyspark.sql.functions as F  # noqa: F401
+
+    curated = spark.read.parquet(str(tmp_path / "out" / "curated"))
+    ids = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert 97 not in ids and 98 not in ids
+    assert summary["n_unique"] == len(ids)
