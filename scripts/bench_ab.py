@@ -100,8 +100,19 @@ def main() -> None:
             for n in common
         },
     }
+    # suite_ratio is computed over the COMMON query set only: each leg
+    # runs its own commit's HEADLINE list, so whenever the head adds
+    # queries the whole-leg walls compare different workloads — the
+    # r6c head runs 16 queries the r5 base doesn't, and the raw wall
+    # ratio (2.19) would read as a regression that isn't one.  The
+    # whole-leg walls stay recorded above for context.
     summary["suite_ratio"] = round(
-        summary["suite_best_head"] / summary["suite_best_base"], 3
+        sum(bh[n] for n in common) / sum(b2[n] for n in common), 3
+    )
+    summary["suite_ratio_note"] = (
+        f"sum of per-query bests over the {len(common)} common queries; "
+        "suite_best_* are whole-leg walls over each side's own "
+        "(differently sized) headline list"
     )
     (REPO / "BENCH").mkdir(exist_ok=True)
     (REPO / "BENCH" / f"ab_{tag}.json").write_text(json.dumps(summary, indent=2))
