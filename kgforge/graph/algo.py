@@ -541,7 +541,11 @@ def random_walks(nbr: DataFrame, length: int = 4) -> DataFrame:
     arXiv:1403.6652), DETERMINISTIC: one walk per start vertex, next hop
     = neighbor at index hash(walk, step, cur) % deg(cur) over the
     rank-indexed adjacency — a seeded surrogate for uniform sampling
-    that both engines can replay bit-identically (shared charfold hash).
+    that both engines can replay bit-identically.  The hash is the
+    WELL-MIXED charfold(md5(walk:step:cur)) (the node2vec lesson,
+    measured there: raw charfold of sequential ids is nearly
+    sequential and biases the choice — on a cycle it halved the
+    backtrack rate a uniform walk implies).
 
     ``nbr``: directed neighbor list (v, u), both directions of each
     undirected edge.  Returns (walk_id, pos, node) corpus rows,
@@ -554,7 +558,7 @@ def random_walks(nbr: DataFrame, length: int = 4) -> DataFrame:
     corpus streams out as a union of per-step frontiers, no global sort."""
     from pyspark.sql import Window
 
-    from ..functions.hashing import MOD, charfold
+    from ..functions.hashing import charfold
 
     w = Window.partitionBy("v").orderBy("u")
     nbrx = nbr.withColumn("idx", F.row_number().over(w) - 1).localCheckpoint(
@@ -563,22 +567,26 @@ def random_walks(nbr: DataFrame, length: int = 4) -> DataFrame:
     vinfo = (
         nbr.groupBy("v")
         .agg(F.count("*").alias("deg"))
-        .withColumn("h", charfold(F.col("v")))
         .localCheckpoint(eager=True)
     )
     frontier = vinfo.select(
-        F.col("v").alias("walk_id"), F.col("v").alias("cur"), F.col("h").alias("hw")
+        F.col("v").alias("walk_id"), F.col("v").alias("cur")
     )
     out = frontier.select(
         "walk_id", F.lit(0).cast("bigint").alias("pos"), F.col("cur").alias("node")
     )
     for t in range(1, length + 1):
         f = frontier.join(
-            vinfo.select(F.col("v").alias("cur"), F.col("h").alias("hc"), "deg"),
-            "cur",
+            vinfo.select(F.col("v").alias("cur"), "deg"), "cur"
         ).withColumn(
             "tgt",
-            ((F.col("hw") * 31 + F.lit(t) * 1000003 + F.col("hc")) % MOD)
+            charfold(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("walk_id"), F.lit(str(t)), F.col("cur")
+                    )
+                )
+            )
             % F.col("deg"),
         )
         nx = nbrx.select(
@@ -586,7 +594,7 @@ def random_walks(nbr: DataFrame, length: int = 4) -> DataFrame:
         )
         step = f.join(nx, (f["cur"] == nx["nv"]) & (f["tgt"] == nx["nidx"]))
         frontier = step.select(
-            "walk_id", F.col("u").alias("cur"), "hw"
+            "walk_id", F.col("u").alias("cur")
         ).localCheckpoint(eager=True)
         out = out.unionByName(
             frontier.select(

@@ -6082,15 +6082,18 @@ def kg_sage_features(spark, sf_dir):
 
 def _sql_walk_step(t: int) -> str:
     """One deterministic walk hop: next = neighbor at index
-    hash(walk, step, cur) % deg(cur) — the SQL twin of the Spark step
-    inside graph/algo.random_walks."""
+    charfold(md5(walk:step:cur)) % deg(cur) — the SQL twin of the Spark
+    step inside graph/algo.random_walks (the WELL-MIXED hash; the raw
+    charfold linear mix measurably biased the choice — node2vec
+    lesson)."""
     return f"""
     w{t} AS (
-      SELECT w.walk_id, x.u AS cur, w.hw
+      SELECT w.walk_id, x.u AS cur
       FROM w{t - 1} w
       JOIN vinfo i ON i.v = w.cur
       JOIN nbrx x ON x.v = w.cur
-        AND x.idx = ((w.hw * 31 + {t} * 1000003 + i.h) % {MOD}) % i.deg)"""
+        AND x.idx =
+          {sql_charfold(f"md5(w.walk_id || ':{t}:' || w.cur)")} % i.deg)"""
 
 
 @register(
@@ -6103,9 +6106,8 @@ def _sql_walk_step(t: int) -> str:
     nbrx AS (SELECT v, u,
                     ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) - 1 AS idx
              FROM nbr),
-    vinfo AS (SELECT v, COUNT(*) AS deg, {sql_charfold('v')} AS h
-              FROM nbr GROUP BY v),
-    w0 AS (SELECT v AS walk_id, v AS cur, h AS hw FROM vinfo),
+    vinfo AS (SELECT v, COUNT(*) AS deg FROM nbr GROUP BY v),
+    w0 AS (SELECT v AS walk_id, v AS cur FROM vinfo),
     {','.join(_sql_walk_step(t) for t in range(1, 5))}
     SELECT walk_id, CAST(0 AS BIGINT) AS pos, cur AS node FROM w0
     UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM w1
@@ -6148,9 +6150,8 @@ _SKIPGRAM_WIN = 2  # context window over walk positions
     nbrx AS (SELECT v, u,
                     ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) - 1 AS idx
              FROM nbr),
-    vinfo AS (SELECT v, COUNT(*) AS deg, {sql_charfold('v')} AS h
-              FROM nbr GROUP BY v),
-    w0 AS (SELECT v AS walk_id, v AS cur, h AS hw FROM vinfo),
+    vinfo AS (SELECT v, COUNT(*) AS deg FROM nbr GROUP BY v),
+    w0 AS (SELECT v AS walk_id, v AS cur FROM vinfo),
     {','.join(_sql_walk_step(t) for t in range(1, 5))},
     corpus AS (
       SELECT walk_id, CAST(0 AS BIGINT) AS pos, cur AS node FROM w0
