@@ -6874,7 +6874,12 @@ def curation_funnel(spark, sf_dir):
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     _curated, _packed, stats = curate(d, pack_cap=_PACK_CAP)
-    return stats
+    # project the base-funnel columns: the optional r6c gate counters
+    # (n_lm_dropped / n_contaminated) are structurally zero when the
+    # gates are off and belong to the job's summary, not this query
+    return stats.select(
+        "lang", "n_raw", "n_kept", "n_unique", "n_tokens_final"
+    )
 @register(
     "ann_multi_topk",
     """
@@ -7958,7 +7963,13 @@ EXTRA_NAMES = [
     "pack_sequences",
     "sample_stratified",
     "chunk_documents",
-    "curation_funnel",
+    # r6c rotation: curation_funnel's stats projection changed (the
+    # curate() gate counters are job-level, not query-level), so per
+    # the mechanical rule it takes a driver slot; lang_id_confusion
+    # (unchanged since r2) moves here — its heuristic-classification
+    # family stays driver-covered by text_quality_filter, with the
+    # trained twin text_nb_classifier in EXTRA
+    "lang_id_confusion",
     "ann_multi_topk",
     "kg_reach_bfs",
     "kg_negative_samples",
