@@ -7396,6 +7396,52 @@ def text_decontaminate_bloom(spark, sf_dir):
     )
 
 
+@register(
+    "curate_length_curriculum",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+    p AS (SELECT doc_id, n,
+                 NTILE(4) OVER (ORDER BY n, doc_id) AS phase
+          FROM d)
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n) AS min_tokens, MAX(n) AS max_tokens,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS member_checksum
+    FROM p GROUP BY phase
+    """,
+)
+def curate_length_curriculum(spark, sf_dir):
+    """LENGTH-CURRICULUM phase assignment — order training data
+    shortest-first in four equal phases (curriculum learning, Bengio et
+    al. 2009; sequence-length warmup as used in efficient-pretraining
+    recipes): NTILE(4) over (token count, doc_id) gives every document
+    a deterministic phase, and the per-phase report carries a
+    member checksum (exact doc_id sum) so the ASSIGNMENT itself is
+    oracle-pinned, not just the counts.
+
+    Scale shape: at this result grain the global NTILE is expressed
+    directly (one sort); at 100 TB the same assignment is computed
+    WITHOUT a global sort by the repo's two-pass rank
+    (functions/ranks.py: per-partition histograms → global offsets —
+    the q_doc_range_slice machinery), phase = rank * 4 / n; the
+    per-phase aggregate is map-side combined either way."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("n", "doc_id")
+    p = d.withColumn("phase", F.ntile(4).over(w))
+    return p.groupBy(F.col("phase").cast("bigint").alias("phase")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+        F.sum("n").alias("total_tokens"),
+        F.sum("doc_id").cast("bigint").alias("member_checksum"),
+    )
+
+
 _CORRUPT_BLOCK = 10  # tokens per corruption block
 _CORRUPT_SPAN = 3  # masked span length within each block
 
@@ -8112,6 +8158,9 @@ EXTRA_NAMES = [
     # KG-consumption family driver-covered by kg_predict_json slots)
     "kg_walk_skipgrams",
     "kg_qa_pairs",
+    # r6: length-curriculum phases (new; window family driver-covered
+    # by q_doc_range_slice's two-pass rank machinery)
+    "curate_length_curriculum",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
