@@ -66,6 +66,7 @@ HEADLINE = [
     "curate_contrastive_triplets",
     "kg_walk_skipgrams",
     "kg_qa_pairs",
+    "curate_length_curriculum",
 ]
 
 
