@@ -95,6 +95,7 @@ def curate(
     strata_col: str = "lang",
     *,
     lm_ppl_max: float | None = None,
+    lm_target: str = "en",
     bench_docs: DataFrame | None = None,
     contam_min_shingles: int = 3,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -111,7 +112,12 @@ def curate(
 
     * ``lm_ppl_max``: the CCNet LM gate — drop heuristic-passing docs
       whose bigram-LM perplexity (quality.bigram_perplexity, trained on
-      the corpus's lang=='en' slice) exceeds the threshold.
+      the corpus's ``strata_col == lm_target`` slice — the strata
+      column doubles as the LM-domain column, so non-default strata
+      work) exceeds the threshold.  Only the KEPT docs are scored —
+      the expensive scoring joins never run for heuristic-dropped
+      rows; the LM trains on the raw target slice (CCNet trains on
+      the reference corpus as-is).
     * ``bench_docs``: benchmark decontamination — drop docs sharing
       >= ``contam_min_shingles`` distinct 3-token shingles with this
       eval-set frame (docs-shaped).  The eval-gram dim is eval-sized
@@ -124,7 +130,12 @@ def curate(
 
     lm_dropped = None
     if lm_ppl_max is not None:
-        ppl = bigram_perplexity(docs)
+        ppl = bigram_perplexity(
+            docs,
+            target_lang=lm_target,
+            lang_col=strata_col,
+            score_docs=kept.select("doc_id", "text"),
+        )
         kept = kept.join(ppl.select("doc_id", "ppl"), "doc_id", "left")
         lm_dropped = (
             kept.filter(F.col("ppl") > lm_ppl_max)

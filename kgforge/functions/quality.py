@@ -213,27 +213,36 @@ def bigram_perplexity(
     target_lang: str = "en",
     text_col: str = "text",
     lang_col: str = "lang",
+    score_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document bigram-LM perplexity vs a target-domain LM trained
     IN the same pass (the CCNet gate, Wenzek et al. 2020): train stupid-
-    backoff bigram counts on ``lang == target_lang`` documents, score
-    every document by exp(-mean ln S).  Returns (doc_id, n_scored, ppl).
-    The library twin of the oracle-checked text_lm_perplexity query —
-    same model, reusable against any docs frame (curate_job's gate).
+    backoff bigram counts on ``lang_col == target_lang`` documents from
+    ``docs``, score ``score_docs`` (default: all of ``docs``) by
+    exp(-mean ln S).  Returns (doc_id, n_scored, ppl).  The library
+    twin of the oracle-checked text_lm_perplexity query — same model,
+    reusable against any docs frame (curate_job's gate, which passes
+    only its kept docs as score_docs so the expensive scoring joins
+    never run for rows the heuristic gate already dropped).
 
-    Scale shape: ONE token scan feeds the count tables (map-side
-    combined); count dims attach by KEYED joins; the scalar (N, V)
-    frame rides a crossJoin."""
+    Scale shape: ONE token scan per side feeds the count tables
+    (map-side combined); count dims attach by KEYED joins; the scalar
+    (N, V) frame rides a crossJoin."""
     from pyspark.sql import Window
 
-    toks = docs.select(
-        "doc_id",
-        F.col(lang_col).alias("lang"),
-        F.posexplode(F.split(text_col, " ")).alias("pos", "tok"),
+    def _tl(frame):
+        t = frame.select(
+            "doc_id",
+            F.posexplode(F.split(text_col, " ")).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return t.withColumn("prev", F.lag("tok").over(w))
+
+    trn = (
+        _tl(docs.filter(F.col(lang_col) == target_lang))
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tl = toks.withColumn("prev", F.lag("tok").over(w))
-    trn = tl.filter(F.col("lang") == target_lang).localCheckpoint(eager=True)
+    tl = _tl(score_docs if score_docs is not None else docs)
     bg = trn.filter(F.col("prev").isNotNull())
     c2 = bg.groupBy("prev", "tok").agg(F.count("*").cast("double").alias("cb"))
     c1 = bg.groupBy("prev").agg(F.count("*").cast("double").alias("cx"))

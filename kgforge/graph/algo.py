@@ -29,9 +29,19 @@ def _pr_setup(de: DataFrame):
     fixpoint-residual check.  If ``de`` carries a ``w`` column the walk
     is WEIGHTED: out-"degree" is the out-weight sum and each edge
     forwards pr·w/Σw — with w ≡ 1.0 this reduces bit-identically to
-    the uniform split (1.0·pr/COUNT == pr/SUM(1.0) in IEEE754)."""
+    the uniform split (1.0·pr/COUNT == pr/SUM(1.0) in IEEE754).
+    Edges with NULL or non-positive weight are DROPPED before the
+    degree sum: they carry no walk mass, and keeping them would let a
+    src whose weights sum to 0 produce NULL/inf contributions that
+    F.sum silently discards — leaking total rank mass without an
+    error (the vertex is not caught by the dangling left_anti because
+    it still has od rows).  After the filter every od degree is > 0,
+    and a vertex with ONLY non-positive out-edges becomes properly
+    dangling."""
     if "w" not in de.columns:
         de = de.withColumn("w", F.lit(1.0))
+    else:
+        de = de.filter(F.col("w") > 0)
     de = de.localCheckpoint(eager=True)
     verts = (
         de.select(F.col("src").alias("v"))

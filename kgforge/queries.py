@@ -2757,36 +2757,9 @@ def embed_pca_power(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     nv = x.agg(F.countDistinct("vec_id").cast("double").alias("n"))
-    v0r = (
-        x.select("d").distinct()
-        .select(
-            "d",
-            (
-                charfold(
-                    F.md5(F.concat(F.lit("pca:"), F.col("d").cast("string")))
-                )
-                / float(MOD)
-                - 0.5
-            ).alias("r"),
-        )
-    )
-    v0n = v0r.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
-    v = v0r.crossJoin(v0n).select("d", (F.col("r") / F.col("nrm")).alias("v"))
-    for _ in range(2):
-        s = (
-            xc.join(v, "d")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
-        )
-        w = (
-            xc.join(s, "vec_id")
-            .groupBy("d")
-            .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
-        )
-        n_ = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(n_).select(
-            "d", (F.col("w") / F.col("nrm")).alias("v")
-        ).localCheckpoint(eager=True)
+    # the iteration lives in ONE place — _power_direction (shared with
+    # embed_abtt's two passes and mirrored by _sql_pca_round)
+    v = _power_direction(xc, "pca:")
     pick = v.orderBy(F.desc(F.round(F.abs("v"), 6)), "d").limit(1)
     sg = pick.select(
         F.when(F.col("v") < 0, -1.0).otherwise(1.0).alias("sgn")
@@ -6293,10 +6266,13 @@ def kg_node2vec_walks(spark, sf_dir):
     , de AS (SELECT DISTINCT src, dst, pred FROM edges),
     p AS (SELECT e1.pred AS pred1, e2.pred AS pred2,
                  e1.src AS a, e2.dst AS c
-          FROM de e1 JOIN de e2 ON e1.dst = e2.src AND e1.src <> e2.dst)
-    SELECT pred1, pred2, CAST(COUNT(*) AS BIGINT) AS n_paths,
-           CAST(COUNT(DISTINCT a || ':' || c) AS BIGINT) AS n_endpoint_pairs
-    FROM p GROUP BY 1, 2
+          FROM de e1 JOIN de e2 ON e1.dst = e2.src AND e1.src <> e2.dst),
+    cnt AS (SELECT pred1, pred2, CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM p GROUP BY 1, 2),
+    ep AS (SELECT pred1, pred2, CAST(COUNT(*) AS BIGINT) AS n_endpoint_pairs
+           FROM (SELECT DISTINCT pred1, pred2, a, c FROM p) GROUP BY 1, 2)
+    SELECT cnt.pred1, cnt.pred2, cnt.n_paths, ep.n_endpoint_pairs
+    FROM cnt JOIN ep ON ep.pred1 = cnt.pred1 AND ep.pred2 = cnt.pred2
     """,
 )
 def kg_metapaths(spark, sf_dir):
@@ -6325,11 +6301,13 @@ def kg_metapaths(spark, sf_dir):
         F.col("pred").alias("pred2"),
     )
     p = e1.join(e2, "m").filter(F.col("a") != F.col("c"))
+    # endpoint support counted over the (a, c) PAIR, never a string
+    # concat — entity surfaces may contain any delimiter, and a
+    # concat collision ('x:y', 'z') == ('x', 'y:z') undercounts on
+    # both engines identically, which the oracle cannot catch
     return p.groupBy("pred1", "pred2").agg(
         F.count("*").alias("n_paths"),
-        F.countDistinct(F.concat_ws(":", "a", "c")).alias(
-            "n_endpoint_pairs"
-        ),
+        F.countDistinct("a", "c").alias("n_endpoint_pairs"),
     )
 
 
@@ -7706,7 +7684,7 @@ def curate_domain_mixture(spark, sf_dir):
     )
 
 
-_LM_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+from .functions.quality import LM_BACKOFF as _LM_BACKOFF  # single source
 
 
 @register(
@@ -7761,50 +7739,19 @@ def text_lm_perplexity(spark, sf_dir):
     scoring is one pass over token bigrams; the scalar (N, V) frame
     rides a crossJoin (1 row); top-k compiles to
     TakeOrderedAndProject — no global sort."""
+    from .functions.quality import bigram_perplexity
+
     d = _t(spark, sf_dir, "documents")
-    toks = _doc_tokens(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tl = toks.withColumn("prev", F.lag("tok").over(w)).join(
-        d.select("doc_id", "lang"), "doc_id"
-    )
-    trn = tl.filter(F.col("lang") == "en").localCheckpoint(eager=True)
-    bg = trn.filter(F.col("prev").isNotNull())
-    c2 = bg.groupBy("prev", "tok").agg(F.count("*").cast("double").alias("cb"))
-    c1 = bg.groupBy("prev").agg(F.count("*").cast("double").alias("cx"))
-    cu = trn.groupBy("tok").agg(F.count("*").cast("double").alias("cui"))
-    nv = trn.agg(
-        F.count("*").cast("double").alias("n"),
-        F.countDistinct("tok").cast("double").alias("v"),
-    )
-    sc = (
-        tl.filter(F.col("prev").isNotNull())
-        .crossJoin(nv)
-        .join(c2, ["prev", "tok"], "left")
-        .join(c1, ["prev"], "left")
-        .join(cu, ["tok"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            F.when(
-                F.col("cb").isNotNull(), F.log(F.col("cb") / F.col("cx"))
-            )
-            .otherwise(
-                F.log(
-                    F.lit(_LM_BACKOFF)
-                    * (F.coalesce("cui", F.lit(0.0)) + 1.0)
-                    / (F.col("n") + F.col("v"))
-                )
-            )
-            .alias("lp"),
-        )
-    )
-    ppl = sc.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n_scored"), F.exp(-F.avg("lp")).alias("p")
-    )
+    # ONE implementation of the model: quality.bigram_perplexity (the
+    # curate_job gate runs the same code); this query adds the lang
+    # column back and takes the top-20 drop candidates
+    ppl = bigram_perplexity(d).join(d.select("doc_id", "lang"), "doc_id")
     return (
-        ppl.orderBy(F.desc(F.round("p", 4)), "doc_id")
+        ppl.orderBy(F.desc(F.round("ppl", 4)), "doc_id")
         .limit(20)
-        .select("doc_id", "lang", "n_scored", F.round("p", 4).alias("ppl"))
+        .select(
+            "doc_id", "lang", "n_scored", F.round("ppl", 4).alias("ppl")
+        )
     )
 
 

@@ -838,6 +838,14 @@ def refresh_pagerank_state(
     final = os.path.join(ranks_dir, f"epoch={latest}")
     if os.path.exists(os.path.join(final, "_COMPLETE")):
         return None
+    # tmp dirs are named OUTSIDE the epoch= namespace: a crash between
+    # writing _COMPLETE inside the tmp and the publishing rename must
+    # not leave debris that latest_complete_epoch would try (and fail)
+    # to parse as an epoch number on every later run
+    if os.path.isdir(ranks_dir):
+        for name in os.listdir(ranks_dir):
+            if name.startswith("_tmp_epoch_"):
+                shutil.rmtree(os.path.join(ranks_dir, name))
     prev_n = (
         latest_complete_epoch(ranks_dir) if os.path.isdir(ranks_dir) else None
     )
@@ -855,7 +863,7 @@ def refresh_pagerank_state(
         de, rounds=None, tol=tol, max_rounds=max_rounds, stats=stats, init=init
     )
     os.makedirs(ranks_dir, exist_ok=True)
-    tmp = final + ".tmp"
+    tmp = os.path.join(ranks_dir, f"_tmp_epoch_{latest}")
     if os.path.exists(tmp):
         shutil.rmtree(tmp)  # debris from a crashed attempt
     pr.write.parquet(os.path.join(tmp, "ranks"))

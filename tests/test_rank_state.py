@@ -81,3 +81,21 @@ def test_maintain_job_rank_state_cli(spark, tmp_path, capsys, monkeypatch):
     assert summary["ranks"]["refreshed"] is True
     assert summary["ranks"]["epoch"] == 3
     assert os.path.exists(rstate / "epoch=3" / "_COMPLETE")
+
+
+def test_refresh_survives_crash_debris(spark, tmp_path):
+    """A crash between writing _COMPLETE inside the tmp dir and the
+    publishing rename must not wedge every later refresh: the tmp
+    namespace is outside epoch= (so latest_complete_epoch never parses
+    it) and stale debris is swept before reading state."""
+    gstate, rstate = tmp_path / "g", tmp_path / "r"
+    os.makedirs(gstate)
+    _write_graph_epoch(spark, gstate, 0, _chain(6))
+    # simulate the worst-case crash point: complete-looking tmp debris
+    debris = rstate / "_tmp_epoch_0"
+    os.makedirs(debris)
+    open(debris / "_COMPLETE", "w").close()
+    m = refresh_pagerank_state(spark, str(gstate), str(rstate), tol=1e-8)
+    assert m is not None and m["epoch"] == 0
+    assert os.path.exists(rstate / "epoch=0" / "_COMPLETE")
+    assert not os.path.exists(debris)
