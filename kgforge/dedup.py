@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.hashing import minhash_of, shingles_of, signature_bands
+from .functions.joins import maybe_broadcast
 
 MAX_BUCKET = 64  # as in link/canonical.py — a degenerate bucket of d docs
 #                  would contribute d^2/2 candidates
@@ -137,8 +138,18 @@ def pairs_from_state(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > max_bucket)
         .select("band", "k0", "k1")
+        # two consumers below when gated (count + join probe): pay the
+        # aggregate once
+        .localCheckpoint(eager=True)
     )
-    kept = bands.join(F.broadcast(hot), on=["band", "k0", "k1"], how="left_anti")
+    # size-gated, NOT F.broadcast: the hot-bucket dim is data-dependent —
+    # it grows with saturated buckets on boilerplate-heavy ACCUMULATED
+    # corpora, exactly the class maybe_broadcast exists for (r5 rule;
+    # r6 ADVICE, low).  Above the gate the anti-join falls back to
+    # shuffle and AQE handles it.
+    kept = bands.join(
+        maybe_broadcast(hot), on=["band", "k0", "k1"], how="left_anti"
+    )
     cand = (
         kept.alias("a")
         .join(
@@ -194,9 +205,15 @@ def dedup_minhash_incremental(
         # a bucket with no new member cannot yield a pair touching the
         # batch.  signature_bands is a projection of the persisted sig
         # table — old hashes are read, never recomputed.
-        touched = new_bands.select("band", "k0", "k1").distinct()
+        # delta-bounded but still data-dependent (a backfill batch can be
+        # arbitrarily large) — size-gate the hint like the hot dims
+        touched = (
+            new_bands.select("band", "k0", "k1")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         old_bands_touched = signature_bands(old_sig).join(
-            F.broadcast(touched), on=["band", "k0", "k1"], how="left_semi"
+            maybe_broadcast(touched), on=["band", "k0", "k1"], how="left_semi"
         )
 
     # accumulated bucket sizes (over old∪new members of touched buckets)
@@ -208,9 +225,13 @@ def dedup_minhash_incremental(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > max_bucket)
         .select("band", "k0", "k1")
+        .localCheckpoint(eager=True)
     )
-    kept_new = new_bands.join(F.broadcast(hot), on=["band", "k0", "k1"], how="left_anti")
-    kept_all = all_bands.join(F.broadcast(hot), on=["band", "k0", "k1"], how="left_anti")
+    # same size gate as pairs_from_state: the saturated-bucket dim is
+    # data-dependent (counted over the accumulated epoch union here)
+    hot = maybe_broadcast(hot)
+    kept_new = new_bands.join(hot, on=["band", "k0", "k1"], how="left_anti")
+    kept_all = all_bands.join(hot, on=["band", "k0", "k1"], how="left_anti")
 
     # new-vs-(new∪old) banded join; normalize to doc_a < doc_b.  A
     # new-new pair matches twice (once per orientation) — the distinct

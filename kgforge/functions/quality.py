@@ -242,6 +242,19 @@ def bigram_perplexity(
         _tl(docs.filter(F.col(lang_col) == target_lang))
         .localCheckpoint(eager=True)
     )
+    # Non-silent guard (repo rule): an empty training slice (no rows
+    # with lang_col == target_lang, e.g. a --strata column whose values
+    # never equal the LM target) would make N+V = 0, the backoff leg
+    # log(x/0) = +Infinity under IEEE double division, and every doc
+    # score ppl 0.0 — turning curate()'s lm_ppl_max gate into a silent
+    # no-op instead of surfacing the misconfiguration (r6 ADVICE, low).
+    # trn is already eagerly checkpointed, so this probe is O(1).
+    if trn.limit(1).count() == 0:
+        raise ValueError(
+            f"bigram_perplexity: empty LM training slice — no rows with "
+            f"{lang_col} == {target_lang!r}; check the strata/target "
+            f"configuration"
+        )
     tl = _tl(score_docs if score_docs is not None else docs)
     bg = trn.filter(F.col("prev").isNotNull())
     c2 = bg.groupBy("prev", "tok").agg(F.count("*").cast("double").alias("cb"))

@@ -18,10 +18,23 @@ tests/test_similarity.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 4  # hyperplane-sign LSH bits for the bucketed candidate path
+# Hyperplane-sign LSH bits for the bucketed candidate paths (near-dup,
+# SemDeDup prune, contrastive mining).  Expected bucket population is
+# n / 2^N_PLANES, and candidate work is sum over buckets of |bucket|^2 —
+# the plane count IS the scale knob (docs/SCALE.md r6b/r6c: 4 planes at
+# a 200k-vector fixture is a measured DNF cliff; 12 planes runs in
+# seconds).  Env-tunable and read at IMPORT so Spark AND the DuckDB
+# oracle templates in queries.py bake the SAME bucket expression into
+# their plans (the SPARK_GRAFT_NGRAM_DF_CAP discipline, queries.py) —
+# the registered form and the scale form are the same code, only the
+# constant moves.  Default 4 keeps tiny-SF oracle fixtures populated
+# (buckets of ~n/16 still produce pairs at sf0.001).
+N_PLANES = int(os.environ.get("SPARK_GRAFT_EMB_PLANES", "4"))
 
 
 def cosine_fold(a_col, b_col) -> F.Column:

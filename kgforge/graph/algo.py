@@ -96,6 +96,8 @@ def pagerank_residual(
     step AFTER the converged one is no larger than the converged delta)
     — the assertable invariant kg_pagerank_converged ships."""
     de, verts, n, od = _pr_setup(de)
+    if n == 0:
+        return 0.0  # empty graph: the empty vector is trivially a fixpoint
     restart = F.lit(1.0 / n) if seed is None else (
         F.col("v") == seed
     ).cast("double")
@@ -143,6 +145,15 @@ def pagerank(
     if init is not None and seed is not None:
         raise ValueError("warm-start init is defined for global mode only")
     de, verts, n, od = _pr_setup(de)
+    if n == 0:
+        # Legitimately empty graph (no edges, or every edge filtered by
+        # the w <= 0 rule): the rank vector over the empty vertex set is
+        # the empty frame, not a ZeroDivisionError at 1.0/n — a cron
+        # maintenance job hitting an empty epoch must treat it as a
+        # no-op (r6 ADVICE, medium).
+        if stats is not None:
+            stats["rounds"], stats["last_delta"] = 0, 0.0
+        return verts.withColumn("pr", F.lit(1.0)).select("v", "pr")
     if seed is None:
         restart = F.lit(1.0 / n)
     else:
