@@ -61,12 +61,22 @@ class SurrogateModel:
     score_threshold: float = 0.05
     top_k_pairs: int = 30
     max_mentions: int = 64
+    # subword stage (F1 fidelity): "ws" = whitespace only; "bpe" runs a
+    # trained merge list below the word split (core/surrogate.py
+    # detect_mentions_bpe).  bpe_merges travels IN THE MODEL NAME
+    # (tok=bpe:<spec>, see get_model) so every executor rebuilds the
+    # identical tokenizer from the string — the same contract as t=/k=.
+    tokenizer: str = "ws"
+    bpe_merges: tuple = ()
     # derived, precomputed once in __post_init__ — these sit on the
     # per-token hot path (a property recomputing max() over the gazetteer
     # per call was 87% of kernel time; docs/PLANS.md)
     max_gap: int = field(init=False)
     max_term_len: int = field(init=False)
     first_tokens: frozenset = field(init=False, repr=False)
+    # subword-encoded gazetteer (gaz_sub dict, first-symbol probe set,
+    # max encoded length) — built only in bpe mode
+    gaz_sub: tuple = field(init=False, repr=False)
 
     def __post_init__(self):
         self.max_gap = max(len(p) for p in self.patterns)
@@ -74,6 +84,49 @@ class SurrogateModel:
         # index of gazetteer first-words: one set probe rejects most
         # positions before any tuple is built (hot-path win, docs/PLANS.md)
         self.first_tokens = frozenset(t[0] for t in self.gaz)
+        if self.tokenizer == "bpe":
+            from .surrogate import bpe_encode_word
+
+            enc: dict[tuple, int] = {}
+            for term, t in self.gaz.items():
+                syms: list[str] = []
+                for w in term:
+                    syms.extend(bpe_encode_word(w, self.bpe_merges))
+                enc[tuple(syms)] = t
+            self.gaz_sub = (
+                enc,
+                frozenset(k[0] for k in enc),
+                max(len(k) for k in enc),
+            )
+        else:
+            self.gaz_sub = ({}, frozenset(), 0)
+
+
+def bpe_model_name(base: str, merges) -> str:
+    """Encode a trained merge list into a model-name override —
+    ``base@tok=bpe:<spec>`` — so the FULL tokenizer config travels in
+    the string and every executor rebuilds the identical model (the
+    sweep-driver contract above).  Symbols are percent-encoded
+    individually, so merge symbols may contain the separator characters
+    (~ |) and the name-parser metacharacters (@ , =)."""
+    from urllib.parse import quote
+
+    spec = "|".join(
+        quote(a, safe="") + "~" + quote(b, safe="") for a, b in merges
+    )
+    return f"{base}@tok=bpe:{spec}"
+
+
+def _parse_bpe_spec(spec: str) -> tuple:
+    from urllib.parse import unquote
+
+    out = []
+    for pair in spec.split("|"):
+        if not pair:
+            continue
+        a, b = pair.split("~", 1)
+        out.append((unquote(a), unquote(b)))
+    return tuple(out)
 
 
 @lru_cache(maxsize=16)
@@ -91,11 +144,19 @@ def get_model(name: str) -> SurrogateModel:
         m = get_model(base)
         overrides: dict = {}
         for kv in params.split(","):
-            k, v = kv.split("=")
+            k, v = kv.split("=", 1)
             if k == "t":
                 overrides["score_threshold"] = float(v)
             elif k == "k":
                 overrides["top_k_pairs"] = int(v)
+            elif k == "tok":
+                if v == "ws":
+                    pass
+                elif v.startswith("bpe:"):
+                    overrides["tokenizer"] = "bpe"
+                    overrides["bpe_merges"] = _parse_bpe_spec(v[4:])
+                else:
+                    raise KeyError(f"unknown tokenizer: {v}")
             else:
                 raise KeyError(f"unknown model override: {k}")
         return SurrogateModel(
@@ -103,6 +164,8 @@ def get_model(name: str) -> SurrogateModel:
             score_threshold=overrides.get("score_threshold", m.score_threshold),
             top_k_pairs=overrides.get("top_k_pairs", m.top_k_pairs),
             max_mentions=m.max_mentions,
+            tokenizer=overrides.get("tokenizer", m.tokenizer),
+            bpe_merges=overrides.get("bpe_merges", m.bpe_merges),
         )
     if name == "repos":
         return SurrogateModel(name="repos", patterns=dict(GAP_PATTERNS), gaz=gazetteer())

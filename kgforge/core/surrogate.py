@@ -29,8 +29,89 @@ Mention = tuple[int, int, int]  # (start, end, ent_type), half-open
 
 
 def tokenize(text: str) -> list[str]:
-    """Whitespace tokenizer — the surrogate's subword stage (F1/F2)."""
+    """Whitespace tokenizer — the surrogate's word stage (F1/F2).  With
+    ``model.tokenizer == "bpe"`` the cascade additionally runs a learned
+    subword stage below this (see detect_mentions_bpe), mirroring the
+    reference's learned subword vocab (data/utils.py:74-79) while all
+    downstream operators stay in word space via the offset mapping."""
     return text.split()
+
+
+def bpe_encode_word(word: str, merges) -> list[str]:
+    """Replay a trained BPE merge list over one word — the pure-python
+    twin of functions/bpe.apply_bpe's fold (same greedy left-to-right
+    non-overlapping rule, one pass per merge in rank order; parity
+    pinned by tests/test_bpe_mode.py).  Deterministic, lossless:
+    ``"".join(result) == word``."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def detect_mentions_bpe(tokens: list[str], model: SurrogateModel) -> list[Mention]:
+    """Mention detection at the SUBWORD level (the reference's actual
+    grain: BIO tags live on subword tokens, ner_model.py:269-323, and
+    entity spans map back to words through the tokenizer's offset
+    mapping, data/utils.py:74-79):
+
+      1. encode each (lowercased) word with the trained merges —
+         per-word, so subword units never cross word boundaries;
+      2. greedy longest-match the subword stream against the gazetteer
+         ENCODED WITH THE SAME MERGES (model.gaz_sub), anchored at word
+         starts and required to end at word ends — BPE is lossless per
+         word, so a subword match is exactly a word-level match;
+      3. BIO round-trip at the subword grain (encode_bio/decode_bio —
+         the reference's tag transitions exercised on subword ids);
+      4. map spans back to WORD indices via the alignment, so every
+         downstream operator (pairs, gap patterns, offsets, oracle SQL)
+         is IDENTICAL to whitespace mode.
+
+    The word-space output equals detect_mentions() on the same input for
+    ANY merge list — that invariance (the offset-mapping roundtrip) is
+    what kg_mentions_bpe's oracle row pins."""
+    merges = model.bpe_merges
+    subtoks: list[str] = []
+    word_of: list[int] = []
+    word_start: list[bool] = []
+    for wi, w in enumerate(tokens):
+        enc = bpe_encode_word(w.lower(), merges)
+        for j, s in enumerate(enc):
+            subtoks.append(s)
+            word_of.append(wi)
+            word_start.append(j == 0)
+    gaz_sub, first_sub, max_sub = model.gaz_sub
+    n = len(subtoks)
+    ments_sub: list[Mention] = []
+    i = 0
+    while i < n:
+        if not word_start[i] or subtoks[i] not in first_sub:
+            i += 1
+            continue
+        matched = False
+        for ln in range(min(max_sub, n - i), 0, -1):
+            e = i + ln
+            # a term's encoding ends a word — enforce the boundary
+            # explicitly rather than rely on injectivity
+            if e < n and word_of[e] == word_of[e - 1]:
+                continue
+            t = gaz_sub.get(tuple(subtoks[i:e]))
+            if t is not None:
+                ments_sub.append((i, e, t))
+                i = e
+                matched = True
+                break
+        if not matched:
+            i += 1
+    tags = encode_bio(n, ments_sub, NUM_ENT_TYPES)
+    decoded = decode_bio(tags, NUM_ENT_TYPES)[: model.max_mentions]
+    return [(word_of[s], word_of[e - 1] + 1, t) for s, e, t in decoded]
 
 
 def tag_tokens(tokens: list[str], model: SurrogateModel) -> list[int]:
@@ -65,7 +146,12 @@ def tag_tokens(tokens: list[str], model: SurrogateModel) -> list[int]:
 
 def detect_mentions(tokens: list[str], model: SurrogateModel) -> list[Mention]:
     """tag + BIO decode, capped at model.max_mentions (drops are counted by
-    the pipeline's lineage metrics — never silent)."""
+    the pipeline's lineage metrics — never silent).  Dispatches on
+    model.tokenizer so EVERY cascade entry point (the query path's
+    mapInPandas and extract/ner.py's pandas UDF) gains the subword mode
+    with zero call-site changes."""
+    if model.tokenizer == "bpe":
+        return detect_mentions_bpe(tokens, model)
     tags = tag_tokens(tokens, model)
     ments = decode_bio(tags, NUM_ENT_TYPES)
     return ments[: model.max_mentions]

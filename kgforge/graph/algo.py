@@ -325,6 +325,8 @@ def betweenness(
     seeds: DataFrame,
     *,
     depth: int = 3,
+    until_empty: bool = False,
+    max_rounds: int = 30,
     stats: dict | None = None,
 ) -> DataFrame:
     """Seed-sampled BETWEENNESS CENTRALITY (Brandes' dependency
@@ -347,7 +349,14 @@ def betweenness(
     the BFS DAG falls out of the frontier anti-join.  Backward phase:
     levels processed strictly deepest-first; delta(v) = sum over DAG
     successors u of sigma_v/sigma_u * (1 + delta_u).  Every level is
-    localCheckpointed — 2*depth linear plans, no exponential lineage."""
+    localCheckpointed — 2*depth linear plans, no exponential lineage.
+
+    ``until_empty=True`` ignores ``depth`` and runs the forward phase to
+    frontier exhaustion (guarded by ``max_rounds``, non-silent): with
+    seeds = ALL vertices this is EXACT Brandes — the measurement twin
+    kg_betweenness_error uses to bound the sampled estimator's error
+    (viable only on small/vocab-bounded graphs; the sampled+truncated
+    form is the scale path)."""
     sym = sym.localCheckpoint(eager=True)
     nbrs = sym.select(F.col("a").alias("v"), F.col("b").alias("u"))
     lvl = seeds.select(
@@ -355,7 +364,15 @@ def betweenness(
     ).localCheckpoint(eager=True)
     visited = lvl.select("s", "v").localCheckpoint(eager=True)
     levels = [lvl]
-    for _ in range(depth):
+    rounds = 0
+    while True:
+        if until_empty:
+            if rounds >= max_rounds:
+                raise RuntimeError(
+                    f"betweenness(until_empty) exceeded {max_rounds} rounds"
+                )
+        elif rounds >= depth:
+            break
         cand = (
             lvl.join(nbrs, on="v")
             .groupBy("s", F.col("u").alias("v"))
@@ -364,17 +381,22 @@ def betweenness(
         lvl = cand.join(
             visited, on=["s", "v"], how="left_anti"
         ).localCheckpoint(eager=True)
+        if until_empty and lvl.limit(1).count() == 0:
+            break
         visited = visited.unionByName(
             lvl.select("s", "v")
         ).localCheckpoint(eager=True)
         levels.append(lvl)
+        rounds += 1
+    eff_depth = len(levels) - 1
     if stats is not None:
         stats["reached"] = visited.count()
+        stats["depth"] = eff_depth
 
     # deepest level has no successors inside the horizon: delta = 0
     deltas = levels[-1].withColumn("delta", F.lit(0.0))
     acc = deltas
-    for d in range(depth - 1, 0, -1):
+    for d in range(eff_depth - 1, 0, -1):
         succ = deltas.select(
             "s",
             F.col("v").alias("u"),

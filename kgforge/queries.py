@@ -140,7 +140,9 @@ def _kg_triples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
-def _doc_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_mentions_df(
+    spark: SparkSession, sf_dir: str, model_name: str = "docs"
+) -> DataFrame:
     """The REAL tagging path (M1+M2: tag_tokens + BIO decode) over
     documents -> one row per mention.
 
@@ -157,7 +159,7 @@ def _doc_mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .core.model import get_model
         from .core.surrogate import detect_mentions, tokenize
 
-        model = get_model("docs")
+        model = get_model(model_name)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -462,6 +464,51 @@ def kg_mentions(spark, sf_dir):
     """Mention detection through the REAL pandas-UDF tagger (M1+M2 +
     BIO decode), relationally mirrored by a gazetteer join."""
     return _doc_mentions_df(spark, sf_dir)
+
+
+@register(
+    "kg_mentions_bpe",
+    f"""
+    WITH {SQL_TOK}, {SQL_LEX}
+    SELECT t.doc_id, t.pos, t.tok AS surface, l.ent_type
+    FROM tok t JOIN lex l ON t.tok = l.tok
+    """,
+)
+def kg_mentions_bpe(spark, sf_dir):
+    """kg_mentions through the TRAINED SUBWORD tokenizer (F1 fidelity,
+    r6 VERDICT #4; reference: learned subword vocab at
+    data/utils.py:74-79 with BIO tags on subword tokens,
+    ner_model.py:269-323): BPE merges are trained on the corpus
+    (functions/bpe.train_bpe_merges — the oracle-checked bpe_merges
+    query's exact trainer), shipped to executors inside the model name
+    (core/model.bpe_model_name), and mention detection runs at the
+    SUBWORD grain — per-word merge replay, subword-encoded gazetteer
+    longest-match anchored at word boundaries, BIO round-trip over
+    subword ids — with spans mapped back to word space through the
+    alignment (core/surrogate.detect_mentions_bpe).
+
+    The ORACLE is kg_mentions' word-level SQL unchanged: BPE encoding
+    is lossless per word, so the subword pass must reproduce the
+    word-level mentions EXACTLY for any trained merge list — the
+    offset-mapping roundtrip invariant this row pins (the analog of the
+    reference's wordpiece→char-offset alignment being exact).
+
+    Scale shape: identical to kg_mentions (one mapInPandas over
+    documents) plus the merge TRAINING pass — n_merges vocab-table
+    aggregations with map-side combine (functions/bpe.py) — and a
+    vocab-sized driver collect of the merge table (BPE's merge list is
+    inherently a small sequential artifact, same class as the k-means
+    seeds)."""
+    from .core.model import bpe_model_name
+    from .functions.bpe import pretoken_counts, train_bpe_merges
+
+    md = train_bpe_merges(pretoken_counts(_docs(spark, sf_dir)), n_merges=5)
+    merges = [
+        (r.left_sym, r.right_sym) for r in md.orderBy("merge_rank").collect()
+    ]
+    return _doc_mentions_df(
+        spark, sf_dir, model_name=bpe_model_name("docs", merges)
+    )
 
 
 @register(
@@ -5581,32 +5628,35 @@ def kg_harmonic(spark, sf_dir):
     )
 
 
-def _sql_bfs_sigma_level(d: int) -> str:
+def _sql_bfs_sigma_level(d: int, pfx: str = "") -> str:
     """One unrolled multi-source BFS level WITH path counting: sigma at
     level d sums the predecessors' sigma (kg_betweenness's oracle chains
-    three of these; the LEFT-JOIN-IS-NULL is the frontier anti-join)."""
+    three of these; the LEFT-JOIN-IS-NULL is the frontier anti-join).
+    ``pfx`` namespaces the CTE chain so two independent BFS runs (the
+    sampled estimator and its exact error twin) coexist in one query."""
     p = d - 1
     return f"""
-    c{d} AS (SELECT l.s, e.b AS v, SUM(l.sigma) AS sigma
-             FROM l{p} l JOIN sym e ON l.v = e.a GROUP BY 1, 2),
-    l{d} AS (SELECT c.s, c.v, c.sigma FROM c{d} c
-             LEFT JOIN vis{p} p ON c.s = p.s AND c.v = p.v
+    {pfx}c{d} AS (SELECT l.s, e.b AS v, SUM(l.sigma) AS sigma
+             FROM {pfx}l{p} l JOIN sym e ON l.v = e.a GROUP BY 1, 2),
+    {pfx}l{d} AS (SELECT c.s, c.v, c.sigma FROM {pfx}c{d} c
+             LEFT JOIN {pfx}vis{p} p ON c.s = p.s AND c.v = p.v
              WHERE p.v IS NULL),
-    vis{d} AS (SELECT * FROM vis{p} UNION ALL SELECT s, v FROM l{d})"""
+    {pfx}vis{d} AS (SELECT * FROM {pfx}vis{p}
+                    UNION ALL SELECT s, v FROM {pfx}l{d})"""
 
 
-def _sql_brandes_backstep(d: int) -> str:
+def _sql_brandes_backstep(d: int, pfx: str = "") -> str:
     """One unrolled Brandes dependency step: delta at level d sums
     sigma_v/sigma_u * (1 + delta_u) over the DAG successors u at level
     d+1 (vertices with deeper-only neighborhoods keep delta 0 via the
     LEFT join + COALESCE)."""
     n = d + 1
     return f"""
-    d{d} AS (SELECT l.s, l.v, l.sigma,
+    {pfx}d{d} AS (SELECT l.s, l.v, l.sigma,
                     COALESCE(SUM((l.sigma / n.sigma) * (1 + n.delta)),
                              0) AS delta
-             FROM l{d} l JOIN sym e ON l.v = e.a
-             LEFT JOIN d{n} n ON n.s = l.s AND n.v = e.b
+             FROM {pfx}l{d} l JOIN sym e ON l.v = e.a
+             LEFT JOIN {pfx}d{n} n ON n.s = l.s AND n.v = e.b
              GROUP BY 1, 2, 3)"""
 
 
@@ -5667,6 +5717,131 @@ def kg_betweenness(spark, sf_dir):
     seeds = deg.orderBy(F.desc("degree"), "v").limit(4).select("v")
     out = betweenness(sym, seeds, depth=3)
     return out.select("v", F.round("bc", 6).alias("bc"), "n_seeds")
+
+
+_BC_EXACT_DEPTH = 6  # oracle unroll horizon; Spark asserts diameter <= this
+
+
+@register(
+    "kg_betweenness_error",
+    _SQL_EDGES
+    + f"""
+    , sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+              UNION SELECT dst, src FROM edges),
+    verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym),
+    nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    deg AS (
+      SELECT v, SUM(d) AS degree FROM (
+        SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src
+        UNION ALL
+        SELECT dst, COUNT(*) FROM edges GROUP BY dst
+      ) GROUP BY v),
+    seeds AS (SELECT v FROM deg ORDER BY degree DESC, v LIMIT 4),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds),
+    l0 AS (SELECT v AS s, v, CAST(1 AS DOUBLE) AS sigma FROM seeds),
+    vis0 AS (SELECT s, v FROM l0),
+    {_sql_bfs_sigma_level(1)},
+    {_sql_bfs_sigma_level(2)},
+    {_sql_bfs_sigma_level(3)},
+    d3 AS (SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta FROM l3),
+    {_sql_brandes_backstep(2)},
+    {_sql_brandes_backstep(1)},
+    approx AS (SELECT v, SUM(delta) AS bc
+               FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+                     UNION ALL SELECT * FROM d3) u GROUP BY v),
+    el0 AS (SELECT v AS s, v, CAST(1 AS DOUBLE) AS sigma FROM verts),
+    evis0 AS (SELECT s, v FROM el0),
+    {"".join(_sql_bfs_sigma_level(d, "e") + "," for d in range(1, _BC_EXACT_DEPTH + 1))}
+    ed{_BC_EXACT_DEPTH} AS (SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta
+                            FROM el{_BC_EXACT_DEPTH}),
+    {",".join(_sql_brandes_backstep(d, "e") for d in range(_BC_EXACT_DEPTH - 1, 0, -1))},
+    exact AS (SELECT v, SUM(delta) AS bc FROM (
+                {" UNION ALL ".join(f"SELECT * FROM ed{d}" for d in range(1, _BC_EXACT_DEPTH + 1))}
+              ) u GROUP BY v),
+    err AS (SELECT vt.v,
+                   COALESCE(x.bc, 0) AS bce,
+                   COALESCE(a.bc, 0) * nv.n / ns.k AS bch
+            FROM verts vt
+            LEFT JOIN exact x ON x.v = vt.v
+            LEFT JOIN approx a ON a.v = vt.v
+            CROSS JOIN nv CROSS JOIN ns)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           ROUND(MAX(bce), 6) AS max_bc_exact,
+           ROUND(MAX(ABS(bce - bch)), 6) AS max_abs_err,
+           ROUND(AVG(ABS(bce - bch)), 6) AS mean_abs_err
+    FROM err
+    """,
+)
+def kg_betweenness_error(spark, sf_dir):
+    """MEASURED-ERROR TWIN of kg_betweenness (the ann_*_recall pattern,
+    r6 VERDICT #5): exact Brandes — ALL vertices as seeds, forward phase
+    run to frontier exhaustion (graph/algo.betweenness until_empty=True)
+    — against the registered estimator (4 deterministic top-degree
+    pivots, 3-hop horizon) scaled by the Brandes-Pich factor n/k, with
+    the error reported as max/mean |bc_exact − bc_scaled| next to the
+    exact maximum for scale.  Nothing about the estimator's error was
+    previously measured on a graph where the two differ; this row makes
+    the error a pinned, oracle-verified statistic (BENCH/CONVERGENCE.md
+    carries the per-SF table).
+
+    Exact all-seeds Brandes is O(V·E) — viable here ONLY because the
+    docs-domain vertex set is vocab-bounded (like the exact recall
+    oracles, this is the measurement tool; the sampled+truncated form
+    is the scale path).  The oracle unrolls the exact BFS to depth
+    _BC_EXACT_DEPTH (6); the Spark side asserts the true diameter fits
+    that horizon — a deeper graph fails LOUDLY here rather than
+    silently diverging from the oracle."""
+    from .graph.algo import betweenness
+
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
+        .groupBy("v")
+        .agg(F.sum("d").alias("degree"))
+    )
+    seeds = deg.orderBy(F.desc("degree"), "v").limit(4).select("v")
+    verts = sym.select(F.col("a").alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
+    nv = verts.count()
+    ns = seeds.count()
+    stats: dict = {}
+    exact = betweenness(
+        sym, verts, until_empty=True, max_rounds=30, stats=stats
+    ).select("v", F.col("bc").alias("bce"))
+    if stats["depth"] > _BC_EXACT_DEPTH:
+        raise RuntimeError(
+            f"graph diameter {stats['depth']} exceeds the oracle's "
+            f"unrolled horizon {_BC_EXACT_DEPTH}"
+        )
+    approx = betweenness(sym, seeds, depth=3).select(
+        "v", (F.col("bc") * nv / ns).alias("bch")
+    )
+    err = (
+        verts.join(exact, "v", "left")
+        .join(approx, "v", "left")
+        .select(
+            F.coalesce("bce", F.lit(0.0)).alias("bce"),
+            F.coalesce("bch", F.lit(0.0)).alias("bch"),
+        )
+    )
+    return err.agg(
+        F.count("*").alias("n_vertices"),
+        F.round(F.max("bce"), 6).alias("max_bc_exact"),
+        F.round(F.max(F.abs(F.col("bce") - F.col("bch"))), 6).alias(
+            "max_abs_err"
+        ),
+        F.round(F.avg(F.abs(F.col("bce") - F.col("bch"))), 6).alias(
+            "mean_abs_err"
+        ),
+    )
 
 
 @register(
@@ -6547,6 +6722,53 @@ def kg_pagerank(spark, sf_dir):
     from .graph.algo import pagerank
 
     e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    de = e.select("src", "dst").distinct()
+    return pagerank(de, rounds=3).select("v", F.round("pr", 8).alias("pr"))
+
+
+@register("kg_pagerank_cached", _SQL_PAGERANK)
+def kg_pagerank_cached(spark, sf_dir):
+    """kg_pagerank over the MATERIALIZED edges stage (r6 VERDICT #3):
+    production analytics do not recompute the extraction cascade per
+    algorithm — they read the edges table kg_job already wrote.  This
+    row pins that path end-to-end: the edges stage is built-or-resumed
+    through lineage.StageRunner (config-hash-gated _COMPLETE marker,
+    per-partition lineage rows) into a deterministic per-SF cache dir,
+    and PageRank runs over the stage READ-BACK, not the in-memory
+    frame.  First run per session/SF pays one cascade + parquet write;
+    every later run (and every other cached-graph consumer) starts at
+    the scan.  The oracle is kg_pagerank's unrolled 3-round SQL
+    UNCHANGED — materialize-then-read must be value-identical to the
+    straight-through plan.
+
+    Scale shape: the algorithm's per-round cost (one edge-keyed shuffle
+    + tiny dangling aggregate) is unchanged; what this buys at 100 TB
+    is amortization — the ~62 s cascade cost measured at the 100x
+    fixture (docs/SCALE.md) is paid once per graph epoch instead of
+    once per analytics query.  BENCH/CONVERGENCE.md carries the
+    algorithm-only walls this separation makes visible."""
+    import hashlib as _hashlib
+    import inspect as _inspect
+
+    from .graph.algo import pagerank
+    from .lineage import StageRunner
+
+    tag = _hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # the edges-query SOURCE hash rides in the config: StageRunner's
+    # config-hash gate then auto-invalidates the cache when this query's
+    # definition changes (best-effort staleness guard — transitive
+    # cascade modules aren't hashed; a stale /tmp cache surviving a
+    # code change would otherwise silently diverge from the oracle)
+    logic = _hashlib.sha256(
+        _inspect.getsource(kg_edges).encode()
+    ).hexdigest()[:16]
+    runner = StageRunner(
+        spark,
+        f"/tmp/kgforge_stage_cache_{tag}",
+        run_id="graph-cache",
+        config={"stage": "kg_edges", "sf_dir": sf_dir, "logic": logic},
+    )
+    e = runner.run("edges", lambda: kg_edges(spark, sf_dir))
     de = e.select("src", "dst").distinct()
     return pagerank(de, rounds=3).select("v", F.round("pr", 8).alias("pr"))
 
@@ -8097,9 +8319,8 @@ EXTRA_NAMES = [
     # text_quality_filter, shingle family by dedup_ngram_jaccard)
     "text_repetition_signals",
     "text_decontaminate",
-    # r6: SemDeDup semantic prune (new; resolution family driver-covered
-    # by dedup_resolve_clusters, cosine family by dedup_embedding_cosine)
-    "dedup_semantic_prune",
+    # (dedup_semantic_prune rotated INTO a driver slot r7 — its plane
+    # knob changed; rule: changed queries hold driver slots)
     # r6: partition-quality score for LPA (new; community family
     # driver-covered by kg_communities_lpa)
     "kg_modularity",
@@ -8113,9 +8334,8 @@ EXTRA_NAMES = [
     # driver-covered by q_train_split/q_cv_folds slots' history,
     # weighted-reservoir twin already in EXTRA)
     "curate_dsir_sample",
-    # r6: exact-substring repeated spans (new; sub-document dedup family
-    # driver-covered by dedup_minhash_pairs + containment twin in EXTRA)
-    "dedup_repeated_spans",
+    # (dedup_repeated_spans rotated INTO a driver slot r7 — gram hash
+    # widened to md5)
     # r6: hybrid BM25+dense RRF retrieval (new; both legs driver-covered
     # by ann_cosine_topk + the BM25 driver slots)
     "retrieval_hybrid_rrf",
@@ -8143,9 +8363,8 @@ EXTRA_NAMES = [
     # r6: evidence-weighted rank twin (new; family driver-covered by
     # kg_pagerank_converged)
     "kg_pagerank_weighted",
-    # r6: static data-mixing policy (new; sampling family driver-covered
-    # by q_train_split/q_cv_folds)
-    "curate_domain_mixture",
+    # (curate_domain_mixture rotated INTO a driver slot r7 — left-join
+    # missing-domain contract)
     # r6: bloom membership prefilter (new; sketch family driver-covered
     # alongside token_cms_topk's slot rationale)
     "text_decontaminate_bloom",
@@ -8160,16 +8379,41 @@ EXTRA_NAMES = [
     # r6: T5 span-corruption example synthesis (new; example-synthesis
     # family driver-covered by pack_sequences/chunk history)
     "curate_span_corruption",
-    # r6: contrastive triplet mining (new; embedding family
-    # driver-covered alongside the ann/dedup_embedding slots)
-    "curate_contrastive_triplets",
+    # (curate_contrastive_triplets rotated INTO a driver slot r7 — plane
+    # knob change)
     # r6: DeepWalk skip-gram pairs + KG->QA verbalization (new;
     # KG-consumption family driver-covered by kg_predict_json slots)
     "kg_walk_skipgrams",
     "kg_qa_pairs",
-    # r6: length-curriculum phases (new; window family driver-covered
-    # by q_doc_range_slice's two-pass rank machinery)
-    "curate_length_curriculum",
+    # (curate_length_curriculum rotated INTO a driver slot r7 — two-pass
+    # rank replaced the global NTILE window)
+    # r7: subword-mode mention detection (new; driver family covered by
+    # kg_mentions — same oracle SQL by design, see its docstring)
+    "kg_mentions_bpe",
+    # r7: betweenness measured-error twin (new; sampled-Brandes family
+    # stays with kg_betweenness in EXTRA, BFS family driver-covered by
+    # kg_harmonic's slot history)
+    "kg_betweenness_error",
+    # r7 rotation OUT (all unchanged this round, each family keeps a
+    # driver representative; displaced by the five changed queries above
+    # + kg_pagerank_cached):
+    #   text_bm25_search — posting-list twin of text_bm25_topk (stays)
+    "text_bm25_search",
+    #   kg_ctx_cross — combined mode of kg_context_triples +
+    #   kg_cross_mentions (both stay)
+    "kg_ctx_cross",
+    #   kg_mention_pairs — J1/J4 pair enumeration exercised end-to-end
+    #   by kg_triples/kg_triples_topk (stay)
+    "kg_mention_pairs",
+    #   q_subarray_find — F13/J10 containment covered by
+    #   kg_cross_mentions (stays)
+    "q_subarray_find",
+    #   dedup_simhash — near-dup family keeps minhash_pairs/minhash_incr/
+    #   ngram_jaccard/embedding_cosine + the two rotated-in dedup rows
+    "dedup_simhash",
+    #   q_train_split — S4 split; sampling family keeps q_cv_folds +
+    #   q_doc_range_slice
+    "q_train_split",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES

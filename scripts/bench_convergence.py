@@ -36,7 +36,10 @@ def main() -> None:
     spark = get_spark("bench-convergence", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    t_cascade = time.monotonic()
     e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e.count()
+    cascade_wall = time.monotonic() - t_cascade
     de = e.select("src", "dst").distinct().localCheckpoint(eager=True)
     und = (
         de.filter(F.col("src") != F.col("dst"))
@@ -149,12 +152,79 @@ def main() -> None:
         )
     )
 
+    # r7 (VERDICT #3): the two heaviest analytics, algorithm-only —
+    # both consume the ALREADY-materialized graph frames above, so
+    # these walls exclude the cascade entirely
+    from kgforge.graph.algo import betweenness, ktruss
+
+    st = {}
+    t0 = time.monotonic()
+    truss = ktruss(und, k=4, rounds=None, max_rounds=50, stats=st)
+    n_truss = truss.count()
+    w = time.monotonic() - t0
+    rows.append(
+        (
+            "4-truss (peel to fixpoint)",
+            st["rounds"],
+            w,
+            f"{n_truss} surviving edges; stop = support filter removed "
+            "nothing",
+        )
+    )
+
+    verts_all = nbr.select("v").distinct().localCheckpoint(eager=True)
+    seeds4 = (
+        nbr.groupBy("v").agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), "v").limit(4).select("v")
+    )
+    st = {}
+    t0 = time.monotonic()
+    bc = betweenness(und.selectExpr("a", "b").unionByName(
+        und.selectExpr("b AS a", "a AS b")), seeds4, depth=3, stats=st)
+    bc.count()
+    w = time.monotonic() - t0
+    rows.append(
+        (
+            "betweenness (4 pivots, 3-hop)",
+            3,
+            w,
+            f"forward+backward phases; reached {st['reached']} (s,v) "
+            "pairs",
+        )
+    )
+    st = {}
+    t0 = time.monotonic()
+    bce = betweenness(
+        und.selectExpr("a", "b").unionByName(
+            und.selectExpr("b AS a", "a AS b")
+        ),
+        verts_all,
+        until_empty=True,
+        stats=st,
+    )
+    bce.count()
+    w = time.monotonic() - t0
+    rows.append(
+        (
+            "betweenness EXACT (all seeds, full depth)",
+            st["depth"],
+            w,
+            f"error-twin measurement pass (kg_betweenness_error); "
+            f"diameter {st['depth']}",
+        )
+    )
+
     lines = [
         "# Convergence mode, end-to-end on the materialized graph "
         "(r6, measured)",
         "",
         f"Graph: canonical KG at `{sf_dir}` — {n_edges} distinct directed "
         f"edges, {n_und} undirected, {n_v} vertices; local[32].  "
+        f"Extraction cascade (kg_edges, paid ONCE here and amortized "
+        f"across every row below — the production split kg_pagerank_"
+        f"cached pins via lineage.StageRunner): {cascade_wall:.1f}s.  "
+        "Every wall in the table is ALGORITHM-ONLY over the "
+        "materialized frames.  "
         "rounds=None is the production mode (r4 VERDICT #2): iterate "
         "under the CC guard, never ship unconverged silently.  "
         "Per-round cost = one edge-key shuffle + per-vertex aggregate; "
