@@ -4,13 +4,13 @@ that the answer means what it claims).  All at sf0.001 for speed."""
 
 import math
 
-from kgforge.queries import EXTRA_QUERIES, _MIX_TARGET
+from kgforge.queries import ALL_QUERIES, _MIX_TARGET
 
 SF = "/root/testdata/sf0.001"
 
 
 def test_pca_loadings_unit_norm_and_eigenvalue_bounds(spark):
-    rows = EXTRA_QUERIES["embed_pca_power"](spark, SF).collect()
+    rows = ALL_QUERIES["embed_pca_power"](spark, SF).collect()
     assert len(rows) == 64
     norm2 = sum(r.loading ** 2 for r in rows)
     assert abs(norm2 - 1.0) < 1e-3  # loadings rounded to 6dp
@@ -25,7 +25,7 @@ def test_pca_loadings_unit_norm_and_eigenvalue_bounds(spark):
 
 
 def test_domain_mixture_honors_targets_and_caps(spark):
-    rows = EXTRA_QUERIES["curate_domain_mixture"](spark, SF).collect()
+    rows = ALL_QUERIES["curate_domain_mixture"](spark, SF).collect()
     assert {r.lang for r in rows} == set(_MIX_TARGET)
     total = sum(r.n_selected for r in rows)
     for r in rows:
@@ -38,7 +38,7 @@ def test_domain_mixture_honors_targets_and_caps(spark):
 
 
 def test_bloom_one_sided_and_consistent(spark):
-    r = EXTRA_QUERIES["text_decontaminate_bloom"](spark, SF).collect()[0]
+    r = ALL_QUERIES["text_decontaminate_bloom"](spark, SF).collect()[0]
     assert r.no_false_negatives  # the guarantee, verified
     assert r.n_flagged == r.n_true + r.n_false_pos
     assert 0 <= (r.fpr or 0.0) <= 1.0
@@ -46,7 +46,7 @@ def test_bloom_one_sided_and_consistent(spark):
 
 
 def test_nb_confusion_partitions_heldout(spark):
-    rows = EXTRA_QUERIES["text_nb_classifier"](spark, SF).collect()
+    rows = ALL_QUERIES["text_nb_classifier"](spark, SF).collect()
     # every held-out doc appears exactly once in the confusion matrix
     from kgforge.queries import _t
     n_test = _t(spark, SF, "documents").filter("doc_id % 5 = 0").count()
@@ -54,14 +54,14 @@ def test_nb_confusion_partitions_heldout(spark):
 
 
 def test_metapaths_support_bounds(spark):
-    rows = EXTRA_QUERIES["kg_metapaths"](spark, SF).collect()
+    rows = ALL_QUERIES["kg_metapaths"](spark, SF).collect()
     assert rows
     for r in rows:
         assert 1 <= r.n_endpoint_pairs <= r.n_paths
 
 
 def test_abtt_energy_identities(spark):
-    r = EXTRA_QUERIES["embed_abtt"](spark, SF).collect()[0]
+    r = ALL_QUERIES["embed_abtt"](spark, SF).collect()[0]
     # removing the projection removes EXACTLY the Rayleigh energy
     assert abs(r.trace_after - (r.trace_before - r.eig_before)) < 2e-4
     # the residual's dominant direction can only be weaker
@@ -95,7 +95,7 @@ def test_span_corruption_matches_python_rederivation(spark):
     ).fetchall()
     out = {
         r.doc_id: r
-        for r in EXTRA_QUERIES["curate_span_corruption"](spark, SF)
+        for r in ALL_QUERIES["curate_span_corruption"](spark, SF)
         .filter("doc_id < %d" % (docs[-1][0] + 1))
         .collect()
     }
