@@ -34,10 +34,15 @@ def connected_components(
     Isolated vertices map to themselves.
     """
     # Undirected closure: both directions + self loop.
+    # Materialized once: every round's convergence count is a separate
+    # action, and without this the union+distinct (a full edge shuffle)
+    # re-executes per round — at 100x that recompute, not the label
+    # joins, is the growing term.
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(
         F.col(vertex_col).alias("a"), F.col(vertex_col).alias("canonical_id")
