@@ -7,7 +7,11 @@ Flags hunted:
   * Exchange count (shuffles), SinglePartition exchanges (scale killers)
   * Generate nodes (explodes) and Python-eval nodes (Arrow passes)
 
-Usage: python scripts/plan_audit.py [sf_dir]
+Usage: python scripts/plan_audit.py [sf_dir] [query ...]
+
+With query names, only those are audited and their rows are updated
+in-place in docs/PLAN_AUDIT.md (other rows untouched) — the cheap path
+after a targeted change; the bare form regenerates the whole table.
 """
 
 from __future__ import annotations
@@ -21,6 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
     from kgforge.queries import ALL_QUERIES as QUERIES
     from kgforge.session import get_spark
 
@@ -28,7 +33,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     rows = []
-    for name in sorted(QUERIES):
+    for name in sorted(only if only else QUERIES):
         try:
             df = QUERIES[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -53,19 +58,35 @@ def main() -> None:
            "ReadSchema width (column pruning evidence) + pushed filters.",
            "",
            "SinglePartition triage: every remaining single-partition exchange",
-           "is the FINAL step of a global scalar aggregate — map-side partial",
-           "aggregation runs first, so the single reducer sees one",
-           "pre-aggregated row per upstream partition (the minimal plan for a",
-           "whole-table scalar). No full-data sort or window funnels through",
-           "one task anywhere: r1's global-rank windows were replaced by the",
-           "two-pass rank (functions/ranks.py) and the share-of-total window",
-           "by a broadcast total agg.",
+           "is one of two benign shapes — (a) the FINAL step of a global",
+           "scalar aggregate (map-side partial aggregation runs first, so the",
+           "single reducer sees one pre-aggregated row per upstream",
+           "partition), or (b) the two-pass rank's per-partition count map",
+           "(functions/ranks.py: one row PER PARTITION, folded to a single",
+           "partition and then broadcast — e.g. curate_length_curriculum's",
+           "rank dim; kg_betweenness_error's single is class (a), verified).",
+           "No full-data sort or window funnels through one task anywhere:",
+           "r1's global-rank windows were replaced by the two-pass rank and",
+           "the share-of-total window by a broadcast total agg.",
            "",
            "| query | exchanges | generates | py-passes | scans |",
            "|---|---|---|---|---|"]
     for r in rows:
         out.append("| " + " | ".join(r) + " |")
-    Path("docs/PLAN_AUDIT.md").write_text("\n".join(out) + "\n")
+    audit_path = Path("docs/PLAN_AUDIT.md")
+    if only and audit_path.exists():
+        # Surgical update: replace (or append) just the audited rows.
+        lines = audit_path.read_text().splitlines()
+        fresh = {r[0]: "| " + " | ".join(r) + " |" for r in rows}
+        merged = []
+        for line in lines:
+            parts = line.split("|")
+            name = parts[1].strip() if len(parts) > 2 else ""
+            merged.append(fresh.pop(name, line))
+        merged.extend(fresh.values())
+        audit_path.write_text("\n".join(merged) + "\n")
+    else:
+        audit_path.write_text("\n".join(out) + "\n")
     print("\n".join(out[-len(rows):]))
     spark.stop()
 
