@@ -101,7 +101,8 @@ def main():
         else:
             print(f"OK    {name} ({len(spark_rows)} rows)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries consistent")
+    n_checked = len([n for n in qs if not only or n in only])
+    print(f"\n{n_checked - len(failures)}/{n_checked} queries consistent")
     spark.stop()
     sys.exit(1 if failures else 0)
 
