@@ -13,13 +13,19 @@ COUNTED — never silently dropped.  Emits a markdown table to
 BENCH/BASELINE_100x.md and one JSON line to stdout.
 
 Usage:
-    SPARK_GRAFT_EMB_PLANES=12 nohup python scripts/bench_100x.py \
-        [sf_dir] > /tmp/bench100x.log 2>&1 &
+    SPARK_GRAFT_EMB_PLANES=12 SPARK_GRAFT_NGRAM_DF_CAP=64 \
+        nohup python scripts/bench_100x.py [sf_dir] \
+        > /tmp/bench100x.log 2>&1 &
 
-SPARK_GRAFT_EMB_PLANES=12 is the production plane count at this scale
-(similarity.N_PLANES) — the registered embedding queries and their
-oracles bake it in at import; at the default 4 the bucket self-joins
-are the documented r6 DNF cliff (docs/SCALE.md r6b/r6c).
+BOTH production knobs must be set at this scale — each default is a
+measured 100x cliff (docs/SCALE.md):
+  * SPARK_GRAFT_EMB_PLANES=12 (similarity.N_PLANES): at the default 4
+    the sign-LSH bucket self-joins are the r6b/r6c DNF cliff;
+  * SPARK_GRAFT_NGRAM_DF_CAP=64: at the default 1000 the inverted-index
+    join is spill-bound (did not finish in 9.5 min at 100x — r6's
+    one real cliff; cost = CAP x postings).
+The knobs are read at import and baked into BOTH engines' plans, so
+the measured form and the oracle-checked form stay the same code.
 """
 
 from __future__ import annotations
@@ -107,6 +113,7 @@ def main() -> None:
         "skipped_missing_tables": skipped,
         "sf_dir": sf_dir,
         "emb_planes": os.environ.get("SPARK_GRAFT_EMB_PLANES", "4"),
+        "ngram_df_cap": os.environ.get("SPARK_GRAFT_NGRAM_DF_CAP", "1000"),
         "repos_files": repos_files,
         "triples_per_sec": tps,
     }
@@ -129,9 +136,11 @@ def main() -> None:
             "BENCH/BASELINE.md).\n\n"
             f"- suite wall (headline, excl. repos leg): **{suite_wall}s**\n"
             f"- repos leg: **{tps} triples/s** over {repos_files} files\n"
-            f"- SPARK_GRAFT_EMB_PLANES={out['emb_planes']} (production\n"
-            "  plane count at this scale; oracle agreement under the\n"
-            "  override re-verified at sf0.001 — see docs/ROUND7.md)\n"
+            f"- SPARK_GRAFT_EMB_PLANES={out['emb_planes']}, "
+            f"SPARK_GRAFT_NGRAM_DF_CAP={out['ngram_df_cap']} (production\n"
+            "  knob settings at this scale — each default is a measured\n"
+            "  100x cliff, docs/SCALE.md; oracle agreement under the\n"
+            "  overrides re-verified at sf0.001 — see docs/ROUND7.md)\n"
             f"- skipped (fixture has no TPC-H star): {', '.join(skipped)}\n\n"
             "| query | wall (s) |\n|---|---|\n"
         )
