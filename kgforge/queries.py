@@ -1172,6 +1172,120 @@ def q_event_quantiles(spark, sf_dir):
     )
 
 
+# Greenwald-Khanna accuracy for the approx-quantile twin: rank error
+# <= n/QUANTILE_ACCURACY (Spark percentile_approx contract: 1/accuracy
+# is the relative rank error).  Env-tunable like the other scale knobs;
+# the bound check below derives from whatever value is baked in, so the
+# registered form and the production form are the same code.
+import os as _os_q  # noqa: E402
+
+QUANTILE_ACCURACY = int(
+    _os_q.environ.get("SPARK_GRAFT_QUANTILE_ACCURACY", "100")
+)
+
+
+@register(
+    "q_event_quantiles_approx",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                          THEN value END), 4) AS p50,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                          THEN value END), 4) AS p90,
+           ROUND(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                          THEN value END), 4) AS p99,
+           CAST(MAX(n) AS BIGINT) AS n,
+           TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound
+    FROM r GROUP BY event_type
+    """,
+)
+def q_event_quantiles_approx(spark, sf_dir):
+    """PRODUCTION twin of q_event_quantiles (the sketch family's fourth
+    member after CMS counts, HLL cardinalities, and Bloom membership):
+    quantiles via Spark's built-in Greenwald-Khanna sketch
+    (percentile_approx, JVM-side, mergeable map-side state) — at 100 TB
+    the exact rank formulation shuffles every row into its group's sort,
+    while the GK sketch keeps per-group state at O(accuracy·log n) and
+    merges partial sketches, the same state-vs-shuffle trade as the
+    HLL retention twin (q_retention_cohorts_approx).
+
+    Measurement form, same discipline as the HLL twin: compute BOTH the
+    exact percentile_disc values (rank window, shared formulation with
+    q_event_quantiles) and the GK values, and ship BOUND-ASSERTING
+    booleans — GK guarantees the returned element's rank lies within
+    n/accuracy of the target, so the approx value must fall between the
+    exact values at ranks floor((p-eps)·n) and ceil((p+eps)·n)
+    (eps = 1/QUANTILE_ACCURACY, clamped to [1, n]).  The sketch is
+    deterministic for a given input, so the oracle pins the booleans
+    TRUE next to the exact values; a GK regression or a wrong bound
+    derivation flips a boolean and fails the row.  Measured rank error
+    vs the analytic bound: scripts/bench_approx.py -> BENCH/APPROX.md.
+
+    Scale shape: one rank window per group for the exact leg (the
+    measurement tool — groups parallelize; ONE giant group would use the
+    two-pass rank, functions/ranks.py, as q_event_quantiles documents)
+    plus one GK aggregate (the serving path) and a 10-row join."""
+    eps = 1.0 / QUANTILE_ACCURACY
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+
+    def val_at(rank_col) -> F.Column:
+        return F.max(F.when(F.col("rn") == rank_col, F.col("value")))
+
+    def tgt(q: float) -> F.Column:
+        return F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+
+    def lo(q: float) -> F.Column:
+        return F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.lit(q - eps) * F.col("n")).cast("bigint"),
+        )
+
+    def hi(q: float) -> F.Column:
+        return F.least(
+            F.col("n").cast("bigint"),
+            F.ceil(F.lit(q + eps) * F.col("n")).cast("bigint"),
+        )
+
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for q, name in ((0.50, "p50"), (0.90, "p90"), (0.99, "p99")):
+        aggs += [
+            F.round(val_at(tgt(q)), 4).alias(name),
+            val_at(lo(q)).alias(f"_{name}_lo"),
+            val_at(hi(q)).alias(f"_{name}_hi"),
+        ]
+    exact = r.groupBy("event_type").agg(*aggs)
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [0.50, 0.90, 0.99], QUANTILE_ACCURACY
+        ).alias("_ap")
+    )
+    j = exact.join(approx, on="event_type")
+    return j.select(
+        "event_type",
+        "p50",
+        "p90",
+        "p99",
+        "n",
+        *[
+            (
+                (F.element_at("_ap", i + 1) >= F.col(f"_{name}_lo"))
+                & (F.element_at("_ap", i + 1) <= F.col(f"_{name}_hi"))
+            ).alias(f"{name}_in_bound")
+            for i, name in enumerate(("p50", "p90", "p99"))
+        ],
+    )
+
+
 @register(
     "q_value_mad",
     """
@@ -8297,6 +8411,10 @@ EXTRA_NAMES = [
     # r6: new measurement twin (driver keeps the exact form as its
     # oracle row, q_retention_cohorts)
     "q_retention_cohorts_approx",
+    # r7: GK approx-quantile measurement twin (exact family
+    # driver-covered by the q_event_quantiles slot history; same
+    # bound-asserting discipline as the HLL twin above)
+    "q_event_quantiles_approx",
     # r6 rotation, second application: text_bm25_search/text_bm25_topk/
     # text_pmi_bigrams gained vocabulary-bound annotations this round —
     # comment-only, but the mechanical rule doesn't adjudicate intent,

@@ -1,8 +1,13 @@
-"""Measure approx_count_distinct (HLL++) error vs exact on the
-retention-cohort cells (r5 VERDICT #5).  One aggregate computes both
-legs per (cohort_day, day_offset) cell at sf0.1; reports max/mean
-relative error per rsd and the bound the EXTRA query
-q_retention_cohorts_approx asserts.  Writes BENCH/APPROX.md.
+"""Measure sketch error vs exact (r5 VERDICT #5 + the r7 quantile
+twin).  Two studies into BENCH/APPROX.md:
+
+1. approx_count_distinct (HLL++) vs exact on the retention-cohort
+   cells: max/mean relative error per rsd (what the EXTRA query
+   q_retention_cohorts_approx asserts per cell).
+2. percentile_approx (Greenwald-Khanna) vs the exact rank values per
+   (event_type, percentile): measured RANK error of the returned
+   element vs the analytic bound n/accuracy (what the EXTRA query
+   q_event_quantiles_approx asserts per group).
 
 Usage: python scripts/bench_approx.py  [env SPARK_GRAFT_SF_DIR]
 """
@@ -83,6 +88,94 @@ def main() -> None:
             f"| {s.min_exact}-{s.max_exact} | {w:.1f} |"
         )
     lines.append("")
+
+    # ---- GK quantile rank error (r7) ----------------------------------
+    from pyspark.sql import Window
+
+    ev = e.filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("event_type"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    qlines = [
+        "## percentile_approx (Greenwald-Khanna) rank error vs exact "
+        "(events.value per event_type)",
+        "",
+        "The GK contract is a RANK guarantee — the returned element's "
+        "rank is within n/accuracy of ceil(p*n) — so the honest error "
+        "metric is rank displacement, not value distance.  The EXTRA "
+        "query `q_event_quantiles_approx` asserts the equivalent "
+        "value-domain bracket per group; `SPARK_GRAFT_QUANTILE_ACCURACY` "
+        "(default 100) is the knob, baked into both the plan and the "
+        "bound.  The bracket column is what the query actually allows — "
+        "ceil(n/acc)+1: the continuous eps*n guarantee plus the discrete "
+        "rounding slack of anchoring the target at ceil(p*n) while the "
+        "bracket ends take floor((p-eps)n)/ceil((p+eps)n), and the "
+        "measured rank here is the FIRST-occurrence rank under ties "
+        "(conservative).  At 100 TB the exact leg is the measurement "
+        "tool (full per-group sort); GK state is O(accuracy*log n) per "
+        "group and merges map-side.",
+        "",
+        "| accuracy | groups | max rank err | bracket (max ceil(n/acc)+1) | "
+        "max rel rank err | wall (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for acc in (50, 100, 1000):
+        t0 = time.monotonic()
+        ap = ev.groupBy("event_type").agg(
+            F.percentile_approx("value", [0.50, 0.90, 0.99], acc).alias("ap")
+        )
+        # rank of each returned element = rn of the first value >= it
+        hits = (
+            ranked.join(ap, on="event_type")
+            .select(
+                "event_type", "rn", "n",
+                *[
+                    (F.col("value") >= F.element_at("ap", i + 1)).alias(f"ge{i}")
+                    for i in range(3)
+                ],
+            )
+            .groupBy("event_type")
+            .agg(
+                F.max("n").alias("n"),
+                *[
+                    F.min(F.when(F.col(f"ge{i}"), F.col("rn"))).alias(f"r{i}")
+                    for i in range(3)
+                ],
+            )
+        )
+        err = hits.select(
+            "event_type", "n",
+            *[
+                F.abs(
+                    F.col(f"r{i}")
+                    - F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+                ).alias(f"e{i}")
+                for i, p in enumerate((0.50, 0.90, 0.99))
+            ],
+        ).select(
+            F.count("*").alias("groups"),
+            F.greatest(F.max("e0"), F.max("e1"), F.max("e2")).alias("max_err"),
+            F.max(F.ceil(F.col("n") / acc).cast("bigint") + 1).alias("bound"),
+            F.round(
+                F.greatest(
+                    F.max(F.col("e0") / F.col("n")),
+                    F.max(F.col("e1") / F.col("n")),
+                    F.max(F.col("e2") / F.col("n")),
+                ),
+                6,
+            ).alias("max_rel"),
+        ).collect()[0]
+        qlines.append(
+            f"| {acc} | {err.groups} | {err.max_err} | {err.bound} "
+            f"| {err.max_rel} | {time.monotonic() - t0:.1f} |"
+        )
+    qlines.append("")
+    lines.extend(qlines)
     md = "\n".join(lines)
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -123,3 +123,22 @@ def test_span_corruption_matches_python_rederivation(spark):
         assert r.input_hash == _py_charfold(" ".join(inp))
         assert r.target_hash == _py_charfold(" ".join(tgt))
         assert 0 < n_masked <= len(toks)
+
+
+def test_gk_quantile_twin_bound_and_exact_parity(spark):
+    """r7 GK approx-quantile twin: (a) every bound boolean holds — the
+    sketch's rank guarantee translated to the value-domain bracket; (b)
+    the exact columns are IDENTICAL to q_event_quantiles (shared rank
+    formulation — the twin adds the sketch, it must not change the
+    measurement); (c) the bracket is derived from the knob, so a row
+    exists per event_type with a sane n."""
+    rows = {r.event_type: r for r in
+            ALL_QUERIES["q_event_quantiles_approx"](spark, SF).collect()}
+    exact = {r.event_type: r for r in
+             ALL_QUERIES["q_event_quantiles"](spark, SF).collect()}
+    assert set(rows) == set(exact) and rows
+    for et, r in rows.items():
+        assert r.p50_in_bound and r.p90_in_bound and r.p99_in_bound
+        e = exact[et]
+        assert (r.p50, r.p90, r.p99, r.n) == (e.p50, e.p90, e.p99, e.n)
+        assert r.n > 0 and r.p50 <= r.p90 <= r.p99
