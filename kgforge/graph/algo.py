@@ -249,6 +249,156 @@ def kcore(
     )
 
 
+def _min_reach(
+    e: DataFrame, verts: DataFrame, *, max_rounds: int = 50
+) -> DataFrame:
+    """Directed min-label reachability fixpoint: for each vertex v,
+    the minimum vertex id u with a directed path u ->* v over
+    ``e(src, dst)`` (v itself included).  Backward reach = call with e
+    reversed.  Same shape as link/cc.py's loop — per round one
+    neighbor-min join+agg PLUS the pointer-jumping step, which is valid
+    here because labels are reachability witnesses: if m(v)=u then
+    u ->* v, and m(u)=w means w ->* u ->* v, so v may adopt w — the
+    doubling that turns diameter-bounded convergence into O(log)
+    rounds on long chains.  localCheckpoint per round, loud guard."""
+    lab = verts.select(
+        F.col("v"), F.col("v").alias("m")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nbr = (
+            e.join(
+                lab.select(F.col("v").alias("src"), F.col("m").alias("mi")),
+                on="src",
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("mi").alias("nbr"))
+        )
+        new = lab.join(nbr, on="v", how="left").select(
+            "v",
+            F.least(F.col("m"), F.coalesce("nbr", "m")).alias("m"),
+            F.col("m").alias("_prev"),
+        )
+        parent = new.select(F.col("v").alias("p"), F.col("m").alias("pm"))
+        new = (
+            new.join(parent, new.m == parent.p, "left")
+            .select(
+                "v",
+                F.least(F.coalesce("pm", "m"), F.col("m")).alias("m"),
+                F.col("_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("m") != F.col("_prev")).limit(1).count()
+        lab = new.select("v", "m")
+        if changed == 0:
+            return lab
+    raise RuntimeError(f"_min_reach did not converge in {max_rounds} rounds")
+
+
+def scc(
+    de: DataFrame,
+    *,
+    max_outer: int = 25,
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """STRONGLY connected components of the directed graph
+    ``de(src, dst)`` -> (v, scc_id), scc_id = min vertex id of v's SCC.
+    The directed complement of link/cc.py's undirected CC: the KG edge
+    set IS directed (subj -> obj), and cyclic entity clusters (mutual
+    USED-FOR/COMPARE loops) are invisible to undirected components.
+
+    FW-BW min-label peeling (the distributed SCC design of
+    Fleischer/Hendrickson/Pinar's divide-and-conquer re-expressed as
+    label propagation, plus the standard trim step — Slota et al. 2014,
+    public literature): per outer round over the ACTIVE subgraph,
+      1. TRIM: vertices with no in-edges or no out-edges are singleton
+         SCCs — emitted immediately (handles the DAG-ish mass and chain
+         tails without reachability work);
+      2. propagate min labels FORWARD (m_f(v) = min u with u ->* v) and
+         BACKWARD (m_b(v) = min u with v ->* u) to fixpoint
+         (_min_reach, pointer-jumped);
+      3. MATCH: m_f(v) == m_b(v) == u means u ->* v AND v ->* u, so v
+         sits in u's SCC — every member of that SCC sees the same u
+         (u reaches and is reached by all of them), so the whole SCC
+         resolves together and is peeled with its edges.
+    The minimum member of every remaining SCC always matches in its
+    round, so each outer round peels >= one condensation layer; outer
+    depth is bounded by the condensation's peel depth (worst case a
+    path of SCCs — guarded loudly, never silent).  Per inner round one
+    edge-keyed shuffle; edges re-checkpointed per peel so plans stay
+    linear.  Scale shape: the same per-round cost model as PageRank
+    rounds; no all-pairs reachability anywhere (the transitive-closure
+    formulation is the DuckDB ORACLE only)."""
+    e = (
+        de.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        de.select(F.col("src").alias("v"))
+        .unionByName(de.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # typed empty accumulator (inherits the caller's vertex id type)
+    out = verts.select("v", F.col("v").alias("scc_id")).limit(0)
+    for outer in range(max_outer):
+        if stats is not None:
+            stats["outer_rounds"] = outer + 1
+        if verts.limit(1).count() == 0:
+            return out
+        # 1. trim: no in-edge or no out-edge => singleton SCC
+        has_in = e.select(F.col("dst").alias("v")).distinct()
+        has_out = e.select(F.col("src").alias("v")).distinct()
+        trimmed = verts.join(
+            has_in.intersect(has_out), on="v", how="left_anti"
+        ).localCheckpoint(eager=True)
+        if trimmed.limit(1).count() > 0:
+            out = out.unionByName(
+                trimmed.select("v", F.col("v").alias("scc_id"))
+            ).localCheckpoint(eager=True)
+            verts = verts.join(trimmed, on="v", how="left_anti").localCheckpoint(
+                eager=True
+            )
+            e = (
+                e.join(
+                    verts.withColumnRenamed("v", "src"), on="src", how="left_semi"
+                )
+                .join(verts.withColumnRenamed("v", "dst"), on="dst", how="left_semi")
+                .localCheckpoint(eager=True)
+            )
+            if verts.limit(1).count() == 0:
+                return out
+        # 2. forward/backward min-reach over the active subgraph
+        m_f = _min_reach(e, verts, max_rounds=max_rounds)
+        m_b = _min_reach(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            verts,
+            max_rounds=max_rounds,
+        )
+        # 3. match => whole SCC resolves
+        done = (
+            m_f.join(m_b.withColumnRenamed("m", "mb"), on="v")
+            .filter(F.col("m") == F.col("mb"))
+            .select("v", F.col("m").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(done).localCheckpoint(eager=True)
+        verts = verts.join(done, on="v", how="left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(verts.withColumnRenamed("v", "src"), on="src", how="left_semi")
+            .join(verts.withColumnRenamed("v", "dst"), on="dst", how="left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if verts.limit(1).count() > 0:
+        raise RuntimeError(f"scc did not resolve in {max_outer} outer rounds")
+    return out
+
+
 def lpa_communities(
     nbr: DataFrame,
     *,

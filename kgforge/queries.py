@@ -6017,6 +6017,52 @@ def kg_ktruss(spark, sf_dir):
 
 
 @register(
+    "kg_scc",
+    _SQL_EDGES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN de e ON r.b = e.src
+    ),
+    labels AS (
+      SELECT f.b AS v, MIN(f.a) AS scc_id
+      FROM reach f JOIN reach g ON f.a = g.b AND f.b = g.a
+      GROUP BY f.b)
+    SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+    FROM labels GROUP BY scc_id
+    """,
+)
+def kg_scc(spark, sf_dir):
+    """STRONGLY connected components over the DIRECTED canonical graph
+    (subj -> obj) — the directed complement of kg_cc_components: cyclic
+    entity clusters (mutual USED-FOR / COMPARE loops) are exactly what
+    undirected components cannot see, and the SCC condensation is the
+    standard first step of cycle-aware KG consumption (topological
+    ordering, cycle collapse before DAG algorithms).
+
+    Spark side is the REAL distributed algorithm (graph/algo.py scc):
+    trim + FW-BW min-label peeling with pointer-jumped directed
+    min-reach fixpoints — per inner round one edge-keyed shuffle, every
+    frame localCheckpointed, loud outer/inner guards, nothing all-pairs.
+    The DuckDB oracle is the transitive-closure definition itself
+    (recursive CTE; mutual reachability => same SCC, labeled by the
+    minimum member) — exact by construction, viable only at oracle SF.
+
+    scc_id = min member, so the output grain (scc_id, scc_size) is
+    deterministic across engines without any tie-break subtlety."""
+    from .graph.algo import scc
+
+    de = kg_edges(spark, sf_dir).select("src", "dst").distinct()
+    labels = scc(de)
+    return labels.groupBy("scc_id").agg(
+        F.count("*").cast("bigint").alias("scc_size")
+    )
+
+
+@register(
     "kg_triangles",
     _SQL_EDGES
     + _SQL_UND
@@ -8430,6 +8476,9 @@ EXTRA_NAMES = [
     # r6: edge-cohesion backbone (new; peeling family driver-covered by
     # kg_kcore)
     "kg_ktruss",
+    # r7: directed SCC (new; component family driver-covered by
+    # kg_cc_components — SCC is its directed complement)
+    "kg_scc",
     # r6: sampled Brandes centrality (new; BFS family driver-covered by
     # kg_harmonic's slot history)
     "kg_betweenness",

@@ -630,3 +630,73 @@ def test_node2vec_valid_on_random_graph(spark):
         for r in node2vec_walks(nbr, length=3).collect()
     }
     assert again == {(r.walk_id, r.pos, r.node) for r in corpus}
+
+
+def _scc_sets(spark, edges):
+    from kgforge.graph.algo import scc
+
+    de = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = {}
+    for r in scc(de).collect():
+        out.setdefault(r.scc_id, set()).add(r.v)
+    return out
+
+
+def test_scc_planted_graphs(spark):
+    """Hand-derived SCCs: chain (all singletons — the trim fast path),
+    cycle feeding a cycle (two multi-member SCCs resolving across
+    peel layers), an upstream label SMALLER than a cycle's members
+    (the peel-ordering case: 0 -> cycle{5,6} must not pollute the
+    cycle's label), and a self-loop-only vertex (singleton)."""
+    assert _scc_sets(spark, [(1, 2), (2, 3)]) == {1: {1}, 2: {2}, 3: {3}}
+    assert _scc_sets(
+        spark, [(1, 2), (2, 3), (3, 1), (3, 5), (5, 6), (6, 5), (7, 7)]
+    ) == {1: {1, 2, 3}, 5: {5, 6}, 7: {7}}
+    assert _scc_sets(spark, [(0, 5), (5, 6), (6, 5)]) == {
+        0: {0}, 5: {5, 6},
+    }
+
+
+def test_scc_matches_undirected_cc_on_symmetric_graph(spark):
+    """On a symmetric edge set SCC == undirected CC (every undirected
+    component is strongly connected when both directions exist) — the
+    cross-algorithm consistency pin between graph/algo.scc and
+    link/cc.connected_components."""
+    from kgforge.graph.algo import scc
+    from kgforge.link.cc import connected_components
+
+    sym = [(1, 2), (2, 1), (2, 3), (3, 2), (8, 9), (9, 8)]
+    de = spark.createDataFrame(sym, "src bigint, dst bigint")
+    got = {(r.v, r.scc_id) for r in scc(de).collect()}
+    verts = (
+        de.select(F.col("src").alias("entity_id"))
+        .unionByName(de.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    cc = {
+        (r.entity_id, r.canonical_id)
+        for r in connected_components(verts, de).collect()
+    }
+    assert got == cc
+
+
+def test_scc_loud_guard(spark):
+    """max_outer exhaustion raises instead of returning a partial
+    labeling (non-silent-guard rule)."""
+    import pytest as _pytest
+
+    from kgforge.graph.algo import scc
+
+    # long chain of 2-cycles: {0,1} -> {2,3} -> ... peels one layer per
+    # outer round (trim never fires: every vertex has in+out edges)
+    edges = []
+    for i in range(0, 8, 2):
+        edges += [(i, i + 1), (i + 1, i)]
+        if i + 2 < 8:
+            edges += [(i + 1, i + 2)]
+    de = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with _pytest.raises(RuntimeError, match="outer rounds"):
+        scc(de, max_outer=1)
+    # and with room it resolves fully
+    out = _scc_sets(spark, edges)
+    assert out == {0: {0, 1}, 2: {2, 3}, 4: {4, 5}, 6: {6, 7}}
