@@ -67,6 +67,16 @@ HEADLINE = [
     "kg_walk_skipgrams",
     "kg_qa_pairs",
     "curate_length_curriculum",
+    # r7 session-3 additions (PII scrub, line dedup, k-means exposure,
+    # cluster-balanced curation, clustering-quality metric, keywords,
+    # CCNet buckets)
+    "text_pii_redact",
+    "text_line_dedup",
+    "embed_kmeans",
+    "curate_cluster_balance",
+    "kg_bcubed",
+    "text_keywords_tfidf",
+    "curate_ccnet_buckets",
 ]
 
 

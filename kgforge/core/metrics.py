@@ -42,3 +42,47 @@ def prf_counts(
     (semi-join J7 + agg A1)."""
     p, g = set(map(tuple, pred_rows)), set(map(tuple, gold_rows))
     return len(p), len(g), len(p & g)
+
+
+def bcubed(labeled, pred_col: str = "c", gold_col: str = "g"):
+    """B-CUBED clustering P/R/F1 (Bagga & Baldwin 1998; Amigó et al.
+    2009) over a (item → predicted cluster, gold cluster) DataFrame —
+    one row per item.  Returns a single-row DataFrame: n_docs,
+    n_pred_clusters, n_gold_clusters, bcubed_precision/recall/f1
+    (rounded 4).
+
+    Per-item B³ precision |C(i)∩G(i)|/|C(i)| decomposes over
+    (pred, gold) pair counts: Σ_(c,g) n_cg²/n_c — so the computation
+    is three map-side-combined groupBys + two keyed joins of count
+    dims; no pairwise item join ever materializes.  Used by the
+    kg_bcubed query (MinHash clusters vs exact-text gold) and unit-
+    pinned on a hand-computed partition in tests."""
+    from pyspark.sql import functions as F
+
+    plab = labeled.select(
+        F.col(pred_col).alias("c"), F.col(gold_col).alias("g")
+    )
+    cg = plab.groupBy("c", "g").agg(F.count("*").cast("double").alias("ncg"))
+    cs = plab.groupBy("c").agg(F.count("*").cast("double").alias("nc"))
+    gs = plab.groupBy("g").agg(F.count("*").cast("double").alias("ng"))
+    nt = plab.agg(F.count("*").cast("double").alias("nt"))
+    npc = cs.agg(F.count("*").cast("bigint").alias("n_pred_clusters"))
+    ngc = gs.agg(F.count("*").cast("bigint").alias("n_gold_clusters"))
+    ps = cg.join(cs, "c").agg(
+        F.sum(F.col("ncg") * F.col("ncg") / F.col("nc")).alias("ps")
+    )
+    rs = cg.join(gs, "g").agg(
+        F.sum(F.col("ncg") * F.col("ncg") / F.col("ng")).alias("rs")
+    )
+    p = F.col("ps") / F.col("nt")
+    r = F.col("rs") / F.col("nt")
+    return (
+        nt.crossJoin(npc).crossJoin(ngc).crossJoin(ps).crossJoin(rs).select(
+            F.col("nt").cast("bigint").alias("n_docs"),
+            "n_pred_clusters",
+            "n_gold_clusters",
+            F.round(p, 4).alias("bcubed_precision"),
+            F.round(r, 4).alias("bcubed_recall"),
+            F.round(2 * p * r / (p + r), 4).alias("bcubed_f1"),
+        )
+    )

@@ -5666,6 +5666,46 @@ def kg_assortativity(spark, sf_dir):
     )
 
 
+def _pivot_bfs_dist(spark, sf_dir, n_seeds: int = 4, max_hops: int = 3):
+    """(s, v, dist) min-distances from the ``n_seeds`` top-degree pivot
+    vertices by simultaneous multi-source BFS truncated at ``max_hops``
+    — the shared engine of kg_harmonic and kg_distance_distribution.
+    One frontier keyed (seed, v) runs ALL seeds' BFS in the same
+    per-hop shuffle; first arrival wins (anti-join on the visited set),
+    so the frame holds MIN distances by construction."""
+    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
+    sym = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
+        .groupBy("v")
+        .agg(F.sum("d").alias("degree"))
+    )
+    seeds = deg.orderBy(F.desc("degree"), "v").limit(n_seeds).select("v")
+    visited = seeds.select(
+        F.col("v").alias("s"), "v", F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        frontier = (
+            sym.join(
+                frontier.select(F.col("s"), F.col("v").alias("a")), on="a"
+            )
+            .select("s", F.col("b").alias("v"))
+            .distinct()
+            .join(visited.select("s", "v"), on=["s", "v"], how="left_anti")
+            .withColumn("dist", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited
+
+
 @register(
     "kg_harmonic",
     _SQL_EDGES.replace("WITH ", "WITH RECURSIVE ", 1)
@@ -5702,36 +5742,7 @@ def kg_harmonic(spark, sf_dir):
     per-(seed, v) min distance falls out of the frontier discipline
     (first arrival wins, anti-join on the visited set), matching the
     oracle's recursive-CTE min."""
-    e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
-    sym = (
-        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
-        .unionByName(e.groupBy(F.col("dst").alias("v")).agg(F.count("*").alias("d")))
-        .groupBy("v")
-        .agg(F.sum("d").alias("degree"))
-    )
-    seeds = deg.orderBy(F.desc("degree"), "v").limit(4).select("v")
-    visited = seeds.select(
-        F.col("v").alias("s"), "v", F.lit(0).cast("bigint").alias("dist")
-    ).localCheckpoint(eager=True)
-    frontier = visited
-    for d in range(1, 4):
-        frontier = (
-            sym.join(
-                frontier.select(F.col("s"), F.col("v").alias("a")), on="a"
-            )
-            .select("s", F.col("b").alias("v"))
-            .distinct()
-            .join(visited.select("s", "v"), on=["s", "v"], how="left_anti")
-            .withColumn("dist", F.lit(d).cast("bigint"))
-            .localCheckpoint(eager=True)
-        )
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    visited = _pivot_bfs_dist(spark, sf_dir, n_seeds=4, max_hops=3)
     return (
         visited.filter(F.col("dist") > 0)
         .groupBy("v")
@@ -8130,11 +8141,12 @@ def curate_domain_mixture(spark, sf_dir):
 
 from .functions.quality import LM_BACKOFF as _LM_BACKOFF  # single source
 
-
-@register(
-    "text_lm_perplexity",
-    f"""
-    WITH {SQL_TOK},
+# Bigram-LM scoring CTE chain (train on lang='en', stupid backoff, score
+# every doc): shared verbatim by text_lm_perplexity and
+# curate_ccnet_buckets — ONE SQL definition of the model, like the Spark
+# side's single quality.bigram_perplexity implementation.
+_SQL_LM_PPL = f"""
+    {SQL_TOK},
     tl AS (SELECT t.doc_id, t.pos, t.tok, d.lang,
                   LAG(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos)
                     AS prev
@@ -8161,6 +8173,13 @@ from .functions.quality import LM_BACKOFF as _LM_BACKOFF  # single source
     ppl AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_scored,
                    exp(-AVG(lp)) AS p
             FROM sc GROUP BY doc_id, lang)
+"""
+
+
+@register(
+    "text_lm_perplexity",
+    f"""
+    WITH {_SQL_LM_PPL}
     SELECT doc_id, lang, n_scored, ROUND(p, 4) AS ppl
     FROM ppl ORDER BY ROUND(p, 4) DESC, doc_id LIMIT 20
     """,
@@ -8341,6 +8360,749 @@ def text_nb_classifier(spark, sf_dir):
     )
 
 
+from .functions.pii import sql_count as _sql_pii_count
+from .functions.pii import sql_redact as _sql_pii_redact
+
+# Deterministic PII injection shared by BOTH engines: the synthetic corpus
+# contains no organic PII, so every third document gets an email / phone /
+# IP / SSN-shaped id derived arithmetically from doc_id — identical text on
+# both sides, so the oracle pins the REDACTION semantics, not the corpus.
+_SQL_PII_INJECT = """
+    pii AS (SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text
+                        || ' reach u' || CAST(doc_id AS VARCHAR)
+                        || '@ex.org or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                        || ' id ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                        || '-' || CAST(10 + doc_id % 90 AS VARCHAR)
+                        || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   ELSE text END AS t
+            FROM documents)
+"""
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH {_SQL_PII_INJECT},
+    r1 AS (SELECT doc_id, {_sql_pii_redact('t')} AS red,
+                  {_sql_pii_count('t', 'email')} AS n_email,
+                  {_sql_pii_count('t', 'ssn')} AS n_ssn,
+                  {_sql_pii_count('t', 'ip')} AS n_ip,
+                  {_sql_pii_count('t', 'phone')} AS n_phone
+           FROM pii),
+    r2 AS (SELECT r1.*,
+                  {_sql_pii_count('red', 'email')}
+                  + {_sql_pii_count('red', 'ssn')}
+                  + {_sql_pii_count('red', 'ip')}
+                  + {_sql_pii_count('red', 'phone')} AS n_res
+           FROM r1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_ssn + n_ip + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ip,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(n_res) AS BIGINT) AS n_residual,
+           CAST(SUM({sql_charfold('md5(red)')}) AS BIGINT)
+             AS redacted_checksum
+    FROM r2
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII REDACTION (functions/pii.py) — the scrub pass a pretraining
+    corpus runs before release (BigCode/StarCoder PII pipeline, Allal et
+    al. 2023; C4 scrub, Raffel et al. 2020; no reference analog — an
+    LLM-pipeline extension op).  Emails, SSN-shaped ids, IPv4s, and
+    555-prefix phones are matched by ONE pattern table written in the
+    Java-regex ∩ RE2 subset and replaced in a fixed order; the output
+    row carries per-type counts, the post-redaction residual (0 —
+    pinned by test_round7_session3), and a charfold(md5) checksum of
+    every redacted document, so the oracle pins the exact byte-level
+    replacement semantics, not just the counts.
+
+    Scale shape: injection + redaction + counting are row-local JVM
+    regex expressions inside whole-stage codegen — no shuffle, no UDF;
+    the only exchange is the final single-row rollup's partial-agg
+    combine.  Linear in corpus bytes, embarrassingly parallel."""
+    from .functions.pii import redact_pii
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    injected = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach u"), did.cast("string"),
+            F.lit("@ex.org or 555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."), (did % 256).cast("string"),
+            F.lit(".0."), (did % 100).cast("string"),
+            F.lit(" id "), (did % 900 + 100).cast("string"),
+            F.lit("-"), (did % 90 + 10).cast("string"),
+            F.lit("-"), (did % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    r = redact_pii(d.select("doc_id", injected.alias("t")), "t")
+    any_pii = (
+        F.col("n_email") + F.col("n_ssn") + F.col("n_ip") + F.col("n_phone")
+    ) > 0
+    return r.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(any_pii.cast("int")).cast("bigint").alias("n_docs_with_pii"),
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_ssn").cast("bigint").alias("n_ssn"),
+        F.sum("n_ip").cast("bigint").alias("n_ip"),
+        F.sum("n_phone").cast("bigint").alias("n_phone"),
+        F.sum("n_residual").cast("bigint").alias("n_residual"),
+        F.sum(charfold(F.md5(F.col("redacted"))))
+        .cast("bigint")
+        .alias("redacted_checksum"),
+    )
+
+
+_LINE_W = 10  # tokens per synthetic "line" (corpus text is single-line)
+_LINE_DF_CAP = 4  # drop lines appearing in >= this many distinct docs
+
+
+@register(
+    "text_line_dedup",
+    f"""
+    WITH {SQL_TOK},
+    ln_ AS (SELECT t.doc_id, CAST(t.pos // {_LINE_W} AS BIGINT) AS line_id,
+                   string_agg(t.tok, ' ' ORDER BY t.pos) AS line
+            FROM tok t GROUP BY 1, 2),
+    lk AS (SELECT doc_id, line_id, line, md5(line) AS k FROM ln_),
+    dfc AS (SELECT k, COUNT(DISTINCT doc_id) AS dfreq FROM lk GROUP BY k),
+    j AS (SELECT l.doc_id, l.line_id, l.line,
+                 d.dfreq < {_LINE_DF_CAP} AS kept
+          FROM lk l JOIN dfc d ON l.k = d.k),
+    wd AS (SELECT j.*, doc.lang
+           FROM j JOIN documents doc ON doc.doc_id = j.doc_id)
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_lines_dropped,
+           CAST(SUM(CASE WHEN kept THEN len(string_split(line, ' '))
+                         ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+           CAST(SUM(CASE WHEN kept THEN {sql_charfold(
+               "md5(CAST(doc_id AS VARCHAR) || ':' || "
+               "CAST(line_id AS VARCHAR) || ':' || line)"
+           )} ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM wd GROUP BY lang
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """CCNet-style LINE-level dedup (Wenzek et al. 2020: hash every
+    line, drop lines whose corpus frequency crosses a threshold —
+    boilerplate headers/footers die, unique prose survives).  The
+    synthetic corpus is single-line, so "lines" are deterministic
+    _LINE_W-token segments (identical segmentation in both engines);
+    the operator under test — corpus-frequency line excision with
+    per-line provenance — is the real one.  A line is dropped when it
+    appears in >= _LINE_DF_CAP distinct documents; the per-lang
+    report checksums every KEPT (doc, line_id, line) so the exact
+    surviving text is oracle-pinned.
+
+    Scale shape: line construction is ROW-LOCAL (array slice over the
+    token array — no per-token shuffle, unlike the oracle's GROUP BY
+    formulation); the frequency table is ONE hash-keyed groupBy
+    (map-side combined) re-attached by ONE keyed join on the line hash
+    — the dedup_ngram_jaccard posting-list shape, linear in corpus
+    lines.  Hot keys ARE the point (boilerplate lines have huge df):
+    the count side collapses them map-side, and the join side fans the
+    tiny (k, dfreq) row out to its occurrences — no Σ|bucket|² term
+    anywhere."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.split("text", " ").alias("arr")
+    )
+    lines = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(arr)-1)/{_LINE_W} AS INT)),"
+                f" i -> array_join(slice(arr, i*{_LINE_W}+1, {_LINE_W}), ' '))"
+            )
+        ).alias("line_id", "line"),
+    ).withColumn("k", F.md5("line"))
+    dfc = lines.groupBy("k").agg(F.countDistinct("doc_id").alias("dfreq"))
+    j = lines.join(dfc, "k").withColumn(
+        "kept", F.col("dfreq") < _LINE_DF_CAP
+    )
+    line_sum = charfold(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("line_id"), F.col("line")))
+    )
+    return j.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_lines_dropped"),
+        F.sum(
+            F.when(F.col("kept"), F.size(F.split("line", " "))).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.sum(F.when(F.col("kept"), line_sum).otherwise(0))
+        .cast("bigint")
+        .alias("kept_checksum"),
+    )
+
+
+# Shared CTE block for the k-means family: seeded init + 2 Lloyd rounds +
+# final assignment carrying the (rounded) cosine — the _SQL_IVF_RECALL
+# machinery with the assignment cosine kept for downstream aggregation.
+_SQL_KMEANS_FIN = f"""
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    init AS (SELECT cid, cv FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+             v AS cv
+      FROM e) WHERE cid < 8),
+    {_sql_kmeans_round('e', 'init', 'a1', 'c1')},
+    {_sql_kmeans_round('e', 'c1', 'a2', 'c2')},
+    fin AS (SELECT vec_id, cid, cc FROM (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_cosine_similarity(e.v, c.cv), 6) AS cc,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid) AS rn
+      FROM e, c2 c) WHERE rn = 1)
+"""
+
+
+def _kmeans_fin_df(spark, sf_dir):
+    """Spark twin of _SQL_KMEANS_FIN: (vec_id, cid, cc) — final Lloyd
+    assignment with the rounded cosine to the final centroid."""
+    from .functions.similarity import cosine_fold, kmeans_centroids
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = kmeans_centroids(e, n_centroids=8, rounds=2, vec_col="v", dim=64)
+    cents = cents.localCheckpoint(eager=True)
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid",
+        F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cid", "cc"), F.struct(F.col("cc"), -F.col("cid"))
+        ).alias("s")
+    ).select("vec_id", F.col("s.cid").alias("cid"), F.col("s.cc").alias("cc"))
+
+
+@register(
+    "embed_kmeans",
+    f"""
+    WITH {_SQL_KMEANS_FIN}
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(cc), 4) AS mean_cos,
+           CAST(SUM(vec_id) AS BIGINT) AS member_checksum
+    FROM fin GROUP BY cid
+    """,
+)
+def embed_kmeans(spark, sf_dir):
+    """K-MEANS CLUSTERING of the embedding table exposed as a first-class
+    operator (functions/similarity.kmeans_centroids — the same seeded
+    2-round Lloyd the IVF index trains, Lloyd 1982): per-cluster size,
+    mean assignment cosine (cluster coherence), and an exact member
+    checksum so the ASSIGNMENT is oracle-pinned, not just the sizes.
+    The clustering that SemDeDup/prototype curation builds on (Abbas et
+    al. 2023; Sorscher et al. 2022) — curate_cluster_balance consumes
+    exactly this assignment.
+
+    Scale shape: per Lloyd round ONE broadcast crossJoin against the
+    k-row centroid dim + a max_by per vector + a k×d-bounded mean — the
+    vector table is never shuffled; the final rollup groups on k keys,
+    map-side combined.  Linear in n·k·d."""
+    fin = _kmeans_fin_df(spark, sf_dir)
+    return fin.groupBy(F.col("cid").cast("bigint").alias("cid")).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cc"), 4).alias("mean_cos"),
+        F.sum("vec_id").cast("bigint").alias("member_checksum"),
+    )
+
+
+_PROTO_M = 25  # prototypes kept per cluster
+
+
+@register(
+    "curate_cluster_balance",
+    f"""
+    WITH {_SQL_KMEANS_FIN},
+    rk AS (SELECT vec_id, cid, cc,
+                  ROW_NUMBER() OVER (PARTITION BY cid
+                    ORDER BY cc DESC, vec_id) AS rn
+           FROM fin)
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_avail,
+           CAST(LEAST(COUNT(*), {_PROTO_M}) AS BIGINT) AS n_take,
+           CAST(SUM(CASE WHEN rn <= {_PROTO_M} THEN vec_id ELSE 0 END)
+                AS BIGINT) AS sel_checksum,
+           ROUND(MIN(CASE WHEN rn <= {_PROTO_M} THEN cc END), 4)
+             AS sel_cos_min
+    FROM rk GROUP BY cid
+    """,
+)
+def curate_cluster_balance(spark, sf_dir):
+    """CLUSTER-BALANCED PROTOTYPE SELECTION — the curation step after
+    clustering (Sorscher et al. 2022 "Beyond neural scaling laws":
+    rank items by prototypicality = cosine to their cluster centroid,
+    keep a fixed per-cluster quota so no cluster dominates the training
+    mix; the SSL-prototypes / SemDeDup-family pattern).  Selects the
+    _PROTO_M most prototypical vectors per k-means cluster (ties broken
+    on vec_id) and reports per-cluster availability, quota, an exact
+    selected-member checksum, and the selection's cosine floor.
+
+    Scale shape: the per-cluster rank does NOT use
+    Window.partitionBy(cid) — with k=8 clusters that is 8 tasks each
+    sorting n/8 rows on one core at corpus scale.  It uses
+    functions/ranks.grouped_row_number: ONE global two-pass range-
+    partitioned rank over (cid, -cc, vec_id) (range partitioning
+    spreads every cluster across many tasks regardless of skew) minus
+    broadcast per-cluster offsets.  The oracle keeps the literal
+    partitioned window and the driver hash-compare proves the
+    equivalence."""
+    from .functions.ranks import grouped_row_number
+
+    fin = _kmeans_fin_df(spark, sf_dir).withColumn("ncc", -F.col("cc"))
+    rk = grouped_row_number(fin, ["cid"], ["ncc", "vec_id"], "rn")
+    sel = F.col("rn") <= _PROTO_M
+    return rk.groupBy(F.col("cid").cast("bigint").alias("cid")).agg(
+        F.count("*").alias("n_avail"),
+        F.least(F.count("*"), F.lit(_PROTO_M)).cast("bigint").alias("n_take"),
+        F.sum(F.when(sel, F.col("vec_id")).otherwise(0))
+        .cast("bigint")
+        .alias("sel_checksum"),
+        F.round(F.min(F.when(sel, F.col("cc"))), 4).alias("sel_cos_min"),
+    )
+
+
+@register(
+    "kg_bcubed",
+    _sql_minhash().replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , hot1 AS (SELECT s0, s1 FROM sig GROUP BY s0, s1 HAVING COUNT(*) > 64),
+    hot2 AS (SELECT s2, s3 FROM sig GROUP BY s2, s3 HAVING COUNT(*) > 64),
+    k1 AS (SELECT s.* FROM sig s ANTI JOIN hot1 h ON s.s0 = h.s0 AND s.s1 = h.s1),
+    k2 AS (SELECT s.* FROM sig s ANTI JOIN hot2 h ON s.s2 = h.s2 AND s.s3 = h.s3),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM k1 a JOIN k1 b ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id
+      FROM k2 a JOIN k2 b ON a.s2 = b.s2 AND a.s3 = b.s3 AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN shingle sa ON sa.doc_id = c.doc_a
+      JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT c.doc_a, c.doc_b FROM cand c
+      JOIN shared s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+      JOIN counts na ON c.doc_a = na.doc_id
+      JOIN counts nb ON c.doc_b = nb.doc_id
+      WHERE s.shared / (na.n + nb.n - s.shared + 1e-12) >= 0.5
+    ),
+    verts AS (SELECT doc_a AS v FROM dup UNION SELECT doc_b FROM dup),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM dup
+            UNION SELECT doc_b, doc_a FROM dup),
+    reach(a, b) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    labels AS (SELECT a AS doc_id, MIN(b) AS keep_doc FROM reach GROUP BY a),
+    plab AS (SELECT d.doc_id, COALESCE(l.keep_doc, d.doc_id) AS c,
+                    md5(d.text) AS g
+             FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+    cg AS (SELECT c, g, CAST(COUNT(*) AS DOUBLE) AS ncg
+           FROM plab GROUP BY 1, 2),
+    cs AS (SELECT c, CAST(COUNT(*) AS DOUBLE) AS nc FROM plab GROUP BY 1),
+    gs AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS ng FROM plab GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM plab),
+    ps AS (SELECT SUM(ncg * ncg / nc) AS s FROM cg JOIN cs USING (c)),
+    rs AS (SELECT SUM(ncg * ncg / ng) AS s FROM cg JOIN gs USING (g))
+    SELECT CAST(tot.nt AS BIGINT) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cs) AS n_pred_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gs) AS n_gold_clusters,
+           ROUND(ps.s / tot.nt, 4) AS bcubed_precision,
+           ROUND(rs.s / tot.nt, 4) AS bcubed_recall,
+           ROUND(2 * (ps.s / tot.nt) * (rs.s / tot.nt)
+                 / ((ps.s / tot.nt) + (rs.s / tot.nt)), 4) AS bcubed_f1
+    FROM tot, ps, rs
+    """,
+)
+def kg_bcubed(spark, sf_dir):
+    """B-CUBED cluster-quality evaluation (Bagga & Baldwin 1998 — the
+    standard entity-resolution/coreference clustering metric; Amigó et
+    al. 2009 showed it the only common metric satisfying all four
+    clustering-evaluation constraints): B³ precision / recall / F1 of
+    the MinHash near-dup clustering (dedup_resolve_clusters machinery:
+    banded LSH candidates → Jaccard-verified pairs → pointer-jumping
+    CC; unclustered docs are singletons) against the EXACT-duplicate
+    gold partition (docs sharing identical text, keyed by md5).  This
+    closes the measurement loop the ANN family already has
+    (ann_*_recall): the dedup pipeline's clustering now carries a
+    measured quality number instead of an assumed one — recall 1.0 is
+    EXPECTED (exact dups are trivially near-dups; any value < 1 means
+    the LSH bands or the hot-bucket cap dropped a true pair), while
+    precision < 1 measures how aggressively near-dup clustering merges
+    beyond exact equality.  The driver testdata contains NO exact-dup
+    texts (all gold clusters are singletons), so recall is trivially
+    1.0 there and precision (0.95 at sf0.001) carries the signal; the
+    metric MATH is pinned non-trivially by the hand-computed partition
+    in tests/test_round7_session3.py over core/metrics.bcubed (the
+    single implementation both paths share).
+
+    Scale shape: everything up to `labels` is the vetted
+    dedup_resolve_clusters plan (banded self-join with hot-bucket
+    anti-join, inverted-index verify, pointer-jumping CC — 100×-vetted
+    r6); the metric itself is three map-side-combined groupBys on
+    (cluster, gold) keys + two keyed joins of count dims + scalar
+    combines.  B³ decomposes per-item → per-(c,g)-pair counts, so no
+    pairwise item join ever materializes."""
+    from .link.cc import connected_components
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    verts = (
+        pairs.select(F.col("src").alias("doc_id"))
+        .unionByName(pairs.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(verts, pairs, vertex_col="doc_id")
+    plab = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.md5("text").alias("g"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", F.col("doc_id")).alias("c"),
+            "g",
+        )
+    ).localCheckpoint(eager=True)
+    from .core.metrics import bcubed
+
+    return bcubed(plab, "c", "g")
+
+
+_TFIDF_K = 3  # keywords kept per document
+
+
+@register(
+    "text_keywords_tfidf",
+    f"""
+    WITH {SQL_TOK},
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM tok GROUP BY 1, 2),
+    dfr AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dfr FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    sc AS (SELECT tf.doc_id, tf.tok,
+                  ROUND(tf.tf * ln(nd.n / dfr.dfr), 6) AS score
+           FROM tf JOIN dfr ON dfr.tok = tf.tok CROSS JOIN nd),
+    rk AS (SELECT doc_id, tok, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok) AS rn
+           FROM sc)
+    SELECT tok AS term,
+           CAST(COUNT(*) AS BIGINT) AS n_top_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rank1
+    FROM rk WHERE rn <= {_TFIDF_K}
+    GROUP BY tok ORDER BY n_top_docs DESC, term LIMIT 30
+    """,
+)
+def text_keywords_tfidf(spark, sf_dir):
+    """PER-DOCUMENT KEYWORD EXTRACTION by tf-idf (Spärck Jones 1972):
+    score = term_frequency × ln(N/df), top-_TFIDF_K terms per document
+    (ties on the term), rolled up to the corpus's 30 most-selected
+    keywords with how often each led a document.  The
+    keyword/topic-tagging pass a curation pipeline runs for mixture
+    reporting and domain labelling; shares the posting-list machinery
+    of text_bm25_* (same idf dim) but selects per-DOCUMENT, not
+    per-query.
+
+    Scale shape: tf is ONE (doc, term) groupBy (map-side combined); df
+    is a groupBy over tf's output; both attach by a keyed join on the
+    term (the BM25 posting shape — the df dim is vocab-sized,
+    data-dependent, so KEYED join, not forced broadcast).  The top-k
+    per doc uses Window.partitionBy(doc_id) — doc_id is
+    HIGH-cardinality, so partition count IS the parallelism (the
+    opposite regime from curate_cluster_balance's k=8 clusters, where
+    the partitioned window would serialize and grouped_row_number is
+    used instead).  Scores rank on round(·, 6) with term tie-breaks —
+    the cross-engine ln drift discipline."""
+    toks = _doc_tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfr = tf.groupBy("tok").agg(F.count("*").cast("double").alias("dfr"))
+    nd = _docs(spark, sf_dir).agg(F.count("*").cast("double").alias("n"))
+    sc = tf.join(dfr, "tok").crossJoin(F.broadcast(nd)).select(
+        "doc_id", "tok",
+        F.round(F.col("tf") * F.log(F.col("n") / F.col("dfr")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    rk = sc.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _TFIDF_K
+    )
+    return (
+        rk.groupBy(F.col("tok").alias("term"))
+        .agg(
+            F.count("*").alias("n_top_docs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rank1"),
+        )
+        .orderBy(F.desc("n_top_docs"), "term")
+        .limit(30)
+    )
+
+
+@register(
+    "curate_ccnet_buckets",
+    f"""
+    WITH {_SQL_LM_PPL},
+    b AS (SELECT doc_id, lang, ROUND(p, 4) AS p4,
+                 NTILE(3) OVER (PARTITION BY lang
+                   ORDER BY ROUND(p, 4), doc_id) AS bucket
+          FROM ppl)
+    SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(p4) AS min_ppl, MAX(p4) AS max_ppl,
+           CAST(SUM(doc_id) AS BIGINT) AS member_checksum
+    FROM b GROUP BY 1, 2
+    """,
+)
+def curate_ccnet_buckets(spark, sf_dir):
+    """CCNet HEAD/MIDDLE/TAIL bucketING (Wenzek et al. 2020 §4.3: score
+    every document with the target-language LM, split each language
+    into perplexity TERCILES; pretraining recipes then sample
+    head-heavy).  Reuses the ONE bigram-LM implementation
+    (quality.bigram_perplexity — the text_lm_perplexity / curate() gate
+    model) and assigns bucket 1/2/3 per language by ascending
+    perplexity, reporting per-(lang, bucket) counts, perplexity range,
+    and the exact member checksum so the assignment is oracle-pinned.
+
+    Scale shape: LM scoring is the vetted text_lm_perplexity plan (one
+    token scan, vocab-bounded count dims on keyed joins).  The per-lang
+    tercile does NOT use NTILE over Window.partitionBy(lang) — a
+    handful of language partitions means a handful of tasks each
+    sorting corpus/|langs| rows at scale (the r6 VERDICT
+    SinglePartition class, just sharded by lang).  Instead:
+    functions/ranks.grouped_row_number (ONE global range-partitioned
+    two-pass rank over (lang, ppl, doc_id) minus broadcast per-lang
+    offsets) + the ARITHMETIC NTILE rule on (rank, n_lang) — the exact
+    curate_length_curriculum discipline, per group.  The oracle keeps
+    the literal partitioned NTILE(3) and the driver hash-compare
+    proves the equivalence."""
+    from .functions.quality import bigram_perplexity
+    from .functions.ranks import grouped_row_number
+
+    d = _t(spark, sf_dir, "documents")
+    ppl = bigram_perplexity(d).join(d.select("doc_id", "lang"), "doc_id")
+    pr = ppl.select("lang", "doc_id", F.round("ppl", 4).alias("p4"))
+    ranked = grouped_row_number(pr, ["lang"], ["p4", "doc_id"], "rn")
+    nl = ranked.groupBy("lang").agg(F.count("*").cast("bigint").alias("nl"))
+    b = ranked.join(F.broadcast(nl), "lang").withColumn(
+        "bucket",
+        F.expr(
+            "CASE WHEN rn <= (nl % 3) * ((nl DIV 3) + 1) "
+            "THEN ((rn - 1) DIV ((nl DIV 3) + 1)) + 1 "
+            "ELSE (nl % 3) + ((rn - (nl % 3) * ((nl DIV 3) + 1) - 1) "
+            "DIV GREATEST(nl DIV 3, 1)) + 1 END"
+        ),
+    )
+    return b.groupBy("lang", F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("p4").alias("min_ppl"),
+        F.max("p4").alias("max_ppl"),
+        F.sum("doc_id").cast("bigint").alias("member_checksum"),
+    )
+
+
+@register(
+    "curate_temperature_mixture",
+    f"""
+    WITH avail AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents GROUP BY lang),
+    qs AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS sq FROM avail),
+    z AS (SELECT SUM(sq) AS z, CAST(SUM(n) AS BIGINT) AS ntot FROM qs),
+    takes AS (SELECT q.lang, q.n AS n_avail,
+                     ROUND(q.sq / z.z, 4) AS target_share,
+                     CAST(FLOOR((z.ntot // 2) * q.sq / z.z) AS BIGINT)
+                       AS n_take_uncapped,
+                     LEAST(q.n,
+                           CAST(FLOOR((z.ntot // 2) * q.sq / z.z) AS BIGINT))
+                       AS n_take
+              FROM qs q CROSS JOIN z),
+    ranked AS (SELECT d.doc_id, d.lang,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY d.lang
+                        ORDER BY {sql_charfold(
+                            "md5(CAST(d.doc_id AS VARCHAR) || ':tmix')"
+                        )}, d.doc_id) AS rn
+               FROM documents d),
+    sel AS (SELECT r.lang, r.doc_id
+            FROM ranked r JOIN takes t ON t.lang = r.lang
+            WHERE r.rn <= t.n_take),
+    agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected,
+                   CAST(SUM(doc_id) AS BIGINT) AS sel_checksum
+            FROM sel GROUP BY lang)
+    SELECT t.lang, t.n_avail, t.target_share, t.n_take_uncapped,
+           CAST(t.n_take AS BIGINT) AS n_take,
+           CAST(COALESCE(a.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(a.sel_checksum, 0) AS BIGINT) AS sel_checksum
+    FROM takes t LEFT JOIN agg a ON a.lang = t.lang
+    """,
+)
+def curate_temperature_mixture(spark, sf_dir):
+    """TEMPERATURE-SCALED language sampling — the OTHER standard mixing
+    primitive next to curate_domain_mixture's fixed targets (Conneau &
+    Lample 2019 XLM §3.1; mT5, Xue et al. 2021: sample language l with
+    probability ∝ p_l^α, α < 1 upsampling low-resource languages).
+    α = 0.5 exactly, so p^α is sqrt — correctly rounded per IEEE-754 in
+    BOTH engines, unlike a general pow whose libm may differ in the
+    last ulp (the cross-engine determinism rule; an env-tunable α would
+    reintroduce pow and is deliberately not offered).  The budget is
+    half the corpus; per-language take = floor(budget × share), capped
+    at availability (no repetition upsampling — the uncapped target
+    stays visible in `n_take_uncapped` so the upsampling pressure is
+    reported, not hidden).  Selection is the seeded-hash order of
+    curate_domain_mixture (':tmix' salt), so the sample itself is
+    checksum-pinned.
+
+    Scale shape: identical to curate_domain_mixture — one groupBy for
+    availability, a scalar normalizer, per-language rank-then-filter
+    windows (domain-bounded partitions), map-side-combined checksums."""
+    d = _t(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    qs = avail.withColumn("sq", F.sqrt(F.col("n").cast("double")))
+    z = qs.agg(
+        F.sum("sq").alias("z"), F.sum("n").cast("bigint").alias("ntot")
+    )
+    budget = F.floor(F.col("ntot") / 2)
+    takes = qs.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n").alias("n_avail"),
+        F.round(F.col("sq") / F.col("z"), 4).alias("target_share"),
+        F.floor(budget * F.col("sq") / F.col("z"))
+        .cast("bigint")
+        .alias("n_take_uncapped"),
+        F.least(
+            F.col("n"),
+            F.floor(budget * F.col("sq") / F.col("z")).cast("bigint"),
+        ).alias("n_take"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        charfold(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tmix")))),
+        "doc_id",
+    )
+    ranked = d.select("doc_id", "lang").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    sel = ranked.join(
+        F.broadcast(takes.select("lang", "n_take")), "lang"
+    ).filter(F.col("rn") <= F.col("n_take"))
+    agg = sel.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.sum("doc_id").cast("bigint").alias("sel_checksum"),
+    )
+    return takes.join(agg, "lang", "left").select(
+        "lang",
+        "n_avail",
+        "target_share",
+        "n_take_uncapped",
+        F.col("n_take").cast("bigint").alias("n_take"),
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("sel_checksum", F.lit(0))
+        .cast("bigint")
+        .alias("sel_checksum"),
+    )
+
+
+@register(
+    "kg_distance_distribution",
+    _SQL_EDGES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+    , sym AS (SELECT src AS a, dst AS b FROM edges
+              UNION SELECT dst, src FROM edges),
+    deg AS (
+      SELECT v, SUM(d) AS degree FROM (
+        SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src
+        UNION ALL
+        SELECT dst, COUNT(*) FROM edges GROUP BY dst
+      ) GROUP BY v),
+    seeds AS (SELECT v FROM deg ORDER BY degree DESC, v LIMIT 4),
+    reach(s, v, dist) AS (
+      SELECT v, v, 0 FROM seeds
+      UNION
+      SELECT reach.s, sym.b, reach.dist + 1
+      FROM reach JOIN sym ON reach.v = sym.a
+      WHERE reach.dist < 3),
+    md AS (SELECT s, v, MIN(dist) AS dist FROM reach GROUP BY 1, 2),
+    hist AS (SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM md GROUP BY dist),
+    tot AS (SELECT CAST(SUM(n_pairs) AS DOUBLE) AS t FROM hist)
+    SELECT CAST(h.dist AS BIGINT) AS dist, h.n_pairs,
+           CAST(SUM(h.n_pairs) OVER (ORDER BY h.dist) AS BIGINT)
+             AS cum_pairs,
+           ROUND(SUM(h.n_pairs) OVER (ORDER BY h.dist) / tot.t, 4)
+             AS frac_cum,
+           SUM(h.n_pairs) OVER (ORDER BY h.dist) / tot.t >= 0.9
+             AS ge_90pct
+    FROM hist h CROSS JOIN tot
+    """,
+)
+def kg_distance_distribution(spark, sf_dir):
+    """NEIGHBORHOOD FUNCTION N(d) — the distance-distribution /
+    effective-diameter measurement (Palmer et al. 2002 ANF; Boldi &
+    Vigna 2011 HyperANF run it with HLL counters at web scale; this is
+    the exact pivot-sampled variant, sharing kg_harmonic's engine
+    _pivot_bfs_dist): per hop d, how many (pivot, vertex) pairs sit at
+    min-distance exactly d from the 4 top-degree pivots, cumulative
+    counts, and the cumulative fraction — the first row with
+    `ge_90pct` true is the sampled EFFECTIVE DIAMETER (smallest d
+    covering 90% of reachable pairs).
+
+    Scale shape: the BFS is the vetted kg_harmonic plan (one keyed
+    (seed, v) frontier shuffle per hop, anti-join visited set); the
+    histogram is a groupBy on max_hops+1 keys, and the cumulative
+    window runs over that ≤4-row frame — the benign driver-scale
+    SinglePartition class (PLAN_AUDIT.md class (b)).  The fraction is
+    a ratio of exact integers, so it is bit-identical across engines —
+    no float-accumulation discipline needed."""
+    visited = _pivot_bfs_dist(spark, sf_dir, n_seeds=4, max_hops=3)
+    hist = visited.groupBy("dist").agg(F.count("*").alias("n_pairs"))
+    tot = hist.agg(F.sum("n_pairs").cast("double").alias("t"))
+    w = Window.orderBy("dist")
+    cum = F.sum("n_pairs").over(w)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dist").cast("bigint").alias("dist"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            cum.cast("bigint").alias("cum_pairs"),
+            F.round(cum / F.col("t"), 4).alias("frac_cum"),
+            (cum / F.col("t") >= 0.9).alias("ge_90pct"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -8441,7 +9203,9 @@ EXTRA_NAMES = [
     "q_retention_cohorts",
     "q_pivot_daily_types",
     "kg_kcore",
-    "kg_harmonic",
+    # r7 session 3: kg_harmonic moved INTO a driver slot (its BFS body
+    # was factored into the shared _pivot_bfs_dist helper this round —
+    # the mechanical changed-query rule applies even to refactors)
     "q_value_mad",
     "ann_mutual_knn",
     # r6 rotation: kg_triangles/kg_link_prediction/kg_assortativity moved
@@ -8518,9 +9282,9 @@ EXTRA_NAMES = [
     # r6: HITS hubs/authorities (new; power-iteration family
     # driver-covered by kg_pagerank_converged)
     "kg_hits",
-    # r6: CCNet-style LM perplexity gate (new; quality family
-    # driver-covered by text_quality_filter)
-    "text_lm_perplexity",
+    # r7 session 3: text_lm_perplexity moved INTO a driver slot (its
+    # oracle SQL now reads from the factored _SQL_LM_PPL CTE shared
+    # with curate_ccnet_buckets — changed span, mechanical rule)
     # r6: node2vec biased walks (new; walk family driver-covered with
     # kg_random_walks by the iterative-join slots)
     "kg_node2vec_walks",
@@ -8581,6 +9345,29 @@ EXTRA_NAMES = [
     #   q_train_split — S4 split; sampling family keeps q_cv_folds +
     #   q_doc_range_slice
     "q_train_split",
+    # r7 session-3 additions (new EXTRA ops; driver slots unchanged —
+    # their families are driver-covered by text_quality_filter /
+    # dedup_ngram_jaccard / ann_ivf_recall / kg_cc_components /
+    # text_lm_perplexity slots):
+    "text_pii_redact",
+    "text_line_dedup",
+    "embed_kmeans",
+    "curate_cluster_balance",
+    "kg_bcubed",
+    "text_keywords_tfidf",
+    "curate_ccnet_buckets",
+    "curate_temperature_mixture",
+    "kg_distance_distribution",
+    # r7 session-3 rotation OUT (both unchanged this round, displaced by
+    # kg_harmonic + text_lm_perplexity moving in under the mechanical
+    # changed-query rule):
+    #   kg_assortativity — degree-statistics family stays driver-covered
+    #   by kg_clustering_coeff (same checkpointed degree table) and
+    #   kg_triangles; the query stays green in the local sweep
+    "kg_assortativity",
+    #   text_pmi_bigrams — posting-list collocation family stays
+    #   driver-covered by text_bm25_topk (same token/df machinery)
+    "text_pmi_bigrams",
 ]
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     n: QUERIES.pop(n) for n in EXTRA_NAMES
