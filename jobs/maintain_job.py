@@ -7,6 +7,7 @@ run_incremental_dedup / run_incremental_graph):
         [--dedup-state /path/to/dedup_state [--rebuild-pairs]] \\
         [--graph-state /path/to/graph_state [--keep-last 2]] \\
         [--cms-state /path/to/cms_state] \\
+        [--line-state /path/to/line_state] \\
         [--rank-state /path/to/rank_state] \\
         [--run-id m1]
 
@@ -26,6 +27,9 @@ document — never concurrently with an in-flight upsert):
 * ``--cms-state``: folds count-min cell deltas into one pre-aggregated
   snapshot via streaming.compact_cms_epochs — constant-size output
   (<= CMS_D x CMS_W rows) no matter how many epochs it absorbs.
+* ``--line-state``: folds line doc-frequency deltas
+  (run_incremental_linedup) into one dim via
+  streaming.compact_line_epochs — one row per distinct line ever seen.
 * ``--rank-state`` (requires --graph-state): refreshes a CONVERGED
   PageRank snapshot for the newest graph epoch via
   streaming.refresh_pagerank_state, WARM-STARTED from the previous
@@ -51,12 +55,17 @@ def main() -> None:
     ap.add_argument("--graph-state", default=None)
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--cms-state", default=None)
+    ap.add_argument("--line-state", default=None)
     ap.add_argument("--rank-state", default=None)
     ap.add_argument("--run-id", default="maintain0")
     args = ap.parse_args()
-    if not args.dedup_state and not args.graph_state and not args.cms_state:
+    if not (
+        args.dedup_state or args.graph_state or args.cms_state
+        or args.line_state
+    ):
         ap.error(
-            "nothing to do: pass --dedup-state, --graph-state and/or --cms-state"
+            "nothing to do: pass --dedup-state, --graph-state, --cms-state "
+            "and/or --line-state"
         )
     if args.rank_state and not args.graph_state:
         ap.error("--rank-state requires --graph-state (the epoch to rank)")
@@ -66,6 +75,7 @@ def main() -> None:
     from kgforge.streaming import (
         compact_cms_epochs,
         compact_epochs,
+        compact_line_epochs,
         dedup_state_layout,
         prune_graph_epochs,
         refresh_pagerank_state,
@@ -94,6 +104,17 @@ def main() -> None:
         summary["cms"] = {
             "sources_before": before,
             "sources_after": len(dedup_state_layout(args.cms_state)),
+            "compacted": metrics is not None,
+            **(metrics or {}),
+        }
+        spark.stop()
+    if args.line_state:
+        spark = SparkSession.builder.appName("kgforge-maintain-job").getOrCreate()
+        before = len(dedup_state_layout(args.line_state))
+        metrics = compact_line_epochs(spark, args.line_state)
+        summary["lines"] = {
+            "sources_before": before,
+            "sources_after": len(dedup_state_layout(args.line_state)),
             "compacted": metrics is not None,
             **(metrics or {}),
         }

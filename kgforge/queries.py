@@ -8517,18 +8517,10 @@ def text_line_dedup(spark, sf_dir):
     the count side collapses them map-side, and the join side fans the
     tiny (k, dfreq) row out to its occurrences — no Σ|bucket|² term
     anywhere."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.split("text", " ").alias("arr")
-    )
-    lines = d.select(
-        "doc_id",
-        "lang",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST((size(arr)-1)/{_LINE_W} AS INT)),"
-                f" i -> array_join(slice(arr, i*{_LINE_W}+1, {_LINE_W}), ' '))"
-            )
-        ).alias("line_id", "line"),
+    from .functions.quality import doc_lines
+
+    lines = doc_lines(
+        _docs(spark, sf_dir), "text", _LINE_W, keep_cols=("doc_id", "lang")
     ).withColumn("k", F.md5("line"))
     dfc = lines.groupBy("k").agg(F.countDistinct("doc_id").alias("dfreq"))
     j = lines.join(dfc, "k").withColumn(

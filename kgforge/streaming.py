@@ -731,33 +731,46 @@ def run_incremental_cms(
     q.awaitTermination()
 
 
-def read_cms_cells(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The accumulated sketch: cell-wise sum over the layout's sources
-    (newest compacted snapshot + strictly-newer epoch deltas).  Equals
-    the one-shot sketch of the whole stream EXACTLY (mergeability is an
-    identity, not an approximation)."""
+def _read_summed_state(
+    spark: SparkSession,
+    state_dir: str,
+    subdir: str,
+    keys: list[str],
+    val: str,
+) -> DataFrame:
+    """Accumulated SUM-mergeable state: key-wise sum over the layout's
+    sources (newest compacted snapshot + strictly-newer epoch deltas).
+    Shared by the CMS cells and line-frequency states — any state whose
+    rows are additive counts reads exactly this way, and the read
+    equals the one-shot computation of the whole stream (mergeability
+    is an identity, not an approximation)."""
     import os
 
-    dirs = [os.path.join(d, "cells") for d in dedup_state_layout(state_dir)]
+    dirs = [os.path.join(d, subdir) for d in dedup_state_layout(state_dir)]
     if not dirs:
         raise FileNotFoundError(f"no completed epoch under {state_dir}")
     from pyspark.sql import functions as F
 
     return (
-        spark.read.parquet(*dirs)
-        .groupBy("j", "bucket")
-        .agg(F.sum("cell_n").alias("cell_n"))
+        spark.read.parquet(*dirs).groupBy(*keys).agg(F.sum(val).alias(val))
     )
 
 
-def compact_cms_epochs(spark: SparkSession, state_dir: str) -> dict | None:
-    """Fold epoch cell deltas (plus any previous snapshot) into ONE
-    pre-aggregated ``compacted=N`` sketch — same crash discipline as
-    compact_epochs (_COMPLETE inside the tmp dir, atomic rename,
-    source cleanup after; dedup_state_layout ignores debris).  The
-    folded table is itself a sketch of <= CMS_D x CMS_W rows, so unlike
-    the dedup fold this compaction is CONSTANT-SIZE output no matter
-    how many epochs it absorbs."""
+def _compact_summed_epochs(
+    spark: SparkSession,
+    state_dir: str,
+    subdir: str,
+    keys: list[str],
+    val: str,
+    count_key: str,
+    sum_key: str,
+) -> dict | None:
+    """Fold SUM-mergeable epoch deltas (plus any previous snapshot) into
+    ONE pre-aggregated ``compacted=N`` table — same crash discipline as
+    compact_epochs (_COMPLETE inside the tmp dir, atomic rename, source
+    cleanup after; dedup_state_layout ignores debris).  The folded
+    table has one row per distinct key, so compaction output is bounded
+    by the key space no matter how many epochs it absorbs."""
     import json as _json
     import os
     import shutil
@@ -776,17 +789,17 @@ def compact_cms_epochs(spark: SparkSession, state_dir: str) -> dict | None:
     from pyspark.sql import functions as F
 
     merged = (
-        spark.read.parquet(*[os.path.join(d, "cells") for d in srcs])
-        .groupBy("j", "bucket")
-        .agg(F.sum("cell_n").alias("cell_n"))
+        spark.read.parquet(*[os.path.join(d, subdir) for d in srcs])
+        .groupBy(*keys)
+        .agg(F.sum(val).alias(val))
     )
-    merged.coalesce(1).write.parquet(os.path.join(tmp, "cells"))
-    cells = spark.read.parquet(os.path.join(tmp, "cells"))
+    merged.coalesce(1).write.parquet(os.path.join(tmp, subdir))
+    folded = spark.read.parquet(os.path.join(tmp, subdir))
     metrics = {
         "through_epoch": through,
         "n_sources_folded": len(srcs),
-        "n_cells": cells.count(),
-        "total_count": cells.agg(F.sum("cell_n")).collect()[0][0],
+        count_key: folded.count(),
+        sum_key: folded.agg(F.sum(val)).collect()[0][0],
     }
     with open(os.path.join(tmp, "metrics.json"), "w") as f:
         _json.dump(metrics, f)
@@ -795,6 +808,114 @@ def compact_cms_epochs(spark: SparkSession, state_dir: str) -> dict | None:
     for d in srcs:
         shutil.rmtree(d, ignore_errors=True)
     return metrics
+
+
+def read_cms_cells(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated sketch: cell-wise sum over the layout's sources.
+    Equals the one-shot sketch of the whole stream EXACTLY."""
+    return _read_summed_state(spark, state_dir, "cells", ["j", "bucket"], "cell_n")
+
+
+def compact_cms_epochs(spark: SparkSession, state_dir: str) -> dict | None:
+    """Fold epoch cell deltas into ONE ``compacted=N`` sketch (the
+    summed-state compaction with the CMS schema): the folded table is
+    itself a sketch of <= CMS_D x CMS_W rows, so this compaction is
+    CONSTANT-SIZE output no matter how many epochs it absorbs."""
+    return _compact_summed_epochs(
+        spark, state_dir, "cells", ["j", "bucket"], "cell_n",
+        count_key="n_cells", sum_key="total_count",
+    )
+
+
+def run_incremental_linedup(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    line_width: int = 10,
+    compact_every: int | None = None,
+) -> None:
+    """Incremental CCNet LINE-FREQUENCY state — the streaming twin of
+    the text_line_dedup query (Wenzek et al. 2020 line dedup at corpus
+    scale runs exactly this way: line hashes + counts accumulate as the
+    crawl arrives; excision is a join against the accumulated dim).
+    Per micro-batch (json: doc_id, text) write the batch's
+    (line key, per-batch doc-frequency) DELTA under the epoch
+    discipline of run_incremental_dedup:
+
+      state_dir/epoch=N/lines/ + metrics.json + _COMPLETE
+
+    Doc-frequencies are ADDITIVE across epochs because every document
+    arrives in exactly one epoch (the same single-arrival assumption
+    the dedup/graph states document), so the accumulated frequency dim
+    is the key-wise sum — read_line_counts — and compaction
+    (compact_line_epochs) folds losslessly to one row per distinct
+    line.  A delta epoch costs only ITS OWN lines (batch-sized, not
+    corpus-sized); the drop decision for any cap is a keyed join of
+    candidate lines against the accumulated dim.  Replays after
+    restart are absorbed by the _COMPLETE marker."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .functions.quality import doc_lines
+
+    def upsert(batch_df, epoch_id: int) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        edir = os.path.join(state_dir, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(edir, "_COMPLETE")):
+            return  # replayed batch after restart
+        delta = (
+            doc_lines(batch_df, "text", line_width)
+            .select("doc_id", F.md5("line").alias("k"))
+            .groupBy("k")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+        )
+        delta.write.mode("overwrite").parquet(os.path.join(edir, "lines"))
+        lines = spark.read.parquet(os.path.join(edir, "lines"))
+        metrics = {
+            "epoch": epoch_id,
+            "n_batch_docs": batch_df.count(),
+            "n_lines": lines.count(),
+            "batch_docfreq": lines.agg(F.sum("n_docs")).collect()[0][0],
+        }
+        with open(os.path.join(edir, "metrics.json"), "w") as f:
+            _json.dump(metrics, f)
+        open(os.path.join(edir, "_COMPLETE"), "w").close()
+        if compact_every and len(dedup_state_layout(state_dir)) > compact_every:
+            compact_line_epochs(spark, state_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("json")
+        .load(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_line_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated line doc-frequency dim (k, n_docs): key-wise sum
+    over the layout's sources — equals the one-shot corpus frequency
+    table of text_line_dedup exactly."""
+    return _read_summed_state(spark, state_dir, "lines", ["k"], "n_docs")
+
+
+def compact_line_epochs(spark: SparkSession, state_dir: str) -> dict | None:
+    """Fold line-frequency epoch deltas into ONE ``compacted=N`` dim —
+    one row per distinct line ever seen (the summed-state compaction
+    with the line schema)."""
+    return _compact_summed_epochs(
+        spark, state_dir, "lines", ["k"], "n_docs",
+        count_key="n_lines", sum_key="total_docfreq",
+    )
 
 
 def refresh_pagerank_state(

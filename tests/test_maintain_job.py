@@ -110,3 +110,40 @@ def test_maintain_job_cms_fold(spark, tmp_path, capsys, monkeypatch):
         for r in read_cms_cells(spark, str(state)).collect()
     }
     assert after == before
+
+
+def test_maintain_job_line_fold(spark, tmp_path, capsys, monkeypatch):
+    """--line-state folds line doc-frequency deltas to one dim with the
+    merged counts unchanged."""
+    from jobs.maintain_job import main
+    from kgforge.streaming import read_line_counts, run_incremental_linedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    docs = [
+        (i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(10)))
+        for i in range(20)
+    ]
+    inp, state, ckpt = tmp_path / "lin", tmp_path / "lstate", tmp_path / "lckpt"
+    os.makedirs(inp)
+    for b in range(4):
+        with open(inp / f"b{b}.json", "w") as f:
+            for doc_id, text in docs[b * 5 : (b + 1) * 5]:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    run_incremental_linedup(spark, str(inp), str(state), str(ckpt))
+    before = {
+        r.k: r.n_docs for r in read_line_counts(spark, str(state)).collect()
+    }
+    monkeypatch.setattr(
+        sys, "argv", ["maintain_job.py", "--line-state", str(state)]
+    )
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["lines"]["compacted"] is True
+    assert summary["lines"]["sources_before"] == 4
+    assert summary["lines"]["sources_after"] == 1
+    after = {
+        r.k: r.n_docs for r in read_line_counts(spark, str(state)).collect()
+    }
+    assert after == before
+    assert max(after.values()) == 20  # the boilerplate line's df
