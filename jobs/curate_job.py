@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--bench", default=None,
                     help="docs-shaped parquet of eval data; docs sharing "
                          ">= 3 distinct shingles with it are dropped")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/ids/IPs/phones from surviving text "
+                         "before dedup fingerprinting (functions/pii.py)")
     ap.add_argument("--run-id", default="curate0")
     args = ap.parse_args()
 
@@ -62,6 +65,7 @@ def main() -> None:
     curated, packed, stats = curate(
         docs, pack_cap=args.pack_cap, strata_col=args.strata,
         lm_ppl_max=args.lm_ppl_max, bench_docs=bench_docs,
+        redact_pii=args.redact_pii,
     )
     curated.write.mode("overwrite").partitionBy(args.strata).parquet(
         f"{args.output}/curated"

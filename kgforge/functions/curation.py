@@ -98,6 +98,7 @@ def curate(
     lm_target: str = "en",
     bench_docs: DataFrame | None = None,
     contam_min_shingles: int = 3,
+    redact_pii: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Full funnel: docs(doc_id, <strata>, text) ->
     (curated, packed, stats).
@@ -122,7 +123,14 @@ def curate(
       >= ``contam_min_shingles`` distinct 3-token shingles with this
       eval-set frame (docs-shaped).  The eval-gram dim is eval-sized
       (MBs at 100 TB); the scale prefilter twin is the Bloom bits table
-      (text_decontaminate_bloom) in front of this exact join."""
+      (text_decontaminate_bloom) in front of this exact join.
+    * ``redact_pii``: scrub emails/ids/IPs/phones from the SURVIVING
+      text (functions/pii.py — row-local regex, no drop: redaction
+      replaces) BEFORE exact-dedup fingerprinting, so the shipped text
+      and its dedup keys are both post-scrub — the order a release
+      pipeline runs (a doc differing only in its PII folds to one
+      fingerprint).  Per-stratum ``n_pii_redactions`` counts the
+      replaced matches."""
     from .quality import bigram_perplexity, quality_flags
 
     q = quality_flags(docs).localCheckpoint(eager=True)
@@ -165,6 +173,28 @@ def curate(
         )
         kept = kept.join(contaminated, "doc_id", "left_anti")
 
+    pii_counts = None
+    if redact_pii:
+        from .pii import PII_PATTERNS
+        from .pii import redact_pii as _redact_pii
+
+        r = _redact_pii(kept, "text")
+        total = sum(
+            (F.col(f"n_{n}") for n, _, _ in PII_PATTERNS), F.lit(0)
+        )
+        pii_counts = (
+            r.select("doc_id", total.cast("bigint").alias("__pii"))
+            .filter(F.col("__pii") > 0)
+            .localCheckpoint(eager=True)
+        )
+        drop_cols = [
+            c for c in r.columns if c.startswith("n_") and c != "n_tokens"
+        ]
+        kept = (
+            r.withColumn("text", F.col("redacted"))
+            .drop("redacted", *drop_cols)
+        )
+
     curated = dedup_exact(kept).localCheckpoint(eager=True)
     packed = pack_bins(curated, cap=pack_cap, strata_col=strata_col)
     uniq_ids = curated.select("doc_id", F.lit(1).alias("__u"))
@@ -176,6 +206,12 @@ def curate(
             else q.select("doc_id", F.lit(None).cast("int").alias(name))
         )
         flagged = flagged.join(marker, on="doc_id", how="left")
+    pii_marker = (
+        pii_counts
+        if pii_counts is not None
+        else q.select("doc_id", F.lit(None).cast("bigint").alias("__pii"))
+    )
+    flagged = flagged.join(pii_marker, on="doc_id", how="left")
     stats = flagged.groupBy(strata_col).agg(
         F.count("*").alias("n_raw"),
         F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
@@ -186,6 +222,9 @@ def curate(
             "n_contaminated"
         ),
         F.sum(F.coalesce("__u", F.lit(0)).cast("bigint")).alias("n_unique"),
+        F.sum(F.coalesce("__pii", F.lit(0)).cast("bigint")).alias(
+            "n_pii_redactions"
+        ),
         F.coalesce(
             F.sum(F.when(F.col("__u").isNotNull(), F.col("n_tokens"))),
             F.lit(0),

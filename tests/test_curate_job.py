@@ -149,3 +149,32 @@ def test_curate_advanced_gates(spark, tmp_path, capsys, monkeypatch):
     ids = {r.doc_id for r in curated.select("doc_id").collect()}
     assert 97 not in ids and 98 not in ids
     assert summary["n_unique"] == len(ids)
+
+
+def test_curate_redact_pii_scrubs_and_folds_dups(spark):
+    """redact_pii=True: surviving text is scrubbed, the per-stratum
+    redaction counter is exact, and two docs differing ONLY in their
+    PII fold to one post-scrub fingerprint."""
+    from kgforge.functions.curation import curate
+
+    base = "plain document body with enough useful tokens to pass gates"
+    rows = [
+        (0, "en", base + " mail me at alice@ex.org today"),
+        (1, "en", base + " mail me at bob.b@other.ex.net today"),  # PII-only twin
+        (2, "en", base + " totally different tail without any contact"),
+        (3, "de", base + " ruf 555-0101 an oder 555-0102"),
+        (4, "de", base + " keine kontakte hier nur text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    curated, _packed, stats = curate(docs, redact_pii=True)
+    texts = {r.doc_id: r.text for r in curated.collect()}
+    assert all("@" not in t and "555-" not in t for t in texts.values())
+    assert any("[EMAIL]" in t for t in texts.values())
+    s = {r.lang: r for r in stats.collect()}
+    assert s["en"].n_pii_redactions == 2  # one email each in docs 0,1
+    assert s["de"].n_pii_redactions == 2  # two phones in doc 3
+    # docs 0 and 1 are byte-identical after scrubbing -> one survivor
+    assert s["en"].n_unique == 2 and s["en"].n_kept == 3
+    # gate off: counter reports zero and the funnel is unchanged
+    _c2, _p2, stats_off = curate(docs)
+    assert all(r.n_pii_redactions == 0 for r in stats_off.collect())
