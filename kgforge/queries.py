@@ -9095,6 +9095,121 @@ def kg_distance_distribution(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_cached",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+    scored AS (
+      SELECT e.vec_id, e.v, c.cid,
+             ROUND(list_cosine_similarity(e.v, c.cv), 6) AS cc
+      FROM e, cents c),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    probe AS (SELECT cid FROM scored WHERE vec_id = 0 ORDER BY cc DESC, cid LIMIT 2),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT a.vec_id, a.cid, list_cosine_similarity(a.v, q.qv) AS c
+      FROM assigned a JOIN probe p ON a.cid = p.cid, q
+      WHERE a.vec_id <> 0)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid, ROUND(c, 4) AS cos_sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(c, 6) DESC, vec_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 10
+    """,
+)
+def ann_ivf_cached(spark, sf_dir):
+    """ann_ivf_topk over a MATERIALIZED IVF index stage — the ANN
+    SERVING path (the kg_pagerank_cached pattern applied to the vector
+    family): a production ANN system builds the index ONCE (coarse
+    assignments) and answers every query from it; it does not
+    re-quantize the corpus per query.  The (vec_id, cid) assignment
+    table is built-or-resumed through lineage.StageRunner
+    (config-hash-gated _COMPLETE marker with the assignment logic's
+    source hash riding in the config, so a code change auto-invalidates
+    the cache) into a per-SF dir; the query path reads the index back,
+    probes the 2 nearest inverted lists, and exact-ranks only the
+    probed candidates joined back to the vector table.  The oracle is
+    ann_ivf_topk's SQL UNCHANGED — index-then-query must be
+    value-identical to the straight-through plan.
+
+    Scale shape: the query path never scans the whole corpus — it scans
+    the index dim (2 ints/vector) plus ~n_probe/n_centroids of the
+    vectors (the probed lists, fetched by a keyed join); the one-time
+    build cost is the crossJoin assignment ann_ivf_topk pays on EVERY
+    call.  At 100 TB the assignment table is what you co-partition with
+    the vectors (bucketing by cid) so a probe is a partition-pruned
+    scan."""
+    import hashlib as _hashlib
+    import inspect as _inspect
+
+    from .functions.similarity import cosine_fold
+    from .lineage import StageRunner
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = F.broadcast(
+        e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8)).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+
+    def build_index():
+        scored = e.crossJoin(cents).select(
+            "vec_id", "cid",
+            F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("cc"), -F.col("cid"))
+            ).alias("cid")
+        )
+
+    tag = _hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    logic = _hashlib.sha256(
+        _inspect.getsource(build_index).encode()
+    ).hexdigest()[:16]
+    runner = StageRunner(
+        spark,
+        f"/tmp/kgforge_stage_cache_{tag}",
+        run_id="ann-cache",
+        config={"stage": "ivf_index", "sf_dir": sf_dir, "logic": logic},
+    )
+    idx = runner.run("ivf_index", build_index)
+
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe = (
+        q.crossJoin(cents)
+        .select(
+            "cid", "qv",
+            F.round(cosine_fold(F.col("qv"), F.col("cv")), 6).alias("cc"),
+        )
+        .orderBy(F.desc("cc"), "cid")
+        .limit(2)
+    )
+    cand = (
+        idx.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe.select("cid", "qv")), on="cid")
+        .join(e, on="vec_id")
+        .select(
+            "vec_id", "cid", cosine_fold(F.col("qv"), F.col("v")).alias("c")
+        )
+    )
+    w = Window.orderBy(F.desc(F.round("c", 6)), "vec_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "vec_id", F.col("cid").cast("bigint").alias("cid"),
+            F.round("c", 4).alias("cos_sim"), "rnk",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -9350,6 +9465,9 @@ EXTRA_NAMES = [
     "curate_ccnet_buckets",
     "curate_temperature_mixture",
     "kg_distance_distribution",
+    # r7 session 3: IVF over a materialized index stage (serving-path
+    # twin; family driver-covered by ann_ivf_recall + ann_cosine_topk)
+    "ann_ivf_cached",
     # r7 session-3 rotation OUT (both unchanged this round, displaced by
     # kg_harmonic + text_lm_perplexity moving in under the mechanical
     # changed-query rule):

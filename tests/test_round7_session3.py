@@ -209,3 +209,33 @@ def test_ccnet_buckets_are_ordered_terciles(spark):
         assert max(sizes) - min(sizes) <= 1  # NTILE balance
         for a, b in zip(rs, rs[1:]):
             assert b.min_ppl >= a.max_ppl  # ascending-perplexity split
+
+
+# --------------------------------------------------------- cached IVF ----
+
+def test_ann_ivf_cached_resumes_and_matches_straight_path(spark):
+    import hashlib
+    import shutil
+
+    tag = hashlib.sha256(SF.encode()).hexdigest()[:12]
+    shutil.rmtree(f"/tmp/kgforge_stage_cache_{tag}/ivf_index", ignore_errors=True)
+    first = {
+        (r.vec_id, r.rnk): r.cos_sim
+        for r in ALL_QUERIES["ann_ivf_cached"](spark, SF).collect()
+    }
+    import os
+
+    marker = f"/tmp/kgforge_stage_cache_{tag}/ivf_index/_COMPLETE"
+    assert os.path.exists(marker)  # the index stage materialized
+    # second call resumes from the stage and is value-identical
+    second = {
+        (r.vec_id, r.rnk): r.cos_sim
+        for r in ALL_QUERIES["ann_ivf_cached"](spark, SF).collect()
+    }
+    assert second == first
+    # and the cache is transparent: equals the straight-through plan
+    straight = {
+        (r.vec_id, r.rnk): r.cos_sim
+        for r in ALL_QUERIES["ann_ivf_topk"](spark, SF).collect()
+    }
+    assert straight == first
