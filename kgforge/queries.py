@@ -9210,6 +9210,167 @@ def ann_ivf_cached(spark, sf_dir):
     )
 
 
+@register(
+    "kg_linkpred_mrr",
+    _SQL_EDGES
+    + f"""
+    , und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges),
+    sp AS (SELECT a, b, {sql_charfold("a || '|' || b")} % 10 AS h FROM und),
+    tr AS (SELECT a, b FROM sp WHERE h < 9),
+    te1 AS (SELECT a, b FROM sp WHERE h = 9),
+    nbr AS (SELECT a AS v, b AS u FROM tr UNION ALL SELECT b, a FROM tr),
+    deg AS (SELECT v, CAST(COUNT(*) AS DOUBLE) AS dg FROM nbr GROUP BY v),
+    te AS (SELECT t.a, t.b FROM te1 t
+           JOIN deg da ON da.v = t.a JOIN deg db ON db.v = t.b),
+    srcs AS (SELECT DISTINCT a FROM te),
+    cn AS (SELECT x.v AS a, y.v AS cand, CAST(COUNT(*) AS DOUBLE) AS common
+           FROM nbr x JOIN srcs s ON x.v = s.a
+           JOIN nbr y ON y.u = x.u AND y.v <> x.v
+           GROUP BY 1, 2),
+    cand AS (SELECT c.a, c.cand,
+                    ROUND(c.common / (da.dg + db.dg - c.common), 6) AS jc
+             FROM cn c
+             JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.cand
+             ANTI JOIN tr ON tr.a = LEAST(c.a, c.cand)
+                         AND tr.b = GREATEST(c.a, c.cand)),
+    sd AS (SELECT t.a, t.b, COALESCE(c.jc, -1) AS sb
+           FROM te t LEFT JOIN cand c ON c.a = t.a AND c.cand = t.b),
+    rk AS (SELECT s.a, s.b,
+                  CASE WHEN s.sb < 0 THEN COUNT(c.cand) + 11
+                       ELSE 1 + COALESCE(SUM(CASE WHEN c.cand <> s.b
+                                         AND (c.jc > s.sb OR (c.jc = s.sb
+                                              AND c.cand < s.b))
+                                        THEN 1 ELSE 0 END), 0) END AS rnk
+           FROM sd s LEFT JOIN cand c ON c.a = s.a
+           GROUP BY s.a, s.b, s.sb)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(AVG(1.0 / rnk), 4) AS mrr,
+           CAST(SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_1,
+           CAST(SUM(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_3,
+           CAST(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_10,
+           ROUND(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS hits10_rate
+    FROM rk
+    """,
+)
+def kg_linkpred_mrr(spark, sf_dir):
+    """KG-COMPLETION RANKING EVALUATION — MRR and Hits@1/3/10 under
+    the FILTERED protocol (Bordes et al. 2013, the standard
+    link-prediction benchmark metric), closing the measurement loop for
+    the graph-ML bridge the way kg_bcubed did for dedup and
+    ann_*_recall for ANN: held-out UNDIRECTED PAIRS (kg_edge_split's
+    hash-mod-10 discipline keyed on the pair — pair-level because the
+    scorer is pair-level; the triple-level split leaves zero usable
+    test pairs on a multi-predicate graph) are ranked by the Jaccard
+    neighborhood scorer
+    (kg_link_prediction's heuristic) against its wedge candidates on
+    the TRAIN graph, with known train edges filtered from the
+    candidate list.  A test pair whose true target is not among the
+    source's candidates (no shared train neighbor) ranks PAST every
+    retrieved candidate AND past every hit cutoff (rank =
+    n_candidates + 11, a deterministic not-retrieved sentinel) —
+    unrankable pairs are counted against the metric, never silently
+    dropped (the repo's no-silent-guard rule);
+    test pairs whose endpoints never appear in the train graph are
+    excluded, per the standard protocol.
+
+    Scale shape: candidate generation is kg_link_prediction's wedge
+    join RESTRICTED to the queried test sources (one semi-join before
+    the wedge — cost is the test sources' 2-hop neighborhoods, not the
+    whole graph's); ranks come from a COUNT-of-better-scored aggregate
+    per test pair (a keyed join + groupBy), not a window — no global or
+    per-query sort materializes the full candidate ranking."""
+    e = kg_edges(spark, sf_dir)
+    # PAIR-level 90/10 split (kg_edge_split's hash discipline, keyed on
+    # the undirected pair): the scorer is pair-level, and a triple-level
+    # split leaves no usable test pair on multi-predicate graphs (every
+    # test triple's pair also appears under another train predicate —
+    # measured: n_test would be 0 on this corpus)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    h = charfold(F.concat_ws("|", "a", "b")) % 10
+    sp = und.withColumn("h", h).localCheckpoint(eager=True)
+    tr = sp.filter(F.col("h") < 9).select("a", "b")
+    te1 = sp.filter(F.col("h") == 9).select("a", "b")
+    nbr = (
+        tr.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionByName(tr.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    ).localCheckpoint(eager=True)
+    deg = nbr.groupBy("v").agg(F.count("*").cast("double").alias("dg"))
+    te = (
+        te1.join(deg.select(F.col("v").alias("a")), "a", "left_semi")
+        .join(deg.select(F.col("v").alias("b")), "b", "left_semi")
+    ).localCheckpoint(eager=True)
+    srcs = te.select("a").distinct()
+    cn = (
+        nbr.join(srcs.select(F.col("a").alias("v")), "v", "left_semi")
+        .alias("x")
+        .join(nbr.alias("y"),
+              (F.col("x.u") == F.col("y.u")) & (F.col("x.v") != F.col("y.v")))
+        .groupBy(F.col("x.v").alias("a"), F.col("y.v").alias("cand"))
+        .agg(F.count("*").cast("double").alias("common"))
+    )
+    cand = (
+        cn.join(deg.select(F.col("v").alias("a"), F.col("dg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("cand"), F.col("dg").alias("db")),
+              "cand")
+        .select(
+            "a", "cand",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jc"),
+        )
+        .join(
+            tr.select(F.col("a").alias("_ta"), F.col("b").alias("_tb")),
+            (F.least("a", "cand") == F.col("_ta"))
+            & (F.greatest("a", "cand") == F.col("_tb")),
+            "left_anti",
+        )
+    ).localCheckpoint(eager=True)
+    sd = te.join(
+        cand.select("a", F.col("cand").alias("b"), F.col("jc").alias("sb")),
+        on=["a", "b"], how="left",
+    ).select("a", "b", F.coalesce("sb", F.lit(-1.0)).alias("sb"))
+    better = F.when(
+        (F.col("cand") != F.col("b"))
+        & (
+            (F.col("jc") > F.col("sb"))
+            | ((F.col("jc") == F.col("sb")) & (F.col("cand") < F.col("b")))
+        ),
+        1,
+    ).otherwise(0)
+    rk = (
+        sd.join(cand, on="a", how="left")
+        .groupBy("a", "b", "sb")
+        .agg(
+            F.when(F.col("sb") < 0, F.count("cand") + 11)
+            .otherwise(F.lit(1) + F.coalesce(F.sum(better), F.lit(0)))
+            .cast("bigint")
+            .alias("rnk")
+        )
+    )
+    return rk.agg(
+        F.count("*").alias("n_test"),
+        F.round(F.avg(1.0 / F.col("rnk")), 4).alias("mrr"),
+        F.sum((F.col("rnk") <= 1).cast("int")).cast("bigint").alias("hits_at_1"),
+        F.sum((F.col("rnk") <= 3).cast("int")).cast("bigint").alias("hits_at_3"),
+        F.sum((F.col("rnk") <= 10).cast("int")).cast("bigint").alias(
+            "hits_at_10"
+        ),
+        F.round(
+            F.sum((F.col("rnk") <= 10).cast("int")) / F.count("*"), 4
+        ).alias("hits10_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-facing registry cap
 # ---------------------------------------------------------------------------
@@ -9468,6 +9629,10 @@ EXTRA_NAMES = [
     # r7 session 3: IVF over a materialized index stage (serving-path
     # twin; family driver-covered by ann_ivf_recall + ann_cosine_topk)
     "ann_ivf_cached",
+    # r7 session 3: filtered MRR/Hits@k ranking eval (measurement twin
+    # of kg_link_prediction + kg_edge_split; graph-eval family
+    # driver-covered by kg_link_prediction)
+    "kg_linkpred_mrr",
     # r7 session-3 rotation OUT (both unchanged this round, displaced by
     # kg_harmonic + text_lm_perplexity moving in under the mechanical
     # changed-query rule):

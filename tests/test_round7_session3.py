@@ -239,3 +239,16 @@ def test_ann_ivf_cached_resumes_and_matches_straight_path(spark):
         for r in ALL_QUERIES["ann_ivf_topk"](spark, SF).collect()
     }
     assert straight == first
+
+
+# -------------------------------------------------------- linkpred MRR ----
+
+def test_linkpred_mrr_bounds_and_monotone_hits(spark):
+    r = ALL_QUERIES["kg_linkpred_mrr"](spark, SF).collect()[0]
+    assert r.n_test > 0  # the pair-level split leaves usable test pairs
+    assert 0 < r.mrr <= 1.0
+    assert 0 <= r.hits_at_1 <= r.hits_at_3 <= r.hits_at_10 <= r.n_test
+    # MRR is bounded below by the hits@1 rate and above by hits@10 rate
+    # plus the tail's maximum reciprocal rank contribution
+    assert r.mrr >= r.hits_at_1 / r.n_test - 1e-4
+    assert r.mrr <= (r.hits_at_10 + (r.n_test - r.hits_at_10) / 11.0) / r.n_test + 1e-4
