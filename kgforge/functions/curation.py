@@ -187,9 +187,9 @@ def curate(
             .filter(F.col("__pii") > 0)
             .localCheckpoint(eager=True)
         )
-        drop_cols = [
-            c for c in r.columns if c.startswith("n_") and c != "n_tokens"
-        ]
+        # drop exactly the columns redact_pii added — a prefix match
+        # would eat caller-supplied passthrough columns (n_chars, ...)
+        drop_cols = [f"n_{n}" for n, _, _ in PII_PATTERNS] + ["n_residual"]
         kept = (
             r.withColumn("text", F.col("redacted"))
             .drop("redacted", *drop_cols)

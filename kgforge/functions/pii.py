@@ -40,23 +40,25 @@ def redact_expr(col) -> F.Column:
     return out
 
 
-def count_exprs(col) -> dict[str, F.Column]:
-    """Per-type match counts (on the UNredacted text)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return {
-        name: F.regexp_count(c, F.lit(pat)).cast("bigint")
-        for name, pat, _ in PII_PATTERNS
-    }
-
-
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add ``redacted`` plus per-type ``n_<type>`` count columns and a
     ``n_residual`` column (matches remaining AFTER redaction — 0 by
-    construction unless a pattern's replacement re-triggers another)."""
-    counts = count_exprs(text_col)
-    out = df.withColumn("redacted", redact_expr(text_col))
-    for name, expr in counts.items():
-        out = out.withColumn(f"n_{name}", expr)
+    construction unless a pattern's replacement re-triggers another).
+
+    Counting is SEQUENTIAL, matching the replacement order: each rule's
+    count is taken on the text as the EARLIER rules left it, so
+    ``n_<type>`` is exactly the number of replacements that rule
+    performed — an IP inside an already-redacted email's domain is
+    counted once (as the email), not twice.  Σ n_<type> therefore
+    equals the true replacement total the curation stats report."""
+    cur = F.col(text_col)
+    out = df
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(cur, F.lit(pat)).cast("bigint")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    out = out.withColumn("redacted", cur)
     residual = None
     for name, pat, _ in PII_PATTERNS:
         term = F.regexp_count(F.col("redacted"), F.lit(pat))
@@ -73,7 +75,19 @@ def sql_redact(expr: str) -> str:
     return out
 
 
+def sql_partial_redact(expr: str, upto: str) -> str:
+    """DuckDB expression: ``expr`` with every pattern BEFORE ``upto``
+    already replaced — the sequential-counting mirror."""
+    out = expr
+    for name, pat, repl in PII_PATTERNS:
+        if name == upto:
+            return out
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    raise KeyError(upto)
+
+
 def sql_count(expr: str, name: str) -> str:
-    """DuckDB mirror of one count_exprs entry."""
+    """DuckDB mirror of one sequential count: matches of ``name``'s
+    pattern on the text as the earlier rules left it."""
     pat = next(p for n, p, _ in PII_PATTERNS if n == name)
-    return f"len(regexp_extract_all({expr}, '{pat}'))"
+    return f"len(regexp_extract_all({sql_partial_redact(expr, name)}, '{pat}'))"

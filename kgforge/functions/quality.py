@@ -33,8 +33,14 @@ def doc_lines(
     shared unit of the CCNet line-dedup family (text_line_dedup query +
     streaming.run_incremental_linedup).  Entirely ROW-LOCAL: one split,
     array slices, one posexplode — no shuffle; at corpus scale this is
-    pure codegen inside the scan stage."""
-    arr = df.select(*keep_cols, F.split(text_col, " ").alias("_arr"))
+    pure codegen inside the scan stage.  Null text folds to '' (one
+    empty line) — the quality_flags null discipline: a null document
+    stays VISIBLE and countable instead of being silently dropped by
+    posexplode(null)."""
+    arr = df.select(
+        *keep_cols,
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_arr"),
+    )
     return arr.select(
         *keep_cols,
         F.posexplode(

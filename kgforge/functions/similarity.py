@@ -323,6 +323,32 @@ def pq_adc_topk(
     )
 
 
+def assign_nearest(e: DataFrame, cents: DataFrame, keep: str = "v") -> DataFrame:
+    """Nearest-centroid assignment — the ONE home of the quantization
+    tie rule (highest round(cos, 6), then LOWEST cid) shared by the
+    Lloyd loop, IVF, and the embed_kmeans/curate_cluster_balance
+    queries (its SQL twin is _sql_kmeans_round's rn = 1 pick).
+    ``e`` is (vec_id, v double[]); ``cents`` is (cid, cv).  Returns
+    (vec_id, cid, v) with ``keep='v'`` or (vec_id, cid, cc) with
+    ``keep='cc'``.  One broadcast crossJoin + a max_by per vector —
+    the vector table is never shuffled."""
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid",
+        F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
+    )
+    out = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cid", "cc"), F.struct(F.col("cc"), -F.col("cid"))
+        ).alias("s"),
+        F.first("v").alias("v"),
+    )
+    if keep == "cc":
+        return out.select(
+            "vec_id", F.col("s.cid").alias("cid"), F.col("s.cc").alias("cc")
+        )
+    return out.select("vec_id", F.col("s.cid").alias("cid"), "v")
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -362,15 +388,7 @@ def kmeans_centroids(
         *[F.avg(F.element_at("v", i + 1)) for i in range(dim)]
     ).alias("cv")
     for _ in range(rounds):
-        scored = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "v", "cid",
-            F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
-        )
-        assigned = scored.groupBy("vec_id").agg(
-            F.max_by(F.col("cid"), F.struct(F.col("cc"), -F.col("cid"))).alias("cid"),
-            F.first("v").alias("v"),
-        )
-        cents = assigned.groupBy("cid").agg(mean_vec)
+        cents = assign_nearest(e, cents).groupBy("cid").agg(mean_vec)
     return cents
 
 
@@ -406,15 +424,8 @@ def ivf_topk(
                 & (F.col("vec_id") <= query_vec_id + n_centroids)
             ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         )
-    scored = e.crossJoin(cents).select(
-        "vec_id", "v", "cid",
-        F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
-    )
     # argmax centroid per vector: highest cos, then LOWEST cid
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by(F.col("cid"), F.struct(F.col("cc"), -F.col("cid"))).alias("cid"),
-        F.first("v").alias("v"),
-    )
+    assigned = assign_nearest(e, cents)
     probe = (
         assigned.filter(F.col("vec_id") == query_vec_id)
         .select(F.col("v").alias("qv"))

@@ -8471,10 +8471,14 @@ _LINE_DF_CAP = 4  # drop lines appearing in >= this many distinct docs
 @register(
     "text_line_dedup",
     f"""
-    WITH {SQL_TOK},
+    WITH ltokarr AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+                     FROM documents),
+    ltok AS (SELECT doc_id,
+                    CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos,
+                    unnest(arr) AS tok FROM ltokarr),
     ln_ AS (SELECT t.doc_id, CAST(t.pos // {_LINE_W} AS BIGINT) AS line_id,
                    string_agg(t.tok, ' ' ORDER BY t.pos) AS line
-            FROM tok t GROUP BY 1, 2),
+            FROM ltok t GROUP BY 1, 2),
     lk AS (SELECT doc_id, line_id, line, md5(line) AS k FROM ln_),
     dfc AS (SELECT k, COUNT(DISTINCT doc_id) AS dfreq FROM lk GROUP BY k),
     j AS (SELECT l.doc_id, l.line_id, l.line,
@@ -8519,9 +8523,12 @@ def text_line_dedup(spark, sf_dir):
     anywhere."""
     from .functions.quality import doc_lines
 
+    # checkpointed: the frame feeds BOTH the frequency groupBy and the
+    # join branch — without it the split+posexplode+md5 pipeline runs
+    # twice (the dedup_minhash_pairs shingle-checkpoint convention)
     lines = doc_lines(
         _docs(spark, sf_dir), "text", _LINE_W, keep_cols=("doc_id", "lang")
-    ).withColumn("k", F.md5("line"))
+    ).withColumn("k", F.md5("line")).localCheckpoint(eager=True)
     dfc = lines.groupBy("k").agg(F.countDistinct("doc_id").alias("dfreq"))
     j = lines.join(dfc, "k").withColumn(
         "kept", F.col("dfreq") < _LINE_DF_CAP
@@ -8568,23 +8575,18 @@ _SQL_KMEANS_FIN = f"""
 
 def _kmeans_fin_df(spark, sf_dir):
     """Spark twin of _SQL_KMEANS_FIN: (vec_id, cid, cc) — final Lloyd
-    assignment with the rounded cosine to the final centroid."""
-    from .functions.similarity import cosine_fold, kmeans_centroids
+    assignment with the rounded cosine to the final centroid.  The
+    assignment tie rule lives in ONE place
+    (functions/similarity.assign_nearest, shared with the Lloyd loop
+    and IVF)."""
+    from .functions.similarity import assign_nearest, kmeans_centroids
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = kmeans_centroids(e, n_centroids=8, rounds=2, vec_col="v", dim=64)
     cents = cents.localCheckpoint(eager=True)
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid",
-        F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
-    )
-    return scored.groupBy("vec_id").agg(
-        F.max_by(
-            F.struct("cid", "cc"), F.struct(F.col("cc"), -F.col("cid"))
-        ).alias("s")
-    ).select("vec_id", F.col("s.cid").alias("cid"), F.col("s.cc").alias("cc"))
+    return assign_nearest(e, cents, keep="cc")
 
 
 @register(
@@ -8837,9 +8839,10 @@ def text_keywords_tfidf(spark, sf_dir):
     used instead).  Scores rank on round(·, 6) with term tie-breaks —
     the cross-engine ln drift discipline."""
     toks = _doc_tokens(spark, sf_dir)
+    # checkpointed: tf feeds both the df groupBy and the scoring join
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count("*").cast("double").alias("tf")
-    )
+    ).localCheckpoint(eager=True)
     dfr = tf.groupBy("tok").agg(F.count("*").cast("double").alias("dfr"))
     nd = _docs(spark, sf_dir).agg(F.count("*").cast("double").alias("n"))
     sc = tf.join(dfr, "tok").crossJoin(F.broadcast(nd)).select(
@@ -9159,19 +9162,17 @@ def ann_ivf_cached(spark, sf_dir):
     )
 
     def build_index():
-        scored = e.crossJoin(cents).select(
-            "vec_id", "cid",
-            F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
-        )
-        return scored.groupBy("vec_id").agg(
-            F.max_by(
-                F.col("cid"), F.struct(F.col("cc"), -F.col("cid"))
-            ).alias("cid")
-        )
+        from .functions.similarity import assign_nearest
+
+        return assign_nearest(e, cents).select("vec_id", "cid")
 
     tag = _hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # hash the WHOLE query source, not just build_index: the centroid
+    # rule and input projection live in the enclosing scope, and a
+    # stale /tmp index surviving an edit to them would silently
+    # diverge from the oracle (code-review finding, r7 s3)
     logic = _hashlib.sha256(
-        _inspect.getsource(build_index).encode()
+        _inspect.getsource(ann_ivf_cached).encode()
     ).hexdigest()[:16]
     runner = StageRunner(
         spark,

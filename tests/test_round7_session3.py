@@ -35,6 +35,36 @@ def test_pii_redact_exact_semantics(spark):
     assert all(r.n_residual == 0 for r in rows.values())
 
 
+def test_pii_overlapping_matches_count_once(spark):
+    """Sequential counting: an IP-shaped domain inside an email is ONE
+    replacement (the email), not two — Σ n_<type> equals the true
+    replacement total (code-review finding, r7 s3)."""
+    from kgforge.functions.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail john@1.2.3.4.net now")], "doc_id int, t string"
+    )
+    r = redact_pii(df, "t").collect()[0]
+    assert r.redacted == "mail [EMAIL] now"
+    assert (r.n_email, r.n_ip) == (1, 0)  # the quad was already eaten
+    assert r.n_residual == 0
+
+
+def test_curate_redact_preserves_passthrough_n_columns(spark):
+    """The PII stage drops exactly its own count columns — a caller's
+    n_* passthrough column (e.g. n_chars) must survive."""
+    from kgforge.functions.curation import curate
+
+    base = "plain document body with enough useful tokens to pass gates"
+    docs = spark.createDataFrame(
+        [(0, "en", base + " mail a@ex.org", 61)],
+        "doc_id long, lang string, text string, n_chars long",
+    )
+    curated, _p, _s = curate(docs, redact_pii=True)
+    assert "n_chars" in curated.columns
+    assert curated.collect()[0].n_chars == 61
+
+
 def test_pii_query_counts_and_residual(spark):
     r = ALL_QUERIES["text_pii_redact"](spark, SF).collect()[0]
     # every third doc gets exactly one of each type injected
