@@ -329,23 +329,34 @@ def assign_nearest(e: DataFrame, cents: DataFrame, keep: str = "v") -> DataFrame
     Lloyd loop, IVF, and the embed_kmeans/curate_cluster_balance
     queries (its SQL twin is _sql_kmeans_round's rn = 1 pick).
     ``e`` is (vec_id, v double[]); ``cents`` is (cid, cv).  Returns
-    (vec_id, cid, v) with ``keep='v'`` or (vec_id, cid, cc) with
-    ``keep='cc'``.  One broadcast crossJoin + a max_by per vector —
-    the vector table is never shuffled."""
+    (vec_id, cid, v) with ``keep='v'``, (vec_id, cid, cc) with
+    ``keep='cc'``, or just (vec_id, cid) with ``keep='cid'`` — the
+    d-dim vector is hauled through the assignment groupBy ONLY when
+    the caller needs it back.  One broadcast crossJoin + a max_by per
+    vector — the vector table is never shuffled."""
+    carry_v = keep == "v"
     scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid",
+        "vec_id",
+        *(["v"] if carry_v else []),
+        "cid",
         F.round(cosine_fold(F.col("v"), F.col("cv")), 6).alias("cc"),
     )
-    out = scored.groupBy("vec_id").agg(
+    aggs = [
         F.max_by(
             F.struct("cid", "cc"), F.struct(F.col("cc"), -F.col("cid"))
-        ).alias("s"),
-        F.first("v").alias("v"),
-    )
+        ).alias("s")
+    ]
+    if carry_v:
+        # only haul the d-dim vector through the assignment groupBy when
+        # the caller actually needs it back
+        aggs.append(F.first("v").alias("v"))
+    out = scored.groupBy("vec_id").agg(*aggs)
     if keep == "cc":
         return out.select(
             "vec_id", F.col("s.cid").alias("cid"), F.col("s.cc").alias("cc")
         )
+    if keep == "cid":
+        return out.select("vec_id", F.col("s.cid").alias("cid"))
     return out.select("vec_id", F.col("s.cid").alias("cid"), "v")
 
 

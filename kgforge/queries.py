@@ -9164,7 +9164,7 @@ def ann_ivf_cached(spark, sf_dir):
     def build_index():
         from .functions.similarity import assign_nearest
 
-        return assign_nearest(e, cents).select("vec_id", "cid")
+        return assign_nearest(e, cents, keep="cid")
 
     tag = _hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     # hash the WHOLE query source, not just build_index: the centroid
