@@ -39,7 +39,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.hashing import minhash_of, shingles_of, signature_bands
+from .functions.hashing import (
+    minhash_from_arrays,
+    shingle_arrays,
+    signature_bands,
+)
 from .functions.joins import maybe_broadcast
 
 MAX_BUCKET = 64  # as in link/canonical.py — a degenerate bucket of d docs
@@ -48,9 +52,16 @@ THRESHOLD = 0.5
 
 
 def build_state(docs: DataFrame) -> dict[str, DataFrame]:
-    """Signature state for an initial corpus batch (doc_id, text)."""
-    sh = shingles_of(docs)
-    return {"sig": minhash_of(sh), "shingle": sh}
+    """Signature state for an initial corpus batch (doc_id, text).
+
+    r8: signatures come from the row-local array fold
+    (minhash_from_arrays — bit-identical to the explode+groupBy form),
+    so building state costs one corpus pass with NO shuffle; the
+    persisted state layout (exploded shingle index + sig table) is
+    unchanged."""
+    sharr = shingle_arrays(docs)
+    sh = sharr.select("doc_id", F.explode("sh_arr").alias("sh"))
+    return {"sig": minhash_from_arrays(sharr), "shingle": sh}
 
 
 def save_state(state: dict[str, DataFrame], path: str, n_parts: int = 32) -> None:
@@ -192,8 +203,12 @@ def dedup_minhash_incremental(
     the batch's signatures/shingles (old rows carried forward verbatim —
     never recomputed).  doc_ids must be globally unique across batches.
     """
-    new_sh = shingles_of(new_docs).localCheckpoint(eager=True)
-    new_sig = minhash_of(new_sh).localCheckpoint(eager=True)
+    # r8: ONE checkpointed array pass per batch; the exploded index and
+    # the signatures are row-local projections of it (no groupBy shuffle,
+    # bit-identical signatures)
+    new_arr = shingle_arrays(new_docs).localCheckpoint(eager=True)
+    new_sh = new_arr.select("doc_id", F.explode("sh_arr").alias("sh"))
+    new_sig = minhash_from_arrays(new_arr)
     new_bands = signature_bands(new_sig)
 
     if state is None:

@@ -48,10 +48,9 @@ def sql_charfold(expr: str) -> str:
     )
 
 
-def shingles_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sh) — distinct 3-token shingles per document; the unit
-    under every near-dup operator.  Pure JVM higher-order functions, no
-    Python in the loop.
+def _shingle_array_col(text_col: str = "text") -> F.Column:
+    """Per-document distinct 3-token shingle ARRAY (the un-exploded form
+    shared by shingles_of and shingle_arrays).
 
     Documents with fewer than 3 tokens produce ZERO shingles, not an
     error: F.sequence(1, size-2) is DESCENDING ([1, 0]) when size <= 2
@@ -60,7 +59,7 @@ def shingles_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
     self-join) naturally yields no rows for short docs, so both engines
     agree on empty."""
     toks = F.split(text_col, " ")
-    sh = F.when(
+    return F.when(
         F.size(toks) >= 3,
         F.array_distinct(
             F.transform(
@@ -74,7 +73,71 @@ def shingles_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(sh).alias("sh"))
+
+
+def shingles_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) — distinct 3-token shingles per document; the unit
+    under every near-dup operator.  Pure JVM higher-order functions, no
+    Python in the loop."""
+    return docs.select("doc_id", F.explode(_shingle_array_col(text_col)).alias("sh"))
+
+
+def shingle_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh_arr) — the SAME distinct shingles as shingles_of, kept
+    as one array row per document instead of exploded.  The r8 scale
+    observation: most consumers (signatures, per-doc counts, simhash
+    balances, exact-Jaccard verify of candidate pairs) are PER-DOCUMENT
+    folds, so keeping the shingles row-local removes the explode +
+    groupBy shuffle entirely (guide §2.4) — only the inverted-index
+    consumers still explode."""
+    return docs.select("doc_id", _shingle_array_col(text_col).alias("sh_arr"))
+
+
+def hashed_arrays(sharr: DataFrame, arr_col: str = "sh_arr") -> DataFrame:
+    """(doc_id, n_sh, h_arr) — charfold hash per shingle, kept row-local.
+    The charfold transform lives in its OWN projection and the hash array
+    is referenced (not recomputed) by every downstream expression:
+    CollapseProject keeps a non-cheap alias with multiple references in a
+    separate Project, so the per-shingle hash is evaluated exactly once
+    per row.  Docs with zero shingles are dropped, exactly as
+    explode+groupBy drops them."""
+    return sharr.filter(F.size(arr_col) > 0).select(
+        "doc_id",
+        F.size(arr_col).cast("bigint").alias("n_sh"),
+        F.transform(F.col(arr_col), lambda s: charfold(s)).alias("h_arr"),
+    )
+
+
+def minhash_from_arrays(sharr: DataFrame, arr_col: str = "sh_arr") -> DataFrame:
+    """(doc_id, s0..s3, n_sh) — bit-identical to
+    ``minhash_of(shingles_of(docs))`` (min is order-independent; charfold
+    is applied to the same strings), computed WITHOUT any shuffle: each
+    signature is a row-local fold over the doc's shingle array."""
+    hashed = hashed_arrays(sharr, arr_col)
+    aggs = [
+        F.array_min(
+            F.transform(F.col("h_arr"), lambda h: (F.lit(a) * h + F.lit(b)) % MOD)
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return hashed.select("doc_id", *aggs, "n_sh")
+
+
+def simhash_from_hashed(
+    hashed: DataFrame, n_bits: int, out_col: str = "s"
+) -> DataFrame:
+    """(doc_id, <out_col>) — bitwise-majority SimHash over a
+    ``hashed_arrays`` frame, bit-identical to the exploded groupBy form
+    (integer balance per bit: bal = 2·|set| − n, sign compared exactly)
+    but entirely row-local — no shuffle (guide §2.4)."""
+    sim = None
+    for k in range(n_bits):
+        cnt = F.size(
+            F.filter(F.col("h_arr"), lambda h: h.bitwiseAND(F.lit(1 << k)) != 0)
+        )
+        term = F.when(cnt * 2 > F.col("n_sh"), F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return hashed.select("doc_id", sim.cast("bigint").alias(out_col))
 
 
 def minhash_of(shingles: DataFrame) -> DataFrame:

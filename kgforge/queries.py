@@ -31,8 +31,12 @@ from .functions.hashing import (  # noqa: F401  (re-exported: query modules impo
     MINHASH_AB,
     MOD,
     charfold,
+    hashed_arrays,
+    minhash_from_arrays,
     minhash_of,
+    shingle_arrays,
     shingles_of,
+    simhash_from_hashed,
     sql_charfold,
 )
 
@@ -182,6 +186,14 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(_docs(spark, sf_dir))
 
 
+def _sharr_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_arr) — the un-exploded shingle table (r8):
+    ``explode(sh_arr)`` is exactly ``_shingles_df``.  Per-document
+    consumers (signatures, counts, simhash, pairwise verify) fold the
+    array row-locally instead of paying an explode + groupBy shuffle."""
+    return shingle_arrays(_docs(spark, sf_dir))
+
+
 SQL_SHINGLES = f"""
 {SQL_TOK},
 sh3 AS (
@@ -203,7 +215,9 @@ def _minhash_df(
     it carries (for the incremental dedup state) is dropped here so the
     query-layer signature schema stays (doc_id, s0..s3)."""
     if sh is None:
-        sh = _shingles_df(spark, sf_dir)
+        # r8: signatures are per-document folds — the array form skips
+        # the explode + groupBy shuffle (guide §2.4), bit-identically
+        return minhash_from_arrays(_sharr_df(spark, sf_dir)).drop("n_sh")
     return minhash_of(sh).drop("n_sh")
 
 
@@ -1923,9 +1937,12 @@ def kg_schema_stats(spark, sf_dir):
     "FROM shingle GROUP BY doc_id",
 )
 def dedup_shingle_stats(spark, sf_dir):
-    """3-token shingling (the unit under all near-dup ops)."""
-    return _shingles_df(spark, sf_dir).groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles")
+    """3-token shingling (the unit under all near-dup ops).  r8: the
+    per-doc count is size(sh_arr) — row-local, no explode + groupBy
+    shuffle; empty docs are filtered as explode dropped them."""
+    sharr = _sharr_df(spark, sf_dir)
+    return sharr.filter(F.size("sh_arr") > 0).select(
+        "doc_id", F.size("sh_arr").cast("bigint").alias("n_shingles")
     )
 
 
@@ -1978,15 +1995,24 @@ def dedup_minhash_pairs(spark, sf_dir, _sh=None):
     contribute d^2/2 candidates (r1 VERDICT symmetry nit); the cap is
     mirrored in the oracle and its drops are observable via
     lsh_bucket_stats on the production path.  ``_sh`` lets
-    dedup_fuse_modalities pass its already-checkpointed shingle table so
-    the corpus is tokenized once across modalities."""
-    # sig feeds the band join, sh feeds two inverted-index joins + counts:
-    # checkpoint once instead of recomputing the shingle expressions 5x
-    sh = (
+    dedup_fuse_modalities pass its already-checkpointed shingle ARRAY
+    table so the corpus is tokenized once across modalities.
+
+    r8 plan shape (guide §2.3/§2.4; values bit-identical, oracle
+    unchanged): the shingle table stays un-exploded (doc_id, sh_arr), so
+    signatures and per-doc counts are row-local folds instead of an
+    explode + groupBy shuffle, and the exact-Jaccard verify attaches the
+    two endpoints' arrays to each candidate pair and counts
+    size(array_intersect(..)) row-locally — replacing the two
+    inverted-index shuffle joins + pair groupBy of the r3 form with two
+    keyed joins of the pair table against the doc-scale array table.
+    Candidate-pair work (the only superlinear term) is unchanged and
+    still hot-bucket capped."""
+    sharr = (
         _sh if _sh is not None
-        else _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
+        else _sharr_df(spark, sf_dir).localCheckpoint(eager=True)
     )
-    sig = _minhash_df(spark, sf_dir, sh=sh).localCheckpoint(eager=True)
+    sig = minhash_from_arrays(sharr).drop("n_sh")
 
     # ONE banded self-join (r3 VERDICT #6): signatures explode to
     # (band, k0, k1) rows — band 1 = (s0,s1), band 2 = (s2,s3) — so hot-
@@ -2027,21 +2053,21 @@ def dedup_minhash_pairs(spark, sf_dir, _sh=None):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # shared-shingle count: inverted-index join on the shingle
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    shared = (
-        cand.join(sh_a, on="doc_a")
-        .join(sh_b, on=["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
-    )
+    # exact-Jaccard verify: row-local distinct-shingle intersection of the
+    # two endpoints' arrays (arrays are array_distinct'd, so
+    # size(array_intersect) == the inverted-index shared count)
+    arr_a = sharr.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("arr_a"))
+    arr_b = sharr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("arr_b"))
     j = (
-        cand.join(shared, on=["doc_a", "doc_b"], how="left")
-        .fillna(0, subset=["shared"])
-        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), on="doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), on="doc_b")
+        cand.join(arr_a, on="doc_a")
+        .join(arr_b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).alias("shared"),
+            F.size("arr_a").alias("na"),
+            F.size("arr_b").alias("nb"),
+        )
         .withColumn("jac", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared") + F.lit(1e-12)))
     )
     return j.filter(F.col("jac") >= 0.5).select(
@@ -2098,12 +2124,21 @@ def dedup_minhash_incr(spark, sf_dir):
     not the corpus).  The persisted round-trip (save_state/load_state)
     and the two-batch == one-shot property are pinned by
     tests/test_dedup_incremental.py."""
-    from .dedup import build_state, dedup_minhash_incremental
+    from .dedup import dedup_minhash_incremental
 
     d = _docs(spark, sf_dir)
     new_docs = d.filter(F.col("doc_id") % 4 == 0)
     old_docs = d.filter(F.col("doc_id") % 4 != 0)
-    state = build_state(old_docs)
+    # build_state() semantics, with the batch's shingle arrays
+    # materialized ONCE (r8): in production the old state is parquet the
+    # consumer reads, not a live plan — without this the old corpus'
+    # shingle/charfold pass re-executes for each of the three state
+    # consumers (bands, counts, verify index)
+    old_arr = shingle_arrays(old_docs).localCheckpoint(eager=True)
+    state = {
+        "sig": minhash_from_arrays(old_arr),
+        "shingle": old_arr.select("doc_id", F.explode("sh_arr").alias("sh")),
+    }
     pairs, _ = dedup_minhash_incremental(new_docs, state)
     return pairs
 
@@ -2160,20 +2195,11 @@ def dedup_minhash_bucket_stats(spark, sf_dir):
 )
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash over shingle hashes — bitwise majority vote, pure
-    expressions."""
-    sh = _shingles_df(spark, sf_dir).withColumn("h", charfold(F.col("sh")))
-    bal = [
-        F.sum(
-            F.when((F.col("h").bitwiseAND(F.lit(1 << k))) != 0, 1).otherwise(-1)
-        ).alias(f"bal{k}")
-        for k in range(16)
-    ]
-    agg = sh.groupBy("doc_id").agg(*bal)
-    sim = None
-    for k in range(16):
-        term = F.when(F.col(f"bal{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+    expressions.  r8: row-local over the shingle array (integer bit
+    balances, identical sign decisions), no explode + groupBy shuffle."""
+    return simhash_from_hashed(
+        hashed_arrays(_sharr_df(spark, sf_dir)), 16, out_col="simhash"
+    )
 
 
 _SQL_SIMHASH_SIG = f"""
@@ -4125,26 +4151,16 @@ def dedup_fuse_modalities(spark, sf_dir):
     transitive closure + string_agg attribution."""
     from .link.cc import connected_components
 
-    # ONE corpus tokenize/shingle pass feeds both modalities
-    sh = _shingles_df(spark, sf_dir).localCheckpoint(eager=True)
-    pm = dedup_minhash_pairs(spark, sf_dir, _sh=sh).select(
+    # ONE corpus tokenize/shingle pass feeds both modalities (r8: the
+    # shared table is the un-exploded array form — both legs fold it
+    # row-locally, so neither pays an explode + groupBy shuffle)
+    sharr = _sharr_df(spark, sf_dir).localCheckpoint(eager=True)
+    pm = dedup_minhash_pairs(spark, sf_dir, _sh=sharr).select(
         "doc_a", "doc_b", F.lit("minhash").alias("modality")
     )
     # 31-bit simhash leg (see docstring): majority vote over all of
     # charfold's bits, 2-chunk pigeonhole candidates, hamming <= 1 verify
-    sh31 = sh.withColumn("h", charfold(F.col("sh")))
-    bal = [
-        F.sum(
-            F.when((F.col("h").bitwiseAND(F.lit(1 << k))) != 0, 1).otherwise(-1)
-        ).alias(f"bal{k}")
-        for k in range(31)
-    ]
-    agg31 = sh31.groupBy("doc_id").agg(*bal)
-    sim31 = None
-    for k in range(31):
-        term = F.when(F.col(f"bal{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-        sim31 = term if sim31 is None else sim31 + term
-    sig31 = agg31.select("doc_id", sim31.cast("bigint").alias("s"))
+    sig31 = simhash_from_hashed(hashed_arrays(sharr), 31)
     ks2 = spark.range(2).select(F.col("id").cast("int").alias("k"))
     chunks = sig31.crossJoin(F.broadcast(ks2)).select(
         "doc_id", "s", "k",
