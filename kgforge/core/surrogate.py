@@ -23,7 +23,7 @@ import zlib
 
 from .bio import decode_bio, encode_bio
 from .model import SurrogateModel
-from .vocab import NUM_ENT_TYPES, type_pair_allowed
+from .vocab import GENERIC_ID, NUM_ENT_TYPES
 
 Mention = tuple[int, int, int]  # (start, end, ent_type), half-open
 
@@ -195,6 +195,59 @@ def _score_from_texts(
     return noise
 
 
+def _score_pairs(
+    tokens: list[str], mentions: list[Mention], model: SurrogateModel
+) -> list[tuple[Mention, Mention, float]]:
+    """Ordered-pair enumeration (J1) + hard type filter (J4) + threshold
+    (P5), UNORDERED (enumeration order) — the shared kernel under
+    rank_pairs (which sorts it) and the extract fast path (which only
+    needs the set when the top-k cannot truncate).  Scores are identical
+    to _score_from_texts: the inlined type rule is vocab's only rule
+    (Generic->Generic never relates), the noise band is cached per
+    distinct mention-text pair (crc32 depends on the texts alone), and
+    the gap branch replays match_gap_pattern over pre-lowercased
+    tokens."""
+    texts = [" ".join(tokens[s:e]).lower() for s, e, _ in mentions]
+    thresh = model.score_threshold
+    max_gap = model.max_gap
+    patterns = model.patterns
+    gen = GENERIC_ID
+    low: list[str] | None = None
+    noise_cache: dict[tuple[str, str], float] = {}
+    crc32 = zlib.crc32
+    scored = []
+    for i, sub in enumerate(mentions):
+        ti = texts[i]
+        se = sub[1]
+        sub_gen = sub[2] == gen
+        for j, obj in enumerate(mentions):
+            if i == j:
+                continue
+            if sub_gen and obj[2] == gen:  # type_pair_allowed's only rule
+                continue
+            tj = texts[j]
+            key = (ti, tj)
+            noise = noise_cache.get(key)
+            if noise is None:
+                noise = (crc32(f"{ti}\x1f{tj}".encode()) % 10_000) / 25_000.0
+                noise_cache[key] = noise
+            os_ = obj[0]
+            if se < os_ <= se + max_gap:
+                if low is None:
+                    low = [w.lower() for w in tokens]
+                if patterns.get(tuple(low[se:os_])) is not None:
+                    s = 0.6 + noise / 2.0
+                    if s > thresh:
+                        scored.append((sub, obj, s))
+                    continue
+            if noise > thresh:
+                scored.append((sub, obj, noise))
+    return scored
+
+
+_PAIR_SORT_KEY = lambda g: (-g[2], g[0][0], g[0][1], g[1][0], g[1][1])  # noqa: E731
+
+
 def rank_pairs(
     tokens: list[str], mentions: list[Mention], model: SurrogateModel
 ) -> list[tuple[Mention, Mention, float]]:
@@ -206,20 +259,26 @@ def rank_pairs(
     ties there fall back to python's stable sort over enumeration order;
     our total key is deterministic under any partitioning).
     """
-    texts = [" ".join(tokens[s:e]).lower() for s, e, _ in mentions]
-    thresh = model.score_threshold
-    scored = []
-    for i, sub in enumerate(mentions):
-        for j, obj in enumerate(mentions):
-            if i == j:
-                continue
-            if not type_pair_allowed(sub[2], obj[2]):
-                continue
-            s = _score_from_texts(tokens, sub, obj, texts[i], texts[j], model)
-            if s > thresh:
-                scored.append((sub, obj, s))
-    scored.sort(key=lambda g: (-g[2], g[0][0], g[0][1], g[1][0], g[1][1]))
+    scored = _score_pairs(tokens, mentions, model)
+    scored.sort(key=_PAIR_SORT_KEY)
     return scored[: model.top_k_pairs]
+
+
+def _ranked_for_extract(
+    tokens: list[str], mentions: list[Mention], model: SurrogateModel
+) -> list[tuple[Mention, Mention, float]]:
+    """rank_pairs' SELECTION without its ordering work when the order
+    cannot matter: the extract_* consumers reduce the ranked list into a
+    key-dedup dict (span keys are unique per pair; text keys all carry
+    the same constant classify score), so the output is a SET — ordering
+    only affects which pairs survive the top-k cut.  When nothing is cut
+    the sort is skipped outright; when it would cut, the full total-order
+    sort runs and the selection is exactly rank_pairs'."""
+    scored = _score_pairs(tokens, mentions, model)
+    if len(scored) > model.top_k_pairs:
+        scored.sort(key=_PAIR_SORT_KEY)
+        return scored[: model.top_k_pairs]
+    return scored
 
 
 def classify_relation(
@@ -247,7 +306,13 @@ def extract_triples_spanned(
     key."""
     mentions = detect_mentions(tokens, model)
     out: dict[tuple[int, int, int, int, int, int, int], float] = {}
-    for sub, obj, _s in rank_pairs(tokens, mentions, model):
+    for sub, obj, _s in _ranked_for_extract(tokens, mentions, model):
+        if _s < 0.6:
+            # noise-band pair: score_pair gives >= 0.6 exactly when the
+            # gap matches a relation pattern, i.e. exactly when
+            # classify_relation is non-NA — classifying it is a
+            # guaranteed NA-drop
+            continue
         rel_plus1, score = classify_relation(tokens, sub, obj, model)
         if rel_plus1 == 0:
             continue
@@ -268,7 +333,10 @@ def extract_triples(
     """
     mentions = detect_mentions(tokens, model)
     out: dict[tuple[str, str, int, int, int], float] = {}
-    for sub, obj, _s in rank_pairs(tokens, mentions, model):
+    for sub, obj, _s in _ranked_for_extract(tokens, mentions, model):
+        if _s < 0.6:
+            # noise-band pair == guaranteed NA (see extract_triples_spanned)
+            continue
         rel_plus1, score = classify_relation(tokens, sub, obj, model)
         if rel_plus1 == 0:
             continue

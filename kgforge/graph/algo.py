@@ -25,10 +25,10 @@ from pyspark.sql import functions as F
 
 
 def _pr_setup(de: DataFrame):
-    """(de, verts, n, od) shared by the iteration loop and the external
-    fixpoint-residual check.  If ``de`` carries a ``w`` column the walk
-    is WEIGHTED: out-"degree" is the out-weight sum and each edge
-    forwards pr·w/Σw — with w ≡ 1.0 this reduces bit-identically to
+    """(de, verts, n, od, dang_v) shared by the iteration loop and the
+    external fixpoint-residual check.  If ``de`` carries a ``w`` column
+    the walk is WEIGHTED: out-"degree" is the out-weight sum and each
+    edge forwards pr·w/Σw — with w ≡ 1.0 this reduces bit-identically to
     the uniform split (1.0·pr/COUNT == pr/SUM(1.0) in IEEE754).
     Edges with NULL or non-positive weight are DROPPED before the
     degree sum: they carry no walk mass, and keeping them would let a
@@ -37,7 +37,12 @@ def _pr_setup(de: DataFrame):
     error (the vertex is not caught by the dangling left_anti because
     it still has od rows).  After the filter every od degree is > 0,
     and a vertex with ONLY non-positive out-edges becomes properly
-    dangling."""
+    dangling.
+
+    r8: ``od`` and the DANGLING VERTEX SET are static properties of the
+    edge list, not of the rank vector — both are lineage-truncated here
+    (lazy localCheckpoint: materialized by round one, reused by every
+    later round) instead of being re-derived inside every round's plan."""
     if "w" not in de.columns:
         de = de.withColumn("w", F.lit(1.0))
     else:
@@ -50,17 +55,33 @@ def _pr_setup(de: DataFrame):
         .localCheckpoint(eager=True)
     )
     n = verts.count()
-    od = de.groupBy("src").agg(F.sum("w").alias("deg"))
-    return de, verts, n, od
+    od = de.groupBy("src").agg(F.sum("w").alias("deg")).localCheckpoint(
+        eager=False
+    )
+    dang_v = (
+        verts.join(od, verts.v == od.src, "left_anti")
+        .select("v")
+        .localCheckpoint(eager=False)
+    )
+    return de, verts, n, od, dang_v
 
 
-def _pr_step(de, verts, n, od, pr, damping, seed, restart) -> DataFrame:
+def _pr_step(
+    de, verts, n, od, dang_v, pr, damping, seed, restart, keep_prev=False
+) -> DataFrame:
     """ONE synchronous power-iteration step — the only place the update
-    rule lives, shared by pagerank()'s loop and pagerank_residual()."""
-    dangling = (
-        pr.join(od, pr.v == od.src, "left_anti")
-        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-        .collect()[0][0]
+    rule lives, shared by pagerank()'s loop and pagerank_residual().
+
+    r8 job shape: the dangling mass is a 1-row aggregate cross-joined
+    into the update plan instead of a per-round driver collect, so one
+    round is ONE materialization job; with ``keep_prev`` the pre-round
+    rank rides along so the caller's convergence delta is a cheap scan
+    of the frame this round materializes anyway (the link/cc.py
+    discipline) — not a second join job.  The update arithmetic is
+    unchanged (same IEEE754 ops on the same scalar)."""
+    dang = (
+        pr.join(dang_v, on="v", how="left_semi")
+        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
     )
     contrib = (
         de.join(pr.withColumnRenamed("v", "src"), on="src")
@@ -72,41 +93,51 @@ def _pr_step(de, verts, n, od, pr, damping, seed, restart) -> DataFrame:
         new_col = (
             F.lit((1.0 - damping) / n)
             + F.lit(damping)
-            * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling / n))
+            * (F.coalesce("s", F.lit(0.0)) + F.col("_dang") / n)
         )
     else:
         new_col = (
             F.lit(1.0 - damping) * restart
             + F.lit(damping)
-            * (F.coalesce("s", F.lit(0.0)) + F.lit(dangling) * restart)
+            * (F.coalesce("s", F.lit(0.0)) + F.col("_dang") * restart)
         )
+    base = (
+        verts.join(pr.select("v", F.col("pr").alias("_prev")), on="v")
+        if keep_prev
+        else verts
+    )
+    cols = ["v", new_col.alias("pr")] + (["_prev"] if keep_prev else [])
     return (
-        verts.join(contrib, on="v", how="left")
-        .select("v", new_col.alias("pr"))
+        base.join(contrib, on="v", how="left")
+        .crossJoin(dang)
+        .select(*cols)
         .localCheckpoint(eager=True)
     )
 
 
 def pagerank_residual(
-    de: DataFrame, pr: DataFrame, *, damping: float = 0.85, seed=None
+    de: DataFrame, pr: DataFrame, *, damping: float = 0.85, seed=None,
+    _setup=None,
 ) -> float:
     """Fixpoint residual ``max |step(pr) - pr|`` of a rank vector under
     one more synchronous step.  A vector pagerank(rounds=None, tol=t)
     returned satisfies residual < t (power iteration contracts, so the
     step AFTER the converged one is no larger than the converged delta)
-    — the assertable invariant kg_pagerank_converged ships."""
-    de, verts, n, od = _pr_setup(de)
+    — the assertable invariant kg_pagerank_converged ships.  ``_setup``
+    lets a caller that already ran ``_pr_setup`` on the same edge list
+    (kg_pagerank_converged runs the loop first) skip re-materializing
+    the static frames."""
+    de, verts, n, od, dang_v = _setup if _setup is not None else _pr_setup(de)
     if n == 0:
         return 0.0  # empty graph: the empty vector is trivially a fixpoint
     restart = F.lit(1.0 / n) if seed is None else (
         F.col("v") == seed
     ).cast("double")
-    nxt = _pr_step(de, verts, n, od, pr, damping, seed, restart)
+    nxt = _pr_step(
+        de, verts, n, od, dang_v, pr, damping, seed, restart, keep_prev=True
+    )
     return (
-        nxt.alias("a")
-        .join(pr.alias("b"), on="v")
-        .agg(F.max(F.abs(F.col("a.pr") - F.col("b.pr"))))
-        .collect()[0][0]
+        nxt.agg(F.max(F.abs(F.col("pr") - F.col("_prev")))).collect()[0][0]
     )
 
 
@@ -120,6 +151,7 @@ def pagerank(
     seed=None,
     stats: dict | None = None,
     init: DataFrame | None = None,
+    _setup=None,
 ) -> DataFrame:
     """PageRank over distinct directed edges ``de(src, dst)``.  Returns
     (v, pr) unrounded.  ``stats`` (optional dict) receives
@@ -144,7 +176,7 @@ def pagerank(
     """
     if init is not None and seed is not None:
         raise ValueError("warm-start init is defined for global mode only")
-    de, verts, n, od = _pr_setup(de)
+    de, verts, n, od, dang_v = _setup if _setup is not None else _pr_setup(de)
     if n == 0:
         # Legitimately empty graph (no edges, or every edge filtered by
         # the w <= 0 rule): the rank vector over the empty vertex set is
@@ -170,21 +202,25 @@ def pagerank(
 
     n_rounds = rounds if rounds is not None else max_rounds
     for i in range(n_rounds):
-        new_pr = _pr_step(de, verts, n, od, pr, damping, seed, restart)
         if rounds is None:
+            # _prev rides the round's materialized frame, so the delta is
+            # one cheap aggregate over already-checkpointed rows — no
+            # extra join job per round
+            new_pr = _pr_step(
+                de, verts, n, od, dang_v, pr, damping, seed, restart,
+                keep_prev=True,
+            )
             delta = (
-                new_pr.alias("a")
-                .join(pr.alias("b"), on="v")
-                .agg(F.max(F.abs(F.col("a.pr") - F.col("b.pr"))))
+                new_pr.agg(F.max(F.abs(F.col("pr") - F.col("_prev"))))
                 .collect()[0][0]
             )
-            pr = new_pr
+            pr = new_pr.select("v", "pr")
             if stats is not None:
                 stats["rounds"], stats["last_delta"] = i + 1, delta
             if delta < tol:
                 break
         else:
-            pr = new_pr
+            pr = _pr_step(de, verts, n, od, dang_v, pr, damping, seed, restart)
             if stats is not None:
                 stats["rounds"] = i + 1
     else:
@@ -217,6 +253,12 @@ def kcore(
     the peeled plan doesn't stack."""
     edges = und.select("a", "b").localCheckpoint(eager=True)
     n_rounds = rounds if rounds is not None else max_rounds
+    # r8: one materialization job per round — the degree filter rides in
+    # the round's plan (its aggregate exchange is shared between the two
+    # semi-join probes) instead of being checkpointed separately, and the
+    # fixpoint check compares the carried-forward count instead of
+    # re-counting last round's frame.
+    n_prev = edges.count() if rounds is None else None
     for i in range(n_rounds):
         deg = (
             edges.select(F.col("a").alias("v"))
@@ -224,7 +266,7 @@ def kcore(
             .groupBy("v")
             .agg(F.count("*").alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("v").localCheckpoint(eager=True)
+        keep = deg.filter(F.col("deg") >= k).select("v")
         new_edges = (
             edges.join(keep.withColumnRenamed("v", "a"), on="a", how="left_semi")
             .join(keep.withColumnRenamed("v", "b"), on="b", how="left_semi")
@@ -233,10 +275,11 @@ def kcore(
         if stats is not None:
             stats["rounds"] = i + 1
         if rounds is None:
-            if new_edges.count() == edges.count():
+            n_new = new_edges.count()
+            if n_new == n_prev:
                 edges = new_edges
                 break
-            edges = new_edges
+            edges, n_prev = new_edges, n_new
         else:
             edges = new_edges
     else:
@@ -833,7 +876,13 @@ def hits(
 
     def _half(edges_key_in: str, edges_key_out: str, vec: DataFrame, col: str):
         # raw(v) = sum of vec over edges arriving at v via the given
-        # orientation, 0 where no such edge; then L2-normalize
+        # orientation, 0 where no such edge; then L2-normalize.  r8: the
+        # norm is a 1-row aggregate cross-joined into the plan (same
+        # IEEE754 sqrt-of-sum, 0/empty guarded to 1.0 exactly as the old
+        # ``or 1.0``) instead of a driver collect — one materialization
+        # job per half-round instead of two, and the contribution
+        # aggregate's exchange is shared between the two branches
+        # instead of being recomputed for the collect job.
         contrib = (
             de.join(vec.withColumnRenamed("v", edges_key_in), on=edges_key_in)
             .groupBy(F.col(edges_key_out).alias("v"))
@@ -842,13 +891,17 @@ def hits(
         raw = verts.join(contrib, on="v", how="left").select(
             "v", F.coalesce("s", F.lit(0.0)).alias("raw")
         )
-        nrm = (
-            raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0]
-            or 1.0
+        nrm = raw.agg(
+            F.coalesce(
+                F.nullif(F.sqrt(F.sum(F.col("raw") * F.col("raw"))), F.lit(0.0)),
+                F.lit(1.0),
+            ).alias("_nrm")
         )
-        return raw.select(
-            "v", (F.col("raw") / F.lit(nrm)).alias(col)
-        ).localCheckpoint(eager=True)
+        return (
+            raw.crossJoin(nrm)
+            .select("v", (F.col("raw") / F.col("_nrm")).alias(col))
+            .localCheckpoint(eager=True)
+        )
 
     hub = verts.withColumn("hub", F.lit(1.0)).localCheckpoint(eager=True)
     auth = verts.withColumn("auth", F.lit(1.0))

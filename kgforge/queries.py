@@ -7039,16 +7039,22 @@ def kg_pagerank_converged(spark, sf_dir):
     rule, not a copy).  The oracle pins the invariants' expected
     values; rounds-to-converge and wall/round — not SQL-derivable — are
     measured in BENCH/CONVERGENCE.md (scripts/bench_convergence.py)."""
-    from .graph.algo import pagerank, pagerank_residual
+    from .graph.algo import _pr_setup, pagerank, pagerank_residual
 
     tol = 1e-6
     e = kg_edges(spark, sf_dir).localCheckpoint(eager=True)
-    de = e.select("src", "dst").distinct().localCheckpoint(eager=True)
-    pr = pagerank(de, rounds=None, tol=tol, max_rounds=150).localCheckpoint(
-        eager=True
-    )
-    resid = pagerank_residual(de, pr)
-    n_v = pr.count()
+    de = e.select("src", "dst").distinct()
+    # r8: ONE _pr_setup shared by the loop and the residual check (the
+    # static frames — checkpointed edges, vertex set, out-degrees,
+    # dangling set — were previously re-materialized by
+    # pagerank_residual); n_vertices is setup's vertex count (pr has
+    # exactly one row per vertex), not a separate count job.
+    setup = _pr_setup(de)
+    n_v = setup[2]
+    pr = pagerank(
+        de, rounds=None, tol=tol, max_rounds=150, _setup=setup
+    ).localCheckpoint(eager=True)
+    resid = pagerank_residual(de, pr, _setup=setup)
     mass = pr.agg(F.sum("pr")).collect()[0][0]
     return spark.createDataFrame(
         [(n_v, float(round(mass, 4)), bool(resid <= tol))],
