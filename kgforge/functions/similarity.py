@@ -274,7 +274,13 @@ def pq_codebooks_and_codes(
     mean_sv = F.array(
         *[F.avg(F.element_at("sv", i + 1)) for i in range(dsub)]
     ).alias("cv")
-    cb1 = assign(cb0).groupBy("s", "cid").agg(mean_sv)
+    # r8: the trained codebook has two broadcast consumers (the encode
+    # assignment here and the caller's ADC distance table) — materialize
+    # it once instead of re-running the Lloyd assignment pass per
+    # broadcast
+    cb1 = assign(cb0).groupBy("s", "cid").agg(mean_sv).localCheckpoint(
+        eager=True
+    )
     codes = assign(cb1).select("vec_id", "s", "cid")
     return cb1, codes
 
@@ -479,8 +485,6 @@ def contrastive_triplets(
     100x (200k vectors → 12.5k/bucket ≈ 2.5e9 fold pairs) is the
     measured DNF cliff (docs/SCALE.md); the production setting grows
     planes with log2(n) to hold bucket populations flat."""
-    from pyspark.sql import Window
-
     e = embeddings.select(
         "vec_id",
         sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
@@ -498,24 +502,28 @@ def contrastive_triplets(
             cosine_fold(F.col("va"), F.col("vb")).alias("c"),
         )
     )
-    wpos = Window.partitionBy("anchor").orderBy(
-        F.desc(F.round("c", 6)), "other"
+    # r8: both picks in ONE per-anchor aggregation.  The old shape ran
+    # the bucket join + cosine folds TWICE (once under each
+    # row_number window) and re-joined the two picks; max_by/min_by
+    # over the windows' exact sort keys select the same rows — the key
+    # struct (round(c, 6), other) is unique per anchor, so argmax/argmin
+    # equal the rn = 1 rows — in a single hash aggregate on one exchange.
+    picked = cand.groupBy("anchor").agg(
+        F.max_by(
+            F.struct(
+                F.col("other").alias("pos_id"),
+                F.round("c", 4).alias("pos_cos"),
+            ),
+            F.struct(F.round("c", 6).alias("k"), (-F.col("other")).alias("t")),
+        ).alias("p"),
+        F.min_by(
+            F.struct(
+                F.col("other").alias("neg_id"),
+                F.round("c", 4).alias("neg_cos"),
+            ),
+            F.struct(F.round("c", 6).alias("k"), F.col("other").alias("t")),
+        ).alias("n"),
     )
-    wneg = Window.partitionBy("anchor").orderBy(F.round("c", 6), "other")
-    pos = (
-        cand.withColumn("rn", F.row_number().over(wpos))
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor", F.col("other").alias("pos_id"),
-            F.round("c", 4).alias("pos_cos"),
-        )
-    )
-    neg = (
-        cand.withColumn("rn", F.row_number().over(wneg))
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor", F.col("other").alias("neg_id"),
-            F.round("c", 4).alias("neg_cos"),
-        )
-    )
-    return pos.join(neg, "anchor").filter(F.col("pos_id") != F.col("neg_id"))
+    return picked.select(
+        "anchor", "p.pos_id", "p.pos_cos", "n.neg_id", "n.neg_cos"
+    ).filter(F.col("pos_id") != F.col("neg_id"))

@@ -2927,101 +2927,147 @@ def embed_pca_power(spark, sf_dir):
     curation pipeline whether its embeddings have a dominant
     "frequency direction" to strip.
 
-    Scale shape: the matrix lives in the LONG (vec_id, d, val) layout —
-    the distributed-matrix form, n·d rows partitioned by vector; each
-    half-step is ONE keyed join + ONE map-side-combined groupBy (s: join
-    on d — the v dim is d rows, broadcast-trivial; w: join on vec_id);
-    the centering dim mu is d rows; no step ever holds more than a
-    d-vector of driver state, and nothing quadratic in n or d exists
-    anywhere — this is exactly how the computation shards at 10⁹
-    vectors.  Deterministic init from the hash-uniform (seeded, so the
-    2-iteration snapshot is reproducible and oracle-pinned);
-    convergence to the true eigenvector adds iterations, not new
-    machinery."""
-    e = _t(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "val")
-    ).select("vec_id", F.col("d").cast("bigint").alias("d"),
-             F.col("val").cast("double").alias("val"))
-    mu = x.groupBy("d").agg(F.avg("val").alias("m"))
-    xc = (
-        x.join(mu, "d")
-        .select("vec_id", "d", (F.col("val") - F.col("m")).alias("val"))
-        .localCheckpoint(eager=True)
-    )
-    nv = x.agg(F.countDistinct("vec_id").cast("double").alias("n"))
-    # the iteration lives in ONE place — _power_direction (shared with
+    Scale shape (r8): the matrix stays WIDE — one d-array row per
+    vector, partitioned by vector; the direction v is the d-vector of
+    driver state the long layout also held, so each v ← X_cᵀ(X_c v)
+    round is ONE aggregate of d map-side-combined running sums (the
+    treeAggregate shape every distributed PCA uses) instead of two
+    keyed-join shuffles + a checkpoint; centering and projection scores
+    are row-local zip_with folds against the literal mean/direction.
+    Nothing quadratic in n or d exists anywhere — this is exactly how
+    the computation shards at 10⁹ vectors.  Deterministic init from the
+    hash-uniform (seeded, so the 2-iteration snapshot is reproducible
+    and oracle-pinned); convergence to the true eigenvector adds
+    iterations, not new machinery."""
+    e, dim = _embed_wide(spark, sf_dir)
+    if dim == 0:
+        return spark.createDataFrame(
+            [], "dim bigint, loading double, eigenvalue double, var_ratio double"
+        )
+    xcf = _centered_wide(e, dim)
+    # the iteration lives in ONE place — _pc1_wide (shared with
     # embed_abtt's two passes and mirrored by _sql_pca_round)
-    v = _power_direction(xc, "pca:")
-    pick = v.orderBy(F.desc(F.round(F.abs("v"), 6)), "d").limit(1)
-    sg = pick.select(
-        F.when(F.col("v") < 0, -1.0).otherwise(1.0).alias("sgn")
+    v2 = _pc1_wide(xcf, dim, "pca:")
+    # Rayleigh eigenvalue + trace in ONE aggregate pass: the projection
+    # score and the row's squared norm are row-local folds of the
+    # centered array
+    fin = xcf.select(
+        "vec_id",
+        _dot_arr(F.col("xc"), v2).alias("s"),
+        F.aggregate(
+            F.transform("xc", lambda a: a * a), F.lit(0.0), lambda acc, y: acc + y
+        ).alias("sq"),
+    ).agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+        F.sum("sq").alias("sq2"),
+        F.countDistinct("vec_id").cast("double").alias("n"),
+    ).collect()[0]
+    eig = fin.s2 / fin.n
+    tot = fin.sq2 / fin.n
+    vdf = spark.createDataFrame(
+        [(d, v2[d]) for d in range(dim)], "dim bigint, v double"
     )
-    s3 = (
-        xc.join(v, "d")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
-    )
-    lam = (
-        s3.crossJoin(nv)
-        .groupBy("n")
-        .agg((F.sum(F.col("s") * F.col("s")) / F.first("n")).alias("eig"))
-        .select("eig")
-    )
-    tv = (
-        xc.crossJoin(nv)
-        .groupBy("n")
-        .agg((F.sum(F.col("val") * F.col("val")) / F.first("n")).alias("tot"))
-        .select("tot")
-    )
-    return (
-        v.crossJoin(sg)
-        .crossJoin(lam)
-        .crossJoin(tv)
-        .select(
-            F.col("d").alias("dim"),
-            F.round(F.col("sgn") * F.col("v"), 6).alias("loading"),
-            F.round("eig", 4).alias("eigenvalue"),
-            F.round(F.col("eig") / F.col("tot"), 4).alias("var_ratio"),
-        )
+    # sign canonicalization at the max-|loading| dim — the pick replays
+    # the oracle's ORDER BY round(abs(v), 6) DESC, d over the d-row dim
+    pick = vdf.orderBy(F.desc(F.round(F.abs("v"), 6)), "dim").limit(1).collect()[0]
+    sgn = -1.0 if pick.v < 0 else 1.0
+    return vdf.select(
+        "dim",
+        F.round(F.lit(sgn) * F.col("v"), 6).alias("loading"),
+        F.round(F.lit(eig), 4).alias("eigenvalue"),
+        F.round(F.lit(eig) / F.lit(tot), 4).alias("var_ratio"),
     )
 
 
-def _power_direction(xc, salt: str, rounds: int = 2):
-    """Spark twin of the unrolled power blocks: hash-seeded unit init
-    (charfold(md5(salt || d))), then ``rounds`` synchronous v ←
-    Xᵀ(Xv)/‖·‖ passes over the long-form matrix ``xc(vec_id, d,
-    val)``.  Returns (d, v)."""
-    v0r = (
-        xc.select("d").distinct()
-        .select(
-            "d",
-            (
-                charfold(
-                    F.md5(F.concat(F.lit(salt), F.col("d").cast("string")))
-                )
-                / float(MOD)
-                - 0.5
-            ).alias("r"),
-        )
+def _embed_wide(spark, sf_dir):
+    """(e, dim) — the embedding table as (vec_id, x array<double>),
+    checkpointed once (every consumer below re-derives its row-local
+    columns from it), plus the data-derived dimensionality."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    ).localCheckpoint(eager=True)
+    row = e.limit(1).collect()
+    dim = len(row[0].x) if row else 0
+    return e, dim
+
+
+def _centered_wide(e, dim: int):
+    """(vec_id, xc) — per-dimension mean removed, ROW-LOCALLY: the d
+    means are one aggregate collected as a d-vector (driver state the
+    long layout's mu dim also bounded), so centering is a zip_with
+    against a literal array instead of an explode + groupBy + join."""
+    rows = (
+        e.select(F.posexplode("x").alias("i", "val"))
+        .groupBy("i")
+        .agg(F.avg("val").alias("m"))
+        .collect()
     )
-    v0n = v0r.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
-    v = v0r.crossJoin(v0n).select("d", (F.col("r") / F.col("nrm")).alias("v"))
+    mu = [r.m for r in sorted(rows, key=lambda r: r.i)]
+    muarr = F.array(*[F.lit(float(m)) for m in mu])
+    return e.select(
+        "vec_id", F.zip_with("x", muarr, lambda a, b: a - b).alias("xc")
+    )
+
+
+def _charfold_py(s: str) -> int:
+    """Exact python replay of functions/hashing.charfold (integer
+    arithmetic — bit-identical to the Spark/DuckDB expression)."""
+    h = 7
+    for ch in s:
+        h = (h * 31 + ord(ch)) % MOD
+    return h
+
+
+def _dot_arr(a_col, lits: list[float]) -> F.Column:
+    """Row-local dot product of an array column with a literal vector —
+    folds in array-index order (the same addend order the long-layout
+    per-vector groupBy accumulated, since a vector's exploded rows were
+    contiguous in ascending d)."""
+    va = F.array(*[F.lit(float(x)) for x in lits])
+    return F.aggregate(
+        F.zip_with(a_col, va, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+
+
+def _pc1_wide(xcf, dim: int, salt: str, rounds: int = 2) -> list[float]:
+    """Top-direction power iteration over the WIDE layout (r8): ``xcf``
+    carries one centered d-array per vector in column ``xc``; the
+    direction lives as a d-vector of driver state (the docstring
+    contract the long layout already claimed — kmeans collects seed
+    VECTORS the same way), so each v ← Xᵀ(Xv)/‖·‖ round is ONE
+    aggregate job of d running sums instead of two keyed-join
+    shuffles + a checkpoint + a norm job.  The init replays the exact
+    charfold(md5(salt || d)) hash-uniform of the unrolled oracle in
+    python integers."""
+    import hashlib
+    import math
+
+    r = [
+        _charfold_py(hashlib.md5((salt + str(d)).encode()).hexdigest())
+        / float(MOD)
+        - 0.5
+        for d in range(dim)
+    ]
+    nrm = math.sqrt(sum(x * x for x in r))
+    v = [x / nrm for x in r]
     for _ in range(rounds):
-        s = (
-            xc.join(v, "d")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+        # d running sums via posexplode + groupBy(i): the exact addend
+        # grouping of the long layout's w-step, and a small generic
+        # aggregate plan (a d-column aggregate recompiles ~0.7 s of
+        # codegen per round because every round's literals change)
+        prod = xcf.select(
+            "xc", _dot_arr(F.col("xc"), v).alias("s")
+        ).select(
+            F.posexplode(
+                F.transform("xc", lambda a: a * F.col("s"))
+            ).alias("i", "pv")
         )
-        w = (
-            xc.join(s, "vec_id")
-            .groupBy("d")
-            .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
-        )
-        n_ = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(n_).select(
-            "d", (F.col("w") / F.col("nrm")).alias("v")
-        ).localCheckpoint(eager=True)
+        rows = prod.groupBy("i").agg(F.sum("pv").alias("w")).collect()
+        w = [r.w for r in sorted(rows, key=lambda r: r.i)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [x / nrm for x in w]
     return v
 
 
@@ -3092,80 +3138,59 @@ def embed_abtt(spark, sf_dir):
     residual's dominant direction is the second eigenvalue) — pinned
     in tests/test_new_ops_invariants.py.
 
-    Scale shape: identical to embed_pca_power twice — each half-step
-    one keyed join + one map-side-combined groupBy over the long n·d
-    layout; the deflation xp is one (vec_id)-keyed join + one d-keyed
-    join, row-local arithmetic; d-row direction dims broadcast-trivial;
-    nothing quadratic anywhere."""
-    e = _t(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("d", "val")
-    ).select("vec_id", F.col("d").cast("bigint").alias("d"),
-             F.col("val").cast("double").alias("val"))
-    mu = x.groupBy("d").agg(F.avg("val").alias("m"))
-    xc = (
-        x.join(mu, "d")
-        .select("vec_id", "d", (F.col("val") - F.col("m")).alias("val"))
-        .localCheckpoint(eager=True)
-    )
-    nv = x.agg(F.countDistinct("vec_id").cast("double").alias("n"))
-    v = _power_direction(xc, "pca:")
-    sc = (
-        xc.join(v, "d")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
-    )
-    xp = (
-        xc.join(sc, "vec_id")
-        .join(v, "d")
-        .select(
-            "vec_id", "d",
-            (F.col("val") - F.col("s") * F.col("v")).alias("val"),
+    Scale shape (r8): identical to embed_pca_power twice — per power
+    round ONE d-wide aggregate over the wide array layout; the
+    deflation xp is entirely row-local (xc·v is a fold, the subtraction
+    a zip_with against the literal direction), and both Rayleigh
+    quotients + both traces ride a single final aggregate pass; nothing
+    quadratic anywhere."""
+    e, dim = _embed_wide(spark, sf_dir)
+    if dim == 0:
+        return spark.createDataFrame(
+            [],
+            "eig_before double, trace_before double, ratio_before double, "
+            "eig_after double, trace_after double, ratio_after double",
         )
-        .localCheckpoint(eager=True)
+    xcf = _centered_wide(e, dim)
+    v2 = _pc1_wide(xcf, dim, "pca:")
+    va2 = F.array(*[F.lit(float(x)) for x in v2])
+    # deflation is ROW-LOCAL: xp_i = xc_i − (xc·v)·v, staged so the
+    # projection score is evaluated once per row
+    xpf = xcf.select(
+        "vec_id", "xc", _dot_arr(F.col("xc"), v2).alias("s")
+    ).select(
+        "vec_id",
+        "xc",
+        "s",
+        F.zip_with("xc", va2, lambda a, b: a - F.col("s") * b).alias("xp"),
     )
-    av = _power_direction(xp, "abtt:")
-    sa = (
-        xp.join(av, "d")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("val") * F.col("v")).alias("s"))
+    av = _pc1_wide(xpf.select(F.col("xp").alias("xc")), dim, "abtt:")
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, y: acc + y
     )
-
-    def _rayleigh(scores):
-        return (
-            scores.crossJoin(nv)
-            .groupBy("n")
-            .agg((F.sum(F.col("s") * F.col("s")) / F.first("n")).alias("eig"))
-            .select("eig")
-        )
-
-    def _trace(mat):
-        return (
-            mat.crossJoin(nv)
-            .groupBy("n")
-            .agg(
-                (F.sum(F.col("val") * F.col("val")) / F.first("n")).alias("tr")
-            )
-            .select("tr")
-        )
-
-    m1, t1 = _rayleigh(sc), _trace(xc)
-    m2, t2 = (
-        _rayleigh(sa).withColumnRenamed("eig", "eig2"),
-        _trace(xp).withColumnRenamed("tr", "tr2"),
-    )
-    return (
-        m1.crossJoin(t1)
-        .crossJoin(m2)
-        .crossJoin(t2)
-        .select(
-            F.round("eig", 4).alias("eig_before"),
-            F.round("tr", 4).alias("trace_before"),
-            F.round(F.col("eig") / F.col("tr"), 4).alias("ratio_before"),
-            F.round("eig2", 4).alias("eig_after"),
-            F.round("tr2", 4).alias("trace_after"),
-            F.round(F.col("eig2") / F.col("tr2"), 4).alias("ratio_after"),
-        )
+    # both Rayleigh quotients and both traces in ONE aggregate pass
+    fin = xpf.select(
+        "vec_id",
+        "s",
+        _dot_arr(F.col("xp"), av).alias("sa"),
+        sq("xc").alias("sq_c"),
+        sq("xp").alias("sq_p"),
+    ).agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+        F.sum(F.col("sa") * F.col("sa")).alias("sa2"),
+        F.sum("sq_c").alias("tr_c"),
+        F.sum("sq_p").alias("tr_p"),
+        F.countDistinct("vec_id").cast("double").alias("n"),
+    ).collect()[0]
+    eig1, tr1 = fin.s2 / fin.n, fin.tr_c / fin.n
+    eig2, tr2 = fin.sa2 / fin.n, fin.tr_p / fin.n
+    return spark.range(1).select(
+        F.round(F.lit(eig1), 4).alias("eig_before"),
+        F.round(F.lit(tr1), 4).alias("trace_before"),
+        F.round(F.lit(eig1) / F.lit(tr1), 4).alias("ratio_before"),
+        F.round(F.lit(eig2), 4).alias("eig_after"),
+        F.round(F.lit(tr2), 4).alias("trace_after"),
+        F.round(F.lit(eig2) / F.lit(tr2), 4).alias("ratio_after"),
     )
 
 
