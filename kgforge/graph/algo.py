@@ -39,10 +39,13 @@ def _pr_setup(de: DataFrame):
     and a vertex with ONLY non-positive out-edges becomes properly
     dangling.
 
-    r8: ``od`` and the DANGLING VERTEX SET are static properties of the
-    edge list, not of the rank vector — both are lineage-truncated here
-    (lazy localCheckpoint: materialized by round one, reused by every
-    later round) instead of being re-derived inside every round's plan."""
+    r8: everything static is folded out of the round plan ONCE — the
+    out-degree rides ON the edge row (``dew``: src, dst, w, deg), and
+    the dangling indicator rides ON the vertex row (``verts``: v,
+    _is_dang), so a round needs neither the od join nor the dangling
+    anti-join."""
+    from ..functions.joins import maybe_broadcast
+
     if "w" not in de.columns:
         de = de.withColumn("w", F.lit(1.0))
     else:
@@ -55,37 +58,58 @@ def _pr_setup(de: DataFrame):
         .localCheckpoint(eager=True)
     )
     n = verts.count()
-    od = de.groupBy("src").agg(F.sum("w").alias("deg")).localCheckpoint(
+    od = de.groupBy("src").agg(F.sum("w").alias("deg"))
+    dew = de.join(maybe_broadcast(od, n_rows=n), on="src").localCheckpoint(
         eager=False
     )
-    dang_v = (
-        verts.join(od, verts.v == od.src, "left_anti")
-        .select("v")
-        .localCheckpoint(eager=False)
+    verts = verts.join(
+        maybe_broadcast(
+            od.select(F.col("src").alias("v"), F.lit(True).alias("_has_out")),
+            n_rows=n,
+        ),
+        on="v",
+        how="left",
+    ).select(
+        "v", F.coalesce("_has_out", F.lit(False)).alias("_has_out")
+    ).withColumn("_is_dang", ~F.col("_has_out")).drop("_has_out").localCheckpoint(
+        eager=False
     )
-    return de, verts, n, od, dang_v
+    return dew, verts, n
 
 
 def _pr_step(
-    de, verts, n, od, dang_v, pr, damping, seed, restart, keep_prev=False
+    dew, n, pr, damping, seed, restart, keep_prev=False
 ) -> DataFrame:
     """ONE synchronous power-iteration step — the only place the update
     rule lives, shared by pagerank()'s loop and pagerank_residual().
 
-    r8 job shape: the dangling mass is a 1-row aggregate cross-joined
-    into the update plan instead of a per-round driver collect, so one
-    round is ONE materialization job; with ``keep_prev`` the pre-round
-    rank rides along so the caller's convergence delta is a cheap scan
-    of the frame this round materializes anyway (the link/cc.py
-    discipline) — not a second join job.  The update arithmetic is
-    unchanged (same IEEE754 ops on the same scalar)."""
-    dang = (
-        pr.join(dang_v, on="v", how="left_semi")
-        .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dang"))
+    r8 job shape: ``pr`` IS the vertex frame (one row per vertex, the
+    dangling indicator riding along), so the step needs no verts join
+    and no dangling anti-join — the dangling mass is a 1-row aggregate
+    over pr's own flag, cross-joined into the update plan instead of a
+    per-round driver collect, and with ``keep_prev`` the pre-round rank
+    rides the round's own materialized frame so the caller's
+    convergence delta is a cheap scan, not a join job.  The rank vector
+    and the contribution aggregate are SIZE-GATED broadcasts
+    (functions/joins.maybe_broadcast, n = the vertex count): under the
+    gate a round is one exchange (the contribution groupBy); above it
+    both joins fall back to keyed shuffles exactly as before.  The
+    update arithmetic is unchanged (same IEEE754 ops on the same
+    scalar)."""
+    from ..functions.joins import maybe_broadcast
+
+    dang = pr.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_is_dang"), F.col("pr"))), F.lit(0.0)
+        ).alias("_dang")
     )
     contrib = (
-        de.join(pr.withColumnRenamed("v", "src"), on="src")
-        .join(od, on="src")
+        dew.join(
+            maybe_broadcast(
+                pr.select(F.col("v").alias("src"), "pr"), n_rows=n
+            ),
+            on="src",
+        )
         .groupBy(F.col("dst").alias("v"))
         .agg(F.sum(F.col("pr") * F.col("w") / F.col("deg")).alias("s"))
     )
@@ -101,14 +125,14 @@ def _pr_step(
             + F.lit(damping)
             * (F.coalesce("s", F.lit(0.0)) + F.col("_dang") * restart)
         )
-    base = (
-        verts.join(pr.select("v", F.col("pr").alias("_prev")), on="v")
-        if keep_prev
-        else verts
+    cols = ["v", new_col.alias("pr"), "_is_dang"] + (
+        [F.col("pr").alias("_prev")] if keep_prev else []
     )
-    cols = ["v", new_col.alias("pr")] + (["_prev"] if keep_prev else [])
+    base = pr.select("v", "_is_dang", "pr") if keep_prev else pr.select(
+        "v", "_is_dang"
+    )
     return (
-        base.join(contrib, on="v", how="left")
+        base.join(maybe_broadcast(contrib, n_rows=n), on="v", how="left")
         .crossJoin(dang)
         .select(*cols)
         .localCheckpoint(eager=True)
@@ -127,15 +151,20 @@ def pagerank_residual(
     lets a caller that already ran ``_pr_setup`` on the same edge list
     (kg_pagerank_converged runs the loop first) skip re-materializing
     the static frames."""
-    de, verts, n, od, dang_v = _setup if _setup is not None else _pr_setup(de)
+    from ..functions.joins import maybe_broadcast
+
+    dew, verts, n = _setup if _setup is not None else _pr_setup(de)
     if n == 0:
         return 0.0  # empty graph: the empty vector is trivially a fixpoint
     restart = F.lit(1.0 / n) if seed is None else (
         F.col("v") == seed
     ).cast("double")
-    nxt = _pr_step(
-        de, verts, n, od, dang_v, pr, damping, seed, restart, keep_prev=True
-    )
+    # attach the static dangling flag to the caller's rank vector (pr
+    # frames inside the loop already carry it)
+    prf = verts.join(
+        maybe_broadcast(pr.select("v", "pr"), n_rows=n), on="v"
+    ).select("v", "pr", "_is_dang")
+    nxt = _pr_step(dew, n, prf, damping, seed, restart, keep_prev=True)
     return (
         nxt.agg(F.max(F.abs(F.col("pr") - F.col("_prev")))).collect()[0][0]
     )
@@ -176,7 +205,7 @@ def pagerank(
     """
     if init is not None and seed is not None:
         raise ValueError("warm-start init is defined for global mode only")
-    de, verts, n, od, dang_v = _setup if _setup is not None else _pr_setup(de)
+    dew, verts, n = _setup if _setup is not None else _pr_setup(de)
     if n == 0:
         # Legitimately empty graph (no edges, or every edge filtered by
         # the w <= 0 rule): the rank vector over the empty vertex set is
@@ -191,14 +220,16 @@ def pagerank(
     else:
         restart = (F.col("v") == seed).cast("double")
     if init is None:
-        pr = verts.withColumn("pr", restart)
+        pr = verts.withColumn("pr", restart).select("v", "pr", "_is_dang")
     else:
         warm = verts.join(
             init.select("v", F.col("pr").alias("pr0")), on="v", how="left"
-        ).select("v", F.coalesce("pr0", F.lit(1.0 / n)).alias("pr"))
+        ).select("v", F.coalesce("pr0", F.lit(1.0 / n)).alias("pr"), "_is_dang")
         warm = warm.localCheckpoint(eager=True)
         mass = warm.agg(F.sum("pr")).collect()[0][0]
-        pr = warm.select("v", (F.col("pr") / F.lit(mass)).alias("pr"))
+        pr = warm.select(
+            "v", (F.col("pr") / F.lit(mass)).alias("pr"), "_is_dang"
+        )
 
     n_rounds = rounds if rounds is not None else max_rounds
     for i in range(n_rounds):
@@ -207,20 +238,19 @@ def pagerank(
             # one cheap aggregate over already-checkpointed rows — no
             # extra join job per round
             new_pr = _pr_step(
-                de, verts, n, od, dang_v, pr, damping, seed, restart,
-                keep_prev=True,
+                dew, n, pr, damping, seed, restart, keep_prev=True
             )
             delta = (
                 new_pr.agg(F.max(F.abs(F.col("pr") - F.col("_prev"))))
                 .collect()[0][0]
             )
-            pr = new_pr.select("v", "pr")
+            pr = new_pr.select("v", "pr", "_is_dang")
             if stats is not None:
                 stats["rounds"], stats["last_delta"] = i + 1, delta
             if delta < tol:
                 break
         else:
-            pr = _pr_step(de, verts, n, od, dang_v, pr, damping, seed, restart)
+            pr = _pr_step(dew, n, pr, damping, seed, restart)
             if stats is not None:
                 stats["rounds"] = i + 1
     else:
@@ -304,24 +334,33 @@ def _min_reach(
     u ->* v, and m(u)=w means w ->* u ->* v, so v may adopt w — the
     doubling that turns diameter-bounded convergence into O(log)
     rounds on long chains.  localCheckpoint per round, loud guard."""
+    from ..functions.joins import maybe_broadcast
+
     lab = verts.select(
         F.col("v"), F.col("v").alias("m")
     ).localCheckpoint(eager=True)
+    n_v = lab.count()
     for _ in range(max_rounds):
         nbr = (
             e.join(
-                lab.select(F.col("v").alias("src"), F.col("m").alias("mi")),
+                maybe_broadcast(
+                    lab.select(F.col("v").alias("src"), F.col("m").alias("mi")),
+                    n_rows=n_v,
+                ),
                 on="src",
             )
             .groupBy(F.col("dst").alias("v"))
             .agg(F.min("mi").alias("nbr"))
         )
-        new = lab.join(nbr, on="v", how="left").select(
+        new = lab.join(maybe_broadcast(nbr, n_rows=n_v), on="v", how="left").select(
             "v",
             F.least(F.col("m"), F.coalesce("nbr", "m")).alias("m"),
             F.col("m").alias("_prev"),
         )
-        parent = new.select(F.col("v").alias("p"), F.col("m").alias("pm"))
+        parent = maybe_broadcast(
+            new.select(F.col("v").alias("p"), F.col("m").alias("pm")),
+            n_rows=n_v,
+        )
         new = (
             new.join(parent, new.m == parent.p, "left")
             .select(
@@ -461,8 +500,12 @@ def lpa_communities(
     deterministic.  ``max_rounds`` exhaustion without either condition
     raises — never a silently-unconverged community map.
     """
+    from ..functions.joins import maybe_broadcast
+
     nbr = nbr.localCheckpoint(eager=True)
     labels = nbr.select("v").distinct().select("v", F.col("v").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    n_v = labels.count()
     prev_prev: DataFrame | None = None
 
     def _changed(a: DataFrame, b: DataFrame) -> int:
@@ -477,7 +520,12 @@ def lpa_communities(
     n_rounds = rounds if rounds is not None else max_rounds
     for i in range(n_rounds):
         cnt = (
-            nbr.join(labels.withColumnRenamed("v", "u"), on="u")
+            nbr.join(
+                maybe_broadcast(
+                    labels.withColumnRenamed("v", "u"), n_rows=n_v
+                ),
+                on="u",
+            )
             .groupBy("v", "label")
             .agg(F.count("*").alias("c"))
         )
@@ -865,7 +913,11 @@ def hits(
     direction) + two scalar norm aggregates — the same per-round
     discipline as pagerank's dangling collect; state is one fixed-width
     row per vertex, localCheckpointed per round so lineage stays linear.
-    Vertex-scale frames are joined KEYED, never force-broadcast."""
+    Vertex-scale frames are never force-broadcast: every per-round dim
+    rides through the size-gated maybe_broadcast (broadcast under the
+    gate — one exchange per half-round — keyed shuffle above it)."""
+    from ..functions.joins import maybe_broadcast
+
     de = de.localCheckpoint(eager=True)
     verts = (
         de.select(F.col("src").alias("v"))
@@ -873,6 +925,7 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_v = verts.count()
 
     def _half(edges_key_in: str, edges_key_out: str, vec: DataFrame, col: str):
         # raw(v) = sum of vec over edges arriving at v via the given
@@ -884,13 +937,18 @@ def hits(
         # aggregate's exchange is shared between the two branches
         # instead of being recomputed for the collect job.
         contrib = (
-            de.join(vec.withColumnRenamed("v", edges_key_in), on=edges_key_in)
+            de.join(
+                maybe_broadcast(
+                    vec.withColumnRenamed("v", edges_key_in), n_rows=n_v
+                ),
+                on=edges_key_in,
+            )
             .groupBy(F.col(edges_key_out).alias("v"))
             .agg(F.sum(col).alias("s"))
         )
-        raw = verts.join(contrib, on="v", how="left").select(
-            "v", F.coalesce("s", F.lit(0.0)).alias("raw")
-        )
+        raw = verts.join(
+            maybe_broadcast(contrib, n_rows=n_v), on="v", how="left"
+        ).select("v", F.coalesce("s", F.lit(0.0)).alias("raw"))
         nrm = raw.agg(
             F.coalesce(
                 F.nullif(F.sqrt(F.sum(F.col("raw") * F.col("raw"))), F.lit(0.0)),

@@ -38,6 +38,8 @@ def connected_components(
     # action, and without this the union+distinct (a full edge shuffle)
     # re-executes per round — at 100x that recompute, not the label
     # joins, is the growing term.
+    from ..functions.joins import maybe_broadcast
+
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -47,15 +49,27 @@ def connected_components(
     labels = vertices.select(
         F.col(vertex_col).alias("a"), F.col(vertex_col).alias("canonical_id")
     ).localCheckpoint(eager=True)
+    # r8: the label table and its per-round derivatives are vertex-scale
+    # dims — SIZE-GATED broadcasts (one count here gates every round;
+    # labels stays 1:1 with the vertex set).  Under the gate a round is
+    # one exchange (the neighbor-min groupBy) instead of four; above it
+    # every join falls back to the keyed shuffle.  All label math is
+    # integer min — broadcast-join row-order changes cannot perturb it.
+    n_v = labels.count()
 
     for _ in range(max_iterations):
         # min over closed neighborhood: own label ∧ min(neighbor labels)
         nbr_min = (
-            sym.join(labels.withColumnRenamed("a", "b"), on="b")
+            sym.join(
+                maybe_broadcast(labels.withColumnRenamed("a", "b"), n_rows=n_v),
+                on="b",
+            )
             .groupBy("a")
             .agg(F.min("canonical_id").alias("nbr_min"))
         )
-        new_labels = labels.join(nbr_min, on="a", how="left").select(
+        new_labels = labels.join(
+            maybe_broadcast(nbr_min, n_rows=n_v), on="a", how="left"
+        ).select(
             "a",
             F.least(
                 F.col("canonical_id"), F.coalesce("nbr_min", "canonical_id")
@@ -76,6 +90,7 @@ def connected_components(
         parent = new_labels.select(
             F.col("a").alias("p"), F.col("canonical_id").alias("p_label")
         )
+        parent = maybe_broadcast(parent, n_rows=n_v)
         new_labels = (
             new_labels.join(parent, new_labels.canonical_id == parent.p, "left")
             .select(

@@ -7126,10 +7126,11 @@ def kg_hits(spark, sf_dir):
     survey/aggregator entity) scores as a hub even with no in-links,
     and vice versa.  Directionality matters in a KG: subjects that
     assert many relations are hubs, frequently-referenced objects are
-    authorities.  Per-round shape: TWO edge-key shuffles (one per
-    orientation) + two scalar norm aggregates — the pagerank per-round
-    discipline doubled; vertex frames joined keyed, never
-    force-broadcast.  Oracle unrolls the identical two rounds.  Shared
+    authorities.  Per-round shape: TWO contribution aggregates (one per
+    orientation) with in-plan norms — the pagerank per-round discipline
+    doubled; vertex frames never force-broadcast (size-gated
+    maybe_broadcast: broadcast under the gate, keyed shuffle above
+    it).  Oracle unrolls the identical two rounds.  Shared
     loop: graph/algo.hits — rounds=None gives the convergence-mode
     production twin under the non-silent guard (tests/test_graph_algo
     pins hand-computed star-graph values and convergence behavior)."""
