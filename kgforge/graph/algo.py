@@ -835,19 +835,26 @@ def random_walks(nbr: DataFrame, length: int = 4) -> DataFrame:
     undirected edge.  Returns (walk_id, pos, node) corpus rows,
     pos = 0..length.
 
-    Scale shape: state is ONE row per walk per step; each step is two
-    keyed shuffle joins (vertex info, then the indexed adjacency — both
-    O(|V|)/O(|E|) dims, never force-broadcast); the frontier is
-    localCheckpointed per step so the plan stays linear in length; the
-    corpus streams out as a union of per-step frontiers, no global sort."""
+    Scale shape: state is ONE row per walk per step; each step joins
+    vertex info then the indexed adjacency — both O(|V|)/O(|E|) dims
+    ride through the size-gated maybe_broadcast (broadcast under the
+    gate so the frontier never shuffles; keyed shuffle above it, never
+    force-broadcast); the frontier is localCheckpointed per step so the
+    plan stays linear in length; the corpus streams out as a union of
+    per-step frontiers, no global sort."""
     from pyspark.sql import Window
 
     from ..functions.hashing import charfold
+    from ..functions.joins import maybe_broadcast
 
     w = Window.partitionBy("v").orderBy("u")
     nbrx = nbr.withColumn("idx", F.row_number().over(w) - 1).localCheckpoint(
         eager=True
     )
+    # r8: the indexed adjacency and the degree dim are static across
+    # hops — one count gates their per-hop joins (broadcast under the
+    # gate so the frontier never shuffles; keyed shuffle above it)
+    n_adj = nbrx.count()
     vinfo = (
         nbr.groupBy("v")
         .agg(F.count("*").alias("deg"))
@@ -861,7 +868,10 @@ def random_walks(nbr: DataFrame, length: int = 4) -> DataFrame:
     )
     for t in range(1, length + 1):
         f = frontier.join(
-            vinfo.select(F.col("v").alias("cur"), "deg"), "cur"
+            maybe_broadcast(
+                vinfo.select(F.col("v").alias("cur"), "deg"), n_rows=n_adj
+            ),
+            "cur",
         ).withColumn(
             "tgt",
             charfold(
@@ -873,8 +883,11 @@ def random_walks(nbr: DataFrame, length: int = 4) -> DataFrame:
             )
             % F.col("deg"),
         )
-        nx = nbrx.select(
-            F.col("v").alias("nv"), F.col("idx").alias("nidx"), F.col("u")
+        nx = maybe_broadcast(
+            nbrx.select(
+                F.col("v").alias("nv"), F.col("idx").alias("nidx"), F.col("u")
+            ),
+            n_rows=n_adj,
         )
         step = f.join(nx, (f["cur"] == nx["nv"]) & (f["tgt"] == nx["nidx"]))
         frontier = step.select(
@@ -1033,7 +1046,8 @@ def node2vec_walks(
     pick is a per-walk window cumsum over that walk's candidate list —
     partition-local, bounded by max degree; state is localCheckpointed
     per step so the plan stays linear in length.  Nothing vertex-scale
-    is ever force-broadcast."""
+    is ever force-broadcast: the static adjacency/degree dims ride the
+    size-gated maybe_broadcast (keyed shuffle above the gate)."""
     from math import log2
 
     from pyspark.sql import Window
@@ -1043,11 +1057,16 @@ def node2vec_walks(
     assert log2(p).is_integer() and log2(q).is_integer(), (
         "p and q must be powers of two for exact cross-engine sums"
     )
+    from ..functions.joins import maybe_broadcast
+
     w = Window.partitionBy("v").orderBy("u")
     nbr = nbr.localCheckpoint(eager=True)
     nbrx = nbr.withColumn("idx", F.row_number().over(w) - 1).localCheckpoint(
         eager=True
     )
+    # r8: static adjacency/degree dims — one count gates every hop's
+    # joins (broadcast under the gate, keyed shuffle above it)
+    n_adj = nbrx.count()
     vinfo = (
         nbr.groupBy("v")
         .agg(F.count("*").alias("deg"))
@@ -1070,9 +1089,15 @@ def node2vec_walks(
     )
     # hop 1: uniform (no prev yet)
     f = f0.join(
-        vinfo.select(F.col("v").alias("cur"), "deg"), "cur"
+        maybe_broadcast(
+            vinfo.select(F.col("v").alias("cur"), "deg"), n_rows=n_adj
+        ),
+        "cur",
     ).withColumn("tgt", _mix(1) % F.col("deg"))
-    nx = nbrx.select(F.col("v").alias("nv"), F.col("idx").alias("nidx"), "u")
+    nx = maybe_broadcast(
+        nbrx.select(F.col("v").alias("nv"), F.col("idx").alias("nidx"), "u"),
+        n_rows=n_adj,
+    )
     step = f.join(nx, (f["cur"] == nx["nv"]) & (f["tgt"] == nx["nidx"]))
     frontier = step.select(
         "walk_id", F.col("cur").alias("prev"), F.col("u").alias("cur")
@@ -1086,10 +1111,18 @@ def node2vec_walks(
     wwin = Window.partitionBy("walk_id").orderBy("idx")
     for t in range(2, length + 1):
         cand = (
-            frontier.join(nbrx.withColumnRenamed("v", "cur"), "cur")
+            frontier.join(
+                maybe_broadcast(
+                    nbrx.withColumnRenamed("v", "cur"), n_rows=n_adj
+                ),
+                "cur",
+            )
             .join(
-                nbr.select(
-                    F.col("v").alias("prev"), "u", F.lit(1).alias("isnb")
+                maybe_broadcast(
+                    nbr.select(
+                        F.col("v").alias("prev"), "u", F.lit(1).alias("isnb")
+                    ),
+                    n_rows=n_adj,
                 ),
                 ["prev", "u"],
                 "left",
