@@ -4552,14 +4552,15 @@ def ann_pq_recall(spark, sf_dir):
     qv = ev.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
 
     def exact_topk(cands):
+        # membership only (no rank column escapes): orderBy + limit
+        # compiles to TakeOrderedAndProject — per-partition top-10s
+        # merged on the driver — instead of the row_number window's
+        # Exchange SinglePartition over every candidate (r8); the total
+        # order key makes the selected set identical
         d = cands.crossJoin(F.broadcast(qv)).select(
             "vec_id", F.round(l2sq_fold(F.col("v"), F.col("qv")), 6).alias("d2")
         )
-        w = Window.orderBy("d2", "vec_id")
-        return (
-            d.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= 10).select("vec_id")
-        )
+        return d.orderBy("d2", "vec_id").limit(10).select("vec_id")
 
     rerank = exact_topk(ev.join(short, on="vec_id"))
     exact = exact_topk(ev.filter(F.col("vec_id") != 0))
