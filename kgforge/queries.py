@@ -62,6 +62,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, re-split to cluster parallelism — the `_docs` rule
+    (r8): the local table is ONE parquet split, so every row-local fold
+    downstream (cosine/L2 folds, sign buckets, centroid assignment,
+    power-iteration products) would otherwise run on a single core.  At
+    real scale the scan has thousands of splits and this repartition is
+    simply not written."""
+    return _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, tok) — whitespace tokens with 0-based positions."""
     return _docs(spark, sf_dir).select(
@@ -2750,7 +2762,7 @@ def ann_cosine_topk(spark, sf_dir):
     Rank on round(cos, 6) with vec_id tie-break for determinism."""
     from .functions.similarity import cosine_topk
 
-    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    return cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
 @register(
@@ -2790,7 +2802,7 @@ def ann_mutual_knn(spark, sf_dir):
     vectors travel whole through zip_with folds, never exploded."""
     from .functions.similarity import cosine_fold
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select(
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 400).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).localCheckpoint(eager=True)
     a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
@@ -2837,7 +2849,7 @@ def ann_mutual_knn(spark, sf_dir):
 def ann_lsh_bucket(spark, sf_dir):
     """Hyperplane-sign LSH bucketing (the scale path for ANN: candidate
     generation by bucket, then exact re-rank within bucket)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     emb = F.col("embedding")
     bucket = (
         F.when(F.element_at(emb, 1) > 0, 1).otherwise(0)
@@ -2864,7 +2876,7 @@ def ann_lsh_bucket(spark, sf_dir):
 def embed_centroids(spark, sf_dir):
     """Per-label centroid head — groupBy over array elements (A8 span-pool
     analog: groupBy(mention).agg(avg(vec)))."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     emb = F.col("embedding")
     return e.groupBy(F.col("label").cast("bigint").alias("label")).agg(
         F.count("*").alias("n"),
@@ -2996,7 +3008,7 @@ def _embed_wide(spark, sf_dir):
     """(e, dim) — the embedding table as (vec_id, x array<double>),
     checkpointed once (every consumer below re-derives its row-local
     columns from it), plus the data-derived dimensionality."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     ).localCheckpoint(eager=True)
     row = e.limit(1).collect()
@@ -3261,7 +3273,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine)."""
     from .functions.similarity import near_dup_pairs
 
-    return near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
 
 
 @register(
@@ -3319,7 +3331,7 @@ def curate_contrastive_triplets(spark, sf_dir):
     over the anchor's bucket mates."""
     from .functions.similarity import contrastive_triplets
 
-    return contrastive_triplets(_t(spark, sf_dir, "embeddings"))
+    return contrastive_triplets(_emb(spark, sf_dir))
 
 
 @register(
@@ -3399,7 +3411,7 @@ def dedup_semantic_prune(spark, sf_dir):
     from .functions.similarity import cosine_fold, near_dup_pairs
     from .link.cc import connected_components
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     pairs = (
         near_dup_pairs(e, threshold=0.35)
         .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
@@ -4289,7 +4301,7 @@ def ann_ivf_topk(spark, sf_dir):
     from .functions.similarity import ivf_topk
 
     return ivf_topk(
-        _t(spark, sf_dir, "embeddings"),
+        _emb(spark, sf_dir),
         query_vec_id=0, k=10, n_centroids=8, n_probe=2,
     )
 
@@ -4357,7 +4369,7 @@ def ann_ivf_recall_uniform(spark, sf_dir):
     vectors."""
     from .functions.similarity import cosine_topk, ivf_topk, kmeans_centroids
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     # checkpointed: centroids feed both the assignment and the probe branch
     cents = kmeans_centroids(e, n_centroids=8, rounds=2, dim=64).localCheckpoint(
         eager=True
@@ -4456,7 +4468,7 @@ def ann_ivf_recall(spark, sf_dir):
     (EXTRA)."""
     from .functions.similarity import cosine_topk, ivf_topk, kmeans_centroids
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", planted_embedding_col().alias("embedding")
     )
     cents = kmeans_centroids(
@@ -4542,7 +4554,7 @@ def ann_pq_recall(spark, sf_dir):
     (functions/similarity.pq_codebooks_and_codes)."""
     from .functions.similarity import l2sq_fold, pq_adc_topk
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", planted_embedding_col().alias("embedding")
     ).localCheckpoint(eager=True)
     short = pq_adc_topk(
@@ -4630,7 +4642,7 @@ def ann_rp_lsh_recall(spark, sf_dir):
     engines, so even the sign of a near-zero dot agrees bit-for-bit."""
     from .functions.similarity import cosine_fold
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", planted_embedding_col().alias("v")
     ).localCheckpoint(eager=True)
 
@@ -5132,7 +5144,7 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         .filter(F.col("lex_rank") <= 20)
         .select("doc_id", "lex_rank")
     )
-    vec = cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20).select(
+    vec = cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=20).select(
         F.col("vec_id").alias("doc_id"), F.col("rnk").alias("vec_rank")
     )
     fused = lex.join(vec, on="doc_id", how="full_outer")
@@ -5241,7 +5253,7 @@ def ann_sq8_recall(spark, sf_dir):
     differs across engines."""
     from .functions.similarity import cosine_fold, sq8_reconstruct, sq8_scale
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # scale materialized as its own column: O(d) encode (see sq8_reconstruct)
@@ -7362,7 +7374,7 @@ def ann_multi_topk(spark, sf_dir):
     so each input partition pre-truncates to its local top-k before the
     single shuffle on qid — no partition ever sorts the full corpus per
     query."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     from .functions.similarity import cosine_fold
@@ -8643,7 +8655,7 @@ def _kmeans_fin_df(spark, sf_dir):
     and IVF)."""
     from .functions.similarity import assign_nearest, kmeans_centroids
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = kmeans_centroids(e, n_centroids=8, rounds=2, vec_col="v", dim=64)
@@ -9214,7 +9226,7 @@ def ann_ivf_cached(spark, sf_dir):
     from .functions.similarity import cosine_fold
     from .lineage import StageRunner
 
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = F.broadcast(
