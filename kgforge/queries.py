@@ -64,11 +64,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings, re-split to cluster parallelism — the `_docs` rule
-    (r8): the local table is ONE parquet split, so every row-local fold
-    downstream (cosine/L2 folds, sign buckets, centroid assignment,
-    power-iteration products) would otherwise run on a single core.  At
-    real scale the scan has thousands of splits and this repartition is
-    simply not written."""
+    (r8), applied SELECTIVELY: used only by the bucket-pair verifiers
+    (embedding_cosine / contrastive / semantic_prune), whose
+    within-bucket cosine folds are the dominant per-row work and ran on
+    ONE core off the single local parquet split (measured: contrastive
+    3.6 s → 1.3 s).  The light paths (single-query top-k folds, k-row
+    centroid math) keep the plain scan — there the extra round-robin
+    shuffle costs more than single-core folding saves (measured: pq /
+    kmeans / pca regressed ~1.3× under a blanket repartition).  At real
+    scale the scan has thousands of splits and the choice disappears."""
     return _t(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -2762,7 +2766,7 @@ def ann_cosine_topk(spark, sf_dir):
     Rank on round(cos, 6) with vec_id tie-break for determinism."""
     from .functions.similarity import cosine_topk
 
-    return cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
 @register(
@@ -2802,7 +2806,7 @@ def ann_mutual_knn(spark, sf_dir):
     vectors travel whole through zip_with folds, never exploded."""
     from .functions.similarity import cosine_fold
 
-    e = _emb(spark, sf_dir).filter(F.col("vec_id") < 400).select(
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     ).localCheckpoint(eager=True)
     a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
@@ -2849,7 +2853,7 @@ def ann_mutual_knn(spark, sf_dir):
 def ann_lsh_bucket(spark, sf_dir):
     """Hyperplane-sign LSH bucketing (the scale path for ANN: candidate
     generation by bucket, then exact re-rank within bucket)."""
-    e = _emb(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     bucket = (
         F.when(F.element_at(emb, 1) > 0, 1).otherwise(0)
@@ -2876,7 +2880,7 @@ def ann_lsh_bucket(spark, sf_dir):
 def embed_centroids(spark, sf_dir):
     """Per-label centroid head — groupBy over array elements (A8 span-pool
     analog: groupBy(mention).agg(avg(vec)))."""
-    e = _emb(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.groupBy(F.col("label").cast("bigint").alias("label")).agg(
         F.count("*").alias("n"),
@@ -3008,7 +3012,7 @@ def _embed_wide(spark, sf_dir):
     """(e, dim) — the embedding table as (vec_id, x array<double>),
     checkpointed once (every consumer below re-derives its row-local
     columns from it), plus the data-derived dimensionality."""
-    e = _emb(spark, sf_dir).select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     ).localCheckpoint(eager=True)
     row = e.limit(1).collect()
@@ -4301,7 +4305,7 @@ def ann_ivf_topk(spark, sf_dir):
     from .functions.similarity import ivf_topk
 
     return ivf_topk(
-        _emb(spark, sf_dir),
+        _t(spark, sf_dir, "embeddings"),
         query_vec_id=0, k=10, n_centroids=8, n_probe=2,
     )
 
@@ -4369,7 +4373,7 @@ def ann_ivf_recall_uniform(spark, sf_dir):
     vectors."""
     from .functions.similarity import cosine_topk, ivf_topk, kmeans_centroids
 
-    e = _emb(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
     # checkpointed: centroids feed both the assignment and the probe branch
     cents = kmeans_centroids(e, n_centroids=8, rounds=2, dim=64).localCheckpoint(
         eager=True
@@ -4468,7 +4472,7 @@ def ann_ivf_recall(spark, sf_dir):
     (EXTRA)."""
     from .functions.similarity import cosine_topk, ivf_topk, kmeans_centroids
 
-    e = _emb(spark, sf_dir).select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", planted_embedding_col().alias("embedding")
     )
     cents = kmeans_centroids(
@@ -4554,7 +4558,7 @@ def ann_pq_recall(spark, sf_dir):
     (functions/similarity.pq_codebooks_and_codes)."""
     from .functions.similarity import l2sq_fold, pq_adc_topk
 
-    e = _emb(spark, sf_dir).select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", planted_embedding_col().alias("embedding")
     ).localCheckpoint(eager=True)
     short = pq_adc_topk(
@@ -4642,7 +4646,7 @@ def ann_rp_lsh_recall(spark, sf_dir):
     engines, so even the sign of a near-zero dot agrees bit-for-bit."""
     from .functions.similarity import cosine_fold
 
-    e = _emb(spark, sf_dir).select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", planted_embedding_col().alias("v")
     ).localCheckpoint(eager=True)
 
@@ -5144,7 +5148,7 @@ def retrieval_hybrid_rrf(spark, sf_dir):
         .filter(F.col("lex_rank") <= 20)
         .select("doc_id", "lex_rank")
     )
-    vec = cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=20).select(
+    vec = cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20).select(
         F.col("vec_id").alias("doc_id"), F.col("rnk").alias("vec_rank")
     )
     fused = lex.join(vec, on="doc_id", how="full_outer")
@@ -5253,7 +5257,7 @@ def ann_sq8_recall(spark, sf_dir):
     differs across engines."""
     from .functions.similarity import cosine_fold, sq8_reconstruct, sq8_scale
 
-    e = _emb(spark, sf_dir).select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # scale materialized as its own column: O(d) encode (see sq8_reconstruct)
@@ -7374,7 +7378,7 @@ def ann_multi_topk(spark, sf_dir):
     so each input partition pre-truncates to its local top-k before the
     single shuffle on qid — no partition ever sorts the full corpus per
     query."""
-    e = _emb(spark, sf_dir).select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     from .functions.similarity import cosine_fold
@@ -8655,7 +8659,7 @@ def _kmeans_fin_df(spark, sf_dir):
     and IVF)."""
     from .functions.similarity import assign_nearest, kmeans_centroids
 
-    e = _emb(spark, sf_dir).select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = kmeans_centroids(e, n_centroids=8, rounds=2, vec_col="v", dim=64)
@@ -9226,7 +9230,7 @@ def ann_ivf_cached(spark, sf_dir):
     from .functions.similarity import cosine_fold
     from .lineage import StageRunner
 
-    e = _emb(spark, sf_dir).select(
+    e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = F.broadcast(
